@@ -1,0 +1,214 @@
+"""Tests for the halfedge mesh core, remeshing and I/O."""
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.mesh.core import TriangleMesh, zig_zag_triangulate
+from ch_shrinkwrap_tpu.mesh import remesh as rm
+from ch_shrinkwrap_tpu.mesh.primitives import (
+    icosphere, planar_grid, bounding_icosphere)
+from ch_shrinkwrap_tpu.mesh import io as mesh_io
+
+
+def sphere_mesh(R=10.0, n=3):
+    v, f = icosphere(n, radius=R)
+    return TriangleMesh(v, f)
+
+
+def test_build_halfedges_sphere():
+    mesh = sphere_mesh()
+    he = mesh.halfedges
+    # closed manifold: every halfedge has a twin
+    assert (he.twin >= 0).all()
+    # twin of twin is identity
+    np.testing.assert_array_equal(he.twin[he.twin], np.arange(len(he.twin)))
+    # next^3 = id
+    np.testing.assert_array_equal(he.next[he.next[he.next]],
+                                  np.arange(len(he.next)))
+    # twin reverses direction
+    np.testing.assert_array_equal(he.src[he.twin], he.vertex)
+
+
+def test_euler_characteristic_sphere():
+    mesh = sphere_mesh()
+    assert mesh.euler_characteristic == 2
+    assert mesh.genus == 0
+    assert mesh.is_manifold
+
+
+def test_euler_characteristic_plane():
+    v, f = planar_grid(1.0, 4)
+    mesh = TriangleMesh(v, f)
+    assert mesh.euler_characteristic == 1  # disk
+    assert not mesh.is_manifold  # has boundary
+
+
+def test_area_volume_sphere():
+    R = 10.0
+    mesh = sphere_mesh(R, 4)
+    np.testing.assert_allclose(mesh.area(), 4 * np.pi * R * R, rtol=0.01)
+    np.testing.assert_allclose(mesh.volume(), 4 / 3 * np.pi * R ** 3,
+                               rtol=0.01)
+
+
+def test_vertex_normals_outward():
+    mesh = sphere_mesh(5.0, 3)
+    n = mesh.vertex_normals
+    r_hat = mesh.vertices / np.linalg.norm(mesh.vertices, axis=1)[:, None]
+    dots = (n * r_hat).sum(1)
+    assert (dots > 0.99).all()
+
+
+def test_vertex_neighbors_table():
+    mesh = sphere_mesh()
+    nbrs = mesh.vertex_neighbors
+    val = (nbrs >= 0).sum(1)
+    # icosphere: 12 valence-5 vertices, rest valence 6
+    assert (val == 5).sum() == 12
+    assert ((val == 5) | (val == 6)).all()
+    # neighbor relation is symmetric
+    for v in [0, 7, 100]:
+        for n in nbrs[v][nbrs[v] >= 0]:
+            assert v in nbrs[n]
+
+
+def test_connected_components():
+    v1, f1 = icosphere(2, radius=1.0)
+    v2, f2 = icosphere(2, radius=1.0, centre=(10, 0, 0))
+    v = np.vstack([v1, v2])
+    f = np.vstack([f1, f2 + len(v1)])
+    mesh = TriangleMesh(v, f)
+    _, n = mesh.connected_components()
+    assert n == 2
+
+
+def test_remove_inner_surfaces():
+    vo, fo = icosphere(3, radius=10.0)
+    vi, fi = icosphere(2, radius=3.0)
+    v = np.vstack([vo, vi])
+    f = np.vstack([fo, fi + len(vo)])
+    mesh = TriangleMesh(v, f)
+    mesh.remove_inner_surfaces()
+    _, n = mesh.connected_components()
+    assert n == 1
+    # outer sphere retained
+    assert np.max(np.linalg.norm(mesh.vertices, axis=1)) > 9.0
+
+
+def test_unsafe_remove_vertices_and_repair():
+    mesh = sphere_mesh(10.0, 3)
+    v0 = mesh.vertices.shape[0]
+    # remove a small cap of vertices
+    top = np.flatnonzero(mesh.vertices[:, 2] > 9.7)
+    assert len(top) > 0
+    mesh.unsafe_remove_vertices(top)
+    assert mesh.vertices.shape[0] < v0
+    assert mesh.n_boundary_loops >= 1
+    mesh.repair()
+    assert mesh.n_boundary_loops == 0
+    assert mesh.euler_characteristic == 2
+
+
+def test_zig_zag_triangulation():
+    ring = np.arange(7)
+    tris = zig_zag_triangulate(ring)
+    assert tris.shape == (5, 3)
+    # all ring vertices used
+    assert set(tris.ravel()) == set(range(7))
+
+
+def test_split_pass_preserves_surface():
+    mesh = sphere_mesh(10.0, 2)
+    v, f, n = rm.split_pass(mesh.vertices, mesh.faces,
+                            0.5 * mesh._mean_edge_length)
+    assert n > 0
+    m2 = TriangleMesh(v, f)
+    assert m2.euler_characteristic == 2
+    assert m2.is_manifold
+    np.testing.assert_allclose(m2.area(), mesh.area(), rtol=0.02)
+
+
+def test_collapse_pass_preserves_topology():
+    mesh = sphere_mesh(10.0, 3)
+    v, f, n = rm.collapse_pass(mesh.vertices, mesh.faces,
+                               1.2 * mesh._mean_edge_length)
+    assert n > 0
+    v, f = rm.compact(v, f)
+    m2 = TriangleMesh(v, f)
+    assert m2.euler_characteristic == 2
+    assert m2.is_manifold
+    assert m2.vertices.shape[0] < mesh.vertices.shape[0]
+
+
+def test_flip_pass_improves_valence():
+    mesh = sphere_mesh(10.0, 3)
+    # collapse creates irregular valences; flips should reduce deviation
+    v, f, _ = rm.collapse_pass(mesh.vertices, mesh.faces,
+                               1.1 * mesh._mean_edge_length)
+    v, f = rm.compact(v, f)
+    val0 = np.bincount(f.ravel())
+    dev0 = ((val0 - 6) ** 2).sum()
+    v2, f2, nf = rm.flip_pass(v, f)
+    m2 = TriangleMesh(v2, f2)
+    assert m2.euler_characteristic == 2
+    val1 = np.bincount(f2.ravel())
+    assert ((val1 - 6) ** 2).sum() <= dev0
+
+
+def test_remesh_hits_target_length():
+    mesh = sphere_mesh(10.0, 3)
+    target = 0.5 * mesh._mean_edge_length
+    rm.remesh(mesh, n=5, target_edge_length=target, l=0.5, n_relax=2)
+    assert mesh.euler_characteristic == 2
+    assert mesh.is_manifold
+    assert abs(mesh._mean_edge_length - target) / target < 0.35
+    # surface stays a sphere
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    np.testing.assert_allclose(r, 10.0, atol=0.5)
+
+
+def test_remesh_coarsen():
+    mesh = sphere_mesh(10.0, 4)
+    target = 2.5 * mesh._mean_edge_length
+    rm.remesh(mesh, n=5, target_edge_length=target, l=0.5, n_relax=2)
+    assert mesh.euler_characteristic == 2
+    assert mesh.is_manifold
+    assert abs(mesh._mean_edge_length - target) / target < 0.35
+
+
+def test_stl_roundtrip(tmp_path):
+    mesh = sphere_mesh(10.0, 2)
+    path = str(tmp_path / "sphere.stl")
+    mesh.to_stl(path)
+    v, f = mesh_io.load_stl(path)
+    m2 = TriangleMesh(v, f)
+    assert m2.faces.shape[0] == mesh.faces.shape[0]
+    np.testing.assert_allclose(m2.area(), mesh.area(), rtol=1e-4)
+    assert m2.euler_characteristic == 2
+
+
+def test_ply_write(tmp_path):
+    mesh = sphere_mesh(5.0, 1)
+    path = str(tmp_path / "m.ply")
+    mesh.to_ply(path)
+    text = open(path).read()
+    assert 'element vertex 42' in text
+
+
+def test_bounding_icosphere():
+    pts = np.random.default_rng(0).normal(size=(100, 3)) * 5 + 3
+    v, f = bounding_icosphere(pts, 2)
+    mesh = TriangleMesh(v, f)
+    c = pts.mean(0)
+    r = np.linalg.norm(v - c[None, :], axis=1)
+    assert (np.linalg.norm(pts - c[None, :], axis=1).max() <= r.max() + 1e-5)
+
+
+def test_smooth_per_vertex_data():
+    mesh = sphere_mesh(10.0, 2)
+    data = np.zeros(mesh.vertices.shape[0], dtype=np.float32)
+    data[0] = 1.0
+    sm = mesh.smooth_per_vertex_data(data)
+    assert sm[0] < 1.0
+    nbr = mesh.vertex_neighbors[0]
+    assert (sm[nbr[nbr >= 0]] > 0).all()
