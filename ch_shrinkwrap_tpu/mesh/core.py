@@ -218,12 +218,19 @@ class TriangleMesh:
 
     @property
     def vertex_normals(self) -> np.ndarray:
-        """(V, 3) unit normals: area-weighted mean of incident faces."""
+        """(V, 3) unit normals: corner-angle-weighted mean of incident
+        face normals (matches ops.normals.vertex_normals on device)."""
         if self._vertex_normals_cache is None:
-            fn = self.face_normals * self.face_areas[:, None]
+            fn = self.face_normals
+            tri = self._vertices[self._faces]
+            e_next = tri[:, [1, 2, 0]] - tri
+            e_prev = tri[:, [2, 0, 1]] - tri
+            dot = (e_next * e_prev).sum(-1)
+            sin = np.linalg.norm(np.cross(e_next, e_prev), axis=-1)
+            ang = np.arctan2(sin, dot)
             vn = np.zeros_like(self._vertices)
             for k in range(3):
-                np.add.at(vn, self._faces[:, k], fn)
+                np.add.at(vn, self._faces[:, k], fn * ang[:, k:k + 1])
             norm = np.sqrt((vn * vn).sum(1))
             self._vertex_normals_cache = (vn / np.maximum(norm, 1e-12)[:, None]
                                           ).astype(np.float32)

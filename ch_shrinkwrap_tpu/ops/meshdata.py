@@ -1,0 +1,103 @@
+"""Padded SoA mesh arrays for device-side compute.
+
+The host mesh (`ch_shrinkwrap_tpu.mesh.core.TriangleMesh`) is compact;
+device kernels need static shapes.  `MeshArrays` is a pytree of padded
+arrays with validity masks, bucketed to coarse capacity steps so the
+XLA cache is reused across remesh blocks (the reference instead
+tolerates full reallocation per block — _membrane_mesh.pyx:1510-1517).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+NEIGHBORSIZE = 20
+
+
+def round_up_bucket(n: int, quantum: int = 1024) -> int:
+    """Round n up to the next capacity bucket (quantum multiple)."""
+    return max(quantum, int(np.ceil(n / quantum)) * quantum)
+
+
+class MeshArrays(NamedTuple):
+    """Static-shape device view of a triangle mesh.
+
+    positions : (Vp, 3) f32 — padded vertex positions
+    v_mask    : (Vp,)  bool — True for real vertices
+    faces     : (Fp, 3) i32 — padded faces (padding rows point at 0)
+    f_mask    : (Fp,)  bool
+    nbr_v     : (Vp, K) i32 — one-ring neighbor vertex ids, -1 padded
+    nbr_f     : (Vp, K) i32 — face left of the halfedge v->nbr, -1 padded
+    """
+    positions: jax.Array
+    v_mask: jax.Array
+    faces: jax.Array
+    f_mask: jax.Array
+    nbr_v: jax.Array
+    nbr_f: jax.Array
+
+    @property
+    def n_vertices_padded(self):
+        return self.positions.shape[0]
+
+    @property
+    def n_faces_padded(self):
+        return self.faces.shape[0]
+
+
+def neighbor_tables(faces: np.ndarray, n_vertices: int, K: int = NEIGHBORSIZE):
+    """(V, K) neighbor-vertex and neighbor-face tables from (F, 3) faces.
+
+    Slot k of vertex v holds the head of one outgoing halfedge v->u and
+    the face on that halfedge's left — the same information as the
+    reference's ``_vertices['neighbors']`` halfedge list
+    (_membrane_mesh.pyx:50-54) without the extra indirection.
+    """
+    src = faces.ravel()
+    dst = faces[:, [1, 2, 0]].ravel()
+    fidx = np.repeat(np.arange(faces.shape[0], dtype=np.int64), 3)
+    order = np.argsort(src, kind='stable')
+    ssrc = src[order]
+    starts = np.searchsorted(ssrc, np.arange(n_vertices))
+    rank = np.arange(len(ssrc)) - starts[ssrc]
+    nbr_v = np.full((n_vertices, K), -1, np.int32)
+    nbr_f = np.full((n_vertices, K), -1, np.int32)
+    ok = rank < K
+    nbr_v[ssrc[ok], rank[ok]] = dst[order[ok]]
+    nbr_f[ssrc[ok], rank[ok]] = fidx[order[ok]]
+    return nbr_v, nbr_f
+
+
+def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
+              quantum: int = 1024, K: int = NEIGHBORSIZE) -> MeshArrays:
+    """Pad a host TriangleMesh into device MeshArrays."""
+    v = np.asarray(mesh.vertices, dtype=np.float32)
+    f = np.asarray(mesh.faces, dtype=np.int32)
+    V, F = v.shape[0], f.shape[0]
+    Vp = v_cap or round_up_bucket(V, quantum)
+    Fp = f_cap or round_up_bucket(F, quantum)
+    if Vp < V or Fp < F:
+        raise ValueError('capacity below current size')
+
+    pos = np.zeros((Vp, 3), np.float32)
+    pos[:V] = v
+    v_mask = np.zeros(Vp, bool)
+    v_mask[:V] = True
+    faces = np.zeros((Fp, 3), np.int32)
+    faces[:F] = f
+    f_mask = np.zeros(Fp, bool)
+    f_mask[:F] = True
+
+    nv, nf = neighbor_tables(f, V, K)
+    nbr_v = np.full((Vp, K), -1, np.int32)
+    nbr_v[:V] = nv
+    nbr_f = np.full((Vp, K), -1, np.int32)
+    nbr_f[:V] = nf
+
+    return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
+                      jnp.asarray(faces), jnp.asarray(f_mask),
+                      jnp.asarray(nbr_v), jnp.asarray(nbr_f))

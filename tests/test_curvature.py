@@ -1,0 +1,110 @@
+"""Analytic curvature tests at the reference's tolerances.
+
+Mirrors /root/reference/tests/test_membrane_mesh.py:43-88: mean
+curvature ~0 on a plane and ~1/R on a sphere (decimal=2), Gaussian
+curvature ~0 on a plane and ~1/R^2 on a sphere (decimal=4).
+"""
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+from ch_shrinkwrap_tpu.mesh.primitives import icosphere, planar_grid
+from ch_shrinkwrap_tpu.ops import meshdata
+from ch_shrinkwrap_tpu.ops.curvature import curvature_grad
+
+EPS = 1e-6
+
+
+def compute_state(mesh):
+    ma = meshdata.from_mesh(mesh, quantum=256)
+    return ma, curvature_grad(ma.positions, ma.faces, ma.f_mask,
+                              ma.v_mask, ma.nbr_v, ma.nbr_f)
+
+
+def interior_mask(mesh, ma):
+    """Mask of valid, non-boundary vertices (padded length)."""
+    he = mesh.halfedges
+    V = mesh.vertices.shape[0]
+    boundary = np.zeros(V, dtype=bool)
+    b = he.twin < 0
+    boundary[he.src[b]] = True
+    boundary[he.vertex[b]] = True
+    out = np.zeros(ma.positions.shape[0], dtype=bool)
+    out[:V] = ~boundary
+    return out
+
+
+def test_mean_curvature_plane():
+    rng = np.random.default_rng(5)
+    a = int(100 * rng.random() + 1)
+    n_sub = int(5 * rng.random() + 2)
+    v, f = planar_grid(a, n_sub)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    m = interior_mask(mesh, ma)
+    H = np.asarray(st.H)[m]
+    assert np.abs(np.nanmean(H)) < EPS
+
+
+def test_gaussian_curvature_plane():
+    v, f = planar_grid(50.0, 5)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    m = interior_mask(mesh, ma)
+    K = np.asarray(st.K)[m]
+    assert np.abs(np.nanmedian(K)) < EPS
+
+
+@pytest.mark.parametrize('R,n_sub', [(10.0, 3), (50.0, 4), (100.0, 4)])
+def test_mean_curvature_sphere(R, n_sub):
+    v, f = icosphere(n_sub, radius=R)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    H = np.asarray(st.H)[np.asarray(ma.v_mask)]
+    np.testing.assert_almost_equal(H, 1.0 / R, decimal=2)
+
+
+@pytest.mark.parametrize('R,n_sub', [(10.0, 3), (50.0, 4), (100.0, 4)])
+def test_gaussian_curvature_sphere(R, n_sub):
+    v, f = icosphere(n_sub, radius=R)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    K = np.asarray(st.K)[np.asarray(ma.v_mask)]
+    np.testing.assert_almost_equal(K, 1.0 / (R * R), decimal=4)
+
+
+def test_principal_curvatures_sphere():
+    R = 20.0
+    v, f = icosphere(4, radius=R)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    m = np.asarray(ma.v_mask)
+    np.testing.assert_allclose(np.asarray(st.k_0)[m], 1.0 / R, atol=0.02)
+    np.testing.assert_allclose(np.asarray(st.k_1)[m], 1.0 / R, atol=0.02)
+
+
+def test_energy_positive_on_sphere():
+    R = 20.0
+    v, f = icosphere(3, radius=R)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    m = np.asarray(ma.v_mask)
+    E = np.asarray(st.E)[m]
+    # CH energy with kg = -kc on a sphere: 0.5*kc*(2H)^2 + kg*K per area
+    kc = 20.0 * 0.0257
+    kg = -kc
+    per_area = 0.5 * kc * (2.0 / R) ** 2 + kg / R ** 2
+    total_expected = per_area * 4 * np.pi * R * R
+    # each face counted at its 3 vertices -> sum(E) ~ 3x total
+    np.testing.assert_allclose(E.sum() / 3.0, total_expected, rtol=0.1)
+
+
+def test_curvature_padded_rows_zero():
+    v, f = icosphere(2, radius=5.0)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    pad = ~np.asarray(ma.v_mask)
+    assert np.all(np.asarray(st.H)[pad] == 0)
+    assert np.all(np.asarray(st.E)[pad] == 0)
+    assert np.all(np.asarray(st.dEdN)[pad] == 0)
