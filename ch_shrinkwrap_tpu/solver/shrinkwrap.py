@@ -1,0 +1,237 @@
+"""Device-resident shrinkwrap conjugate-gradient solver.
+
+TPU-native rebuild of the production solver path
+``ShrinkwrapMeshConjGrad.search`` + ``TikhonovConjugateGradient.subsearch``
+(/root/reference/ch_shrinkwrap/mesh_conj_grad.py:150-292,
+/root/reference/ch_shrinkwrap/conj_grad.py:183-229): an N-direction
+subspace minimization of
+
+    || W (points - A f) ||^2 + sum_i lam_i^2 || L_i (f - fdef_i) ||^2
+
+where A is the point->face correspondence operator (rebuilt each
+iteration), L_i the identity, and fdef_0 the curvature-aware `_ncc`
+prior.  One entire remesh block (``rf`` outer iterations) runs as a
+single ``jax.lax.scan`` under ``jit`` — correspondence (blocked MXU
+nearest-face matmul), gather/segment_sum mat-vecs, the tiny (<=4x4)
+normal-equation solve, and the position update never leave the device.
+
+The reference's early-stop test statistic (orthogonality of search
+directions, conj_grad.py:151-162) is carried through the scan and
+freezes the state when triggered, preserving static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import correspondence as corr
+from ..ops import normals as _normals
+
+
+class SolverDiagnostics(NamedTuple):
+    """Per-iteration traces (length = num_iters; frozen after halt)."""
+    tests: jax.Array        # orthogonality test statistic
+    ress: jax.Array         # ||res||
+    n_done: jax.Array       # number of iterations actually applied
+    S: jax.Array            # (Vp, 3, s_size) final search directions
+    res: jax.Array          # (N, 3) final weighted residuals
+    point_influence: jax.Array  # (Vp,) |A^T 1| per vertex
+    d: jax.Array            # (N,) final point->face distances
+
+
+def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
+    """The curvature-aware smoothing prior `_ncc`
+    (mesh_conj_grad.py:770-820): neighbor centroid plus an
+    alpha * normal offset, with alpha derived from neighbor-normal
+    geometry and gated by squared point influence."""
+    Vp = f.shape[0]
+    nmask = (nbr_v >= 0) & v_mask[:, None]
+    ms = nmask.sum(-1)
+    ms_safe = jnp.maximum(ms, 1)
+    safe = jnp.clip(nbr_v, 0, Vp - 1)
+
+    vpos = f[safe]                                   # (Vp, K, 3)
+    vc = (vpos * nmask[..., None]).sum(1) / ms_safe[:, None]
+
+    c_n = (vpos - vc[:, None, :]) * nmask[..., None]
+    n_n = vnormals[safe]
+    n_dot_n = (n_n * vnormals[:, None, :]).sum(-1)
+    alpha_j = ((c_n * n_n).sum(-1)
+               / jnp.sqrt(2.0 * (jnp.maximum(n_dot_n, 0.0) + 1.0)))
+    alpha = (alpha_j * nmask).sum(-1) / ms_safe
+    alpha = alpha * jnp.minimum(point_influence ** 2, 1.0)
+
+    vc = vc + alpha[:, None] * vnormals
+    return jnp.where((ms == 0)[:, None], f, vc)
+
+
+@partial(jax.jit,
+         static_argnames=('num_iters', 'use_shrink', 'face_chunk'))
+def cg_block(positions, faces, f_mask, v_mask, nbr_v,
+             points, sigma_inv, weights, point_mask,
+             lam0, shrink_lam=0.0, num_iters=5,
+             use_shrink=False, face_chunk=2048, stop_eps=1e-6):
+    """Run ``num_iters`` CG iterations on device; returns
+    (new_positions, SolverDiagnostics).
+
+    Parameters
+    ----------
+    positions : (Vp, 3) f32 padded vertex positions
+    faces, f_mask, v_mask, nbr_v : padded MeshArrays fields
+    points : (N, 3) f32 localizations
+    sigma_inv : (N, 3) f32 inverse localization errors
+    weights : (N, 3) f32 residual weights (typically normalized
+        sigma_inv — see opt driver); zero rows are masked out of the
+        subspace solve like the reference's ``self.mask``
+    point_mask : (N,) bool — padding mask for the point cloud
+    lam0 : regularization weight (= step_size * kc / 2,
+        _membrane_mesh.pyx:1483-1486)
+    use_shrink : enable the shrink prior as a second working
+        regularization term (the reference declares it but its
+        ``n_smooth = min(len(Lfuncs), len(lams))`` clamp leaves it
+        dead — SURVEY §2 quirks; here it actually works)
+    """
+    Vp = positions.shape[0]
+    N = points.shape[0]
+    n_smooth = 2 if use_shrink else 1
+    n_dirs0 = n_smooth + 1          # before the classic-CG last step
+    s_size = n_dirs0 + 1
+
+    pmask3 = point_mask[:, None]
+    el_mask = (weights > 0) & pmask3                  # subsearch mask
+    lam = jnp.array([lam0, shrink_lam], jnp.float32)
+
+    ones_pts = jnp.ones((N, 3), jnp.float32) * pmask3
+
+    def iteration(carry, it):
+        f, S_last, tests_hist, halted, last_diag = carry
+
+        vn = _normals.vertex_normals(f, faces, f_mask, Vp)
+
+        # --- correspondence (rebuilt once per iteration, like calc_w)
+        tri = f[faces]
+        centers = tri.mean(1)
+        dmean, fi = corr.nearest_face(points, centers, f_mask,
+                                      face_chunk=face_chunk)
+        v_idx, w = corr.correspondence_weights(f, faces, points, fi)
+        w = w * pmask3
+
+        # --- weighted residuals (mesh_conj_grad.py:222-248)
+        Af = corr.a_apply(f, v_idx, w)
+        res = weights * (points - Af)
+        w_dist = 1.0 / (dmean[:, None] * sigma_inv / 2.0 + 1.0)
+        res = res * w_dist * pmask3
+
+        # --- priors
+        pi_vec = corr.ah_apply(ones_pts, v_idx, w, Vp)
+        point_influence = jnp.sqrt((pi_vec * pi_vec).sum(-1))
+        ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask)
+
+        vmask3 = v_mask[:, None]
+        S0 = corr.ah_apply(res, v_idx, w, Vp) * vmask3
+        pref0 = (f - ncc) * vmask3
+        prefs = [pref0]
+        dirs = [S0, -pref0]
+        if use_shrink:
+            # shrink prior: f - 30 p, p = max(1 - |A^T 1|, 0) n
+            # (mesh_conj_grad.py:893-909)
+            p_shrink = (jnp.maximum(1.0 - point_influence, 0.0)[:, None]
+                        * vn) * vmask3
+            pref1 = 30.0 * p_shrink
+            prefs.append(pref1)
+            dirs.append(-pref1)
+        dirs.append(S_last)                      # classic-CG memory
+        S = jnp.stack(dirs, axis=-1)             # (Vp, 3, s_size)
+
+        # last column only active after the first iteration
+        active = jnp.arange(s_size) < jnp.where(it > 0, s_size, n_dirs0)
+
+        # --- orthogonality test statistic (conj_grad.py:151-162);
+        # reference enumerates ordered pairs (i, j != i, j >= 1) over
+        # the first n_dirs0 directions
+        def cos_abs(i, j):
+            num = (S[..., i] * S[..., j]).sum()
+            den = (jnp.linalg.norm(S[..., i].ravel())
+                   * jnp.linalg.norm(S[..., j].ravel()))
+            return jnp.abs(num) / jnp.maximum(den, 1e-30)
+
+        pairs = [(i, j) for i in range(n_dirs0) for j in range(1, n_dirs0)
+                 if i != j]
+        test = 1.0
+        for (i, j) in pairs:
+            test = test - cos_abs(i, j) / len(pairs)
+
+        # --- subspace solve (conj_grad.py:183-229)
+        AS = jnp.stack([corr.a_apply(S[..., k], v_idx, w)
+                        for k in range(s_size)], axis=-1)  # (N, 3, s)
+        ASm = AS * el_mask[..., None]
+        res_m = res * el_mask
+
+        Hc = jnp.einsum('nik,nil->kl', ASm, ASm)
+        Gc = jnp.einsum('nik,ni->k', ASm, res_m)
+
+        H = Hc
+        G = Gc
+        for i, pref in enumerate(prefs):
+            # L = identity: LS = S, Hw = S^T S, Gw = -S^T pref
+            Sv = S * vmask3[..., None]
+            Hw = jnp.einsum('vik,vil->kl', Sv, Sv)
+            Gw = -jnp.einsum('vik,vi->k', Sv, pref)
+            H = H + lam[i] ** 2 * Hw
+            G = G + lam[i] ** 2 * Gw
+
+        # deactivate unused columns: unit diagonal, zero rhs
+        act_f = active.astype(jnp.float32)
+        H = H * act_f[None, :] * act_f[:, None] + jnp.diag(1.0 - act_f)
+        # tiny Tikhonov jitter for numerical safety of the 4x4 solve
+        H = H + 1e-20 * jnp.eye(s_size)
+        G = G * act_f
+
+        c = jnp.linalg.solve(H, G)
+        step = jnp.einsum('vik,k->vi', S, c) * vmask3
+        fnew = f + step
+
+        # --- stop condition (mesh_conj_grad.py:1009-1016)
+        a, b, c3 = tests_hist[0], tests_hist[1], tests_hist[2]
+        stop = (c3 < b) & (b < a) & (a < stop_eps)
+        halted_new = halted | stop
+
+        f_out = jnp.where(halted_new, f, fnew)
+        S_last_out = jnp.where(halted_new, S_last, fnew - f)
+        tests_new = jnp.where(halted_new, tests_hist,
+                              jnp.array([tests_hist[1], tests_hist[2],
+                                         test]))
+
+        # keep the most recent (pre-halt) heavy diagnostics in carry
+        def upd(old, new):
+            return jnp.where(halted_new, old, new)
+
+        last_diag_new = tuple(upd(o, n) for o, n in zip(
+            last_diag, (S, res, point_influence, dmean)))
+
+        trace = (jnp.where(halted_new, jnp.nan, test),
+                 jnp.linalg.norm(res.ravel()),
+                 (~halted_new).astype(jnp.int32))
+        return (f_out, S_last_out, tests_new, halted_new,
+                last_diag_new), trace
+
+    init_diag = (jnp.zeros((Vp, 3, s_size), jnp.float32),
+                 jnp.zeros((N, 3), jnp.float32),
+                 jnp.zeros((Vp,), jnp.float32),
+                 jnp.zeros((N,), jnp.float32))
+    init = (positions,
+            jnp.zeros_like(positions),
+            jnp.full((3,), jnp.inf, jnp.float32),
+            jnp.zeros((), bool),
+            init_diag)
+    (f_final, _, _, _, (S_f, res_f, pi_f, d_f)), (tests, ress, dones) = \
+        jax.lax.scan(iteration, init, jnp.arange(num_iters))
+
+    diags = SolverDiagnostics(
+        tests=tests, ress=ress, n_done=dones.sum(),
+        S=S_f, res=res_f, point_influence=pi_f, d=d_f)
+    return f_final, diags
