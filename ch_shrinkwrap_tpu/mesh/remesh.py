@@ -158,7 +158,28 @@ def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
 
     sel = np.zeros(len(edges), dtype=bool)
     sel[idx] = True
-    sel &= _independent_edge_set(edges, lengths, V)
+
+    # Independence over the FULL one-ring: two collapses whose endpoint
+    # neighborhoods overlap can be individually link-safe but jointly
+    # create duplicate faces / non-manifold edges, so each candidate
+    # claims {a, b} + N(a) + N(b) and must win the min-rank at every
+    # claimed vertex.
+    cand_idx = np.flatnonzero(sel)
+    order = np.argsort(lengths[cand_idx], kind='stable')
+    rank = np.empty(len(cand_idx), np.int64)
+    rank[order] = np.arange(len(cand_idx))
+    claims = np.concatenate([
+        edges[cand_idx, 0:1], edges[cand_idx, 1:2],
+        nbrs[edges[cand_idx, 0]], nbrs[edges[cand_idx, 1]]], axis=1)
+    claim_v = np.where(claims >= 0, claims, edges[cand_idx, 0:1])
+    best = np.full(V, np.iinfo(np.int64).max, np.int64)
+    for col in range(claim_v.shape[1]):
+        np.minimum.at(best, claim_v[:, col], rank)
+    win = np.ones(len(cand_idx), dtype=bool)
+    for col in range(claim_v.shape[1]):
+        win &= best[claim_v[:, col]] == rank
+    sel = np.zeros(len(edges), dtype=bool)
+    sel[cand_idx[win]] = True
     if not sel.any():
         return vertices, faces, 0
 
