@@ -156,15 +156,13 @@ def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
     if len(idx) == 0:
         return vertices, faces, 0
 
-    sel = np.zeros(len(edges), dtype=bool)
-    sel[idx] = True
-
-    # Independence over the FULL one-ring: two collapses whose endpoint
-    # neighborhoods overlap can be individually link-safe but jointly
-    # create duplicate faces / non-manifold edges, so each candidate
-    # claims {a, b} + N(a) + N(b) and must win the min-rank at every
-    # claimed vertex.
-    cand_idx = np.flatnonzero(sel)
+    # Distance-1 independence: two collapse edges may not share or be
+    # adjacent to each other's endpoints (two individually link-safe
+    # collapses at adjacent edges can jointly create duplicate faces /
+    # non-manifold edges through a shared neighbor quad).  Each
+    # candidate stamps its rank onto {a, b} + N(a) + N(b) and is
+    # selected iff it holds the minimum at both of its own endpoints.
+    cand_idx = idx
     order = np.argsort(lengths[cand_idx], kind='stable')
     rank = np.empty(len(cand_idx), np.int64)
     rank[order] = np.arange(len(cand_idx))
@@ -175,9 +173,8 @@ def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
     best = np.full(V, np.iinfo(np.int64).max, np.int64)
     for col in range(claim_v.shape[1]):
         np.minimum.at(best, claim_v[:, col], rank)
-    win = np.ones(len(cand_idx), dtype=bool)
-    for col in range(claim_v.shape[1]):
-        win &= best[claim_v[:, col]] == rank
+    win = ((best[edges[cand_idx, 0]] == rank)
+           & (best[edges[cand_idx, 1]] == rank))
     sel = np.zeros(len(edges), dtype=bool)
     sel[cand_idx[win]] = True
     if not sel.any():
@@ -359,8 +356,14 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10):
 
     for _ in range(n):
         v, f, _ns = split_pass(v, f, high)
-        v, f, _nc = collapse_pass(v, f, low)
-        v, f = compact(v, f)
+        # independent-set collapses only touch a fraction of the
+        # candidates per batch; iterate to approach the fixpoint
+        for _ in range(16):
+            v, f, nc = collapse_pass(v, f, low)
+            v, f = compact(v, f)
+            if nc == 0:
+                break
+            v, f, _ = flip_pass(v, f)
         v, f, _nf = flip_pass(v, f)
         v = relax_pass(v, f, l=l, n_iter=n_relax)
 
