@@ -406,6 +406,15 @@ class TriangleMesh:
         if degen.any():
             self._compact(f[~degen])
 
+        # drop tiny debris components (a closed surface needs >= 4
+        # faces; vertex-removal surgery leaves smaller shards behind)
+        labels, n = self.connected_components()
+        if n > 1:
+            fl = self.face_components
+            sizes = np.bincount(fl, minlength=n)
+            if (sizes < 8).any():
+                self.keep_faces(sizes[fl] >= 8)
+
         loops = self.boundary_loops()
         if not loops:
             return

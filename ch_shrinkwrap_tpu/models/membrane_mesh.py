@@ -1,0 +1,457 @@
+"""MembraneMesh — the flagship NanoWrap model/driver.
+
+TPU-native rebuild of the reference's Cython ``MembraneMesh``
+(/root/reference/ch_shrinkwrap/_membrane_mesh.pyx:78-1681): the host
+object owns the compact mesh and the fit schedule, while every CG block
+(``remesh_frequency`` iterations) runs as a single fused device program
+(`solver.shrinkwrap.cg_block`).  Between blocks the host performs the
+batched topology passes (remesh on the edge-length schedule, Gaussian-
+curvature neck removal, short-edge cleanup, hole punching) and re-pads
+the device arrays.
+
+Public surface mirrors the reference: ``shrink_wrap`` /
+``opt_conjugate_gradient`` drivers, curvature properties
+(``curvature_mean`` etc.), optimizer diagnostics (``S0..S3``,
+``point_dis``, ``rms_point_sc``, ``point_influence``), topology surgery
+(``punch_holes``, ``remove_necks``, ``remove_extra_short_edges``,
+``delaunay_remesh``) and ``residual_histogram``.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..mesh.core import TriangleMesh
+from ..mesh import remesh as _remesh
+from ..ops import meshdata
+from ..ops import curvature as _curv
+from ..ops import correspondence as _corr
+from ..ops import normals as _norm
+from ..solver.shrinkwrap import cg_block
+
+logger = logging.getLogger(__name__)
+
+DESCENT_METHODS = ['conjugate_gradient', 'skeleton']
+DEFAULT_DESCENT_METHOD = 'conjugate_gradient'
+
+KBT = _curv.KBT
+
+
+class MembraneMesh(TriangleMesh):
+    """Triangle mesh with Canham-Helfrich state and shrinkwrap drivers.
+
+    Constructor parity with the reference (_membrane_mesh.pyx:79-120):
+    accepts ``(vertices, faces)`` or ``mesh=...`` plus keyword
+    overrides for every optimizer/topology parameter.
+    """
+
+    def __init__(self, vertices=None, faces=None, mesh=None, **kwargs):
+        # Bending stiffness (units of kBT-scaled eV, pyx:82-84)
+        self.kc = 20.0 * KBT
+        self.kg = -20.0 * KBT
+        self.c0 = 0.0
+
+        # Optimizer parameters (pyx:95-102)
+        self.step_size = 1.0
+        self.beta_1 = 0.8
+        self.beta_2 = 0.7
+        self.eps = 1e-8
+        self.max_iter = 250
+        self.remesh_frequency = 100
+        self.delaunay_remesh_frequency = 150
+        self.delaunay_eps = 1.0
+
+        self.search_k = 200
+        self.search_rad = 100
+        self.skip_prob = 0.0
+        self.smooth_curvature = True
+
+        self.neck_threshold_low = -1e-4
+        self.neck_threshold_high = 1e-2
+        self.neck_first_iter = -1
+        self.shrink_weight = 0.0
+        self.truncate_at = 2 ** 31
+
+        # capacity bucketing quantum for device arrays
+        self.pad_quantum = 1024
+        self.face_chunk = 2048
+
+        self._points = None
+        self._sigma = None
+        self._last_diag = None
+        self._curv_state = None
+        self.mdh = {}
+
+        TriangleMesh.__init__(self, vertices, faces, mesh, **kwargs)
+
+        self.vertex_properties = ['E', 'curvature_principal0',
+                                  'curvature_principal1', 'point_dis',
+                                  'rms_point_sc', 'point_influence']
+        self.vertex_vector_properties = ['S0', 'S1', 'S2', 'S3']
+
+    # ------------------------------------------------------------------
+    # curvature state (cached, recomputed on demand)
+
+    def _invalidate(self):
+        TriangleMesh._invalidate(self)
+        self._curv_state = None
+
+    def _invalidate_geometry(self):
+        TriangleMesh._invalidate_geometry(self)
+        self._curv_state = None
+
+    def _initialize_curvature_vectors(self):
+        """Reference API parity (pyx:188): drop cached curvature."""
+        self._curv_state = None
+
+    def _populate_curvature_grad(self):
+        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        st = _curv.curvature_grad(
+            ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            ma.nbr_f, kc=self.kc, kg=self.kg, c0=self.c0)
+        V = self.vertices.shape[0]
+        out = {k: np.asarray(v)[:V] for k, v in st._asdict().items()}
+        if self.smooth_curvature:
+            for k in ('H', 'K', 'k_0', 'k_1'):
+                out[k] = self.smooth_per_vertex_data(out[k])
+        self._curv_state = out
+        return out
+
+    def _curv(self, key):
+        if self._curv_state is None:
+            self._populate_curvature_grad()
+        return self._curv_state[key]
+
+    @property
+    def curvature_mean(self):
+        return self._curv('H')
+
+    @property
+    def curvature_gaussian(self):
+        return self._curv('K')
+
+    @property
+    def curvature_principal0(self):
+        return self._curv('k_0')
+
+    @property
+    def curvature_principal1(self):
+        return self._curv('k_1')
+
+    @property
+    def eigenvector_principal0(self):
+        return self._curv('e_0')
+
+    @property
+    def eigenvector_principal1(self):
+        return self._curv('e_1')
+
+    @property
+    def E(self):
+        return np.nan_to_num(self._curv('E'))
+
+    @property
+    def pE(self):
+        return np.nan_to_num(self._curv('pE'))
+
+    def curvature_grad(self, dN=0.1, skip_prob=0.0):
+        """Bending-energy gradient along vertex normals (pyx:349-496)."""
+        return self._curv('dEdN')
+
+    # ------------------------------------------------------------------
+    # optimizer diagnostics (parity with pyx:1563-1634)
+
+    def _diag(self):
+        if self._last_diag is None:
+            raise RuntimeError('no solver diagnostics yet - run '
+                               'shrink_wrap first')
+        return self._last_diag
+
+    def _S_col(self, i):
+        d = self._diag()
+        V = self.vertices.shape[0]
+        S = np.asarray(d.S)
+        if i >= S.shape[-1]:
+            return np.zeros((V, 3), np.float32)
+        return S[:V, :, i]
+
+    @property
+    def S0(self):
+        return self._S_col(0)
+
+    @property
+    def S1(self):
+        return self._S_col(1)
+
+    @property
+    def S2(self):
+        return self._S_col(2)
+
+    @property
+    def S3(self):
+        return self._S_col(3)
+
+    @property
+    def point_dis(self):
+        s0 = self.S0
+        return np.sqrt((s0 * s0).sum(1))
+
+    @property
+    def point_influence(self):
+        d = self._diag()
+        return np.asarray(d.point_influence)[:self.vertices.shape[0]]
+
+    @property
+    def rms_point_sc(self):
+        """|A^T(|res| replicated)| per vertex (pyx:1611-1623)."""
+        d = self._diag()
+        res = np.asarray(d.res)
+        rn = np.sqrt((res * res).sum(1))[:, None] * np.ones(3)[None, :]
+        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        pts = jnp.asarray(self._points.astype(np.float32))
+        centers = ma.positions[ma.faces].mean(1)
+        _, fi = _corr.nearest_face(pts, centers, ma.f_mask,
+                                   face_chunk=self.face_chunk)
+        v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
+                                                pts, fi)
+        out = np.asarray(_corr.ah_apply(jnp.asarray(rn.astype(np.float32)),
+                                        v_idx, w, ma.positions.shape[0]))
+        out = out[:self.vertices.shape[0]]
+        return np.sqrt((out * out).sum(1))
+
+    # ------------------------------------------------------------------
+    # remesh wrapper (reference remesh + curvature invalidation,
+    # pyx:249-252)
+
+    def remesh(self, n=5, target_edge_length=-1.0, l=0.5, n_relax=10):
+        _remesh.remesh(self, n=n, target_edge_length=target_edge_length,
+                       l=l, n_relax=n_relax)
+        self._initialize_curvature_vectors()
+
+    # ------------------------------------------------------------------
+    # topology surgery
+
+    def remove_necks(self, neck_curvature_threshold_low=-1e-4,
+                     neck_curvature_threshold_high=1e-2):
+        """Sever necks flagged by extreme Gaussian curvature
+        (pyx:1201-1219): delete flagged vertices, repair the holes,
+        remesh, drop severed inner fragments."""
+        K = self.curvature_gaussian
+        verts = np.flatnonzero((K < neck_curvature_threshold_low)
+                               | (K > neck_curvature_threshold_high))
+        if len(verts) > 0:
+            self.unsafe_remove_vertices(verts)
+            self.repair()
+            self.remesh(n_relax=0)
+            self.remove_inner_surfaces()
+
+    def remove_extra_short_edges(self, threshold=0.05):
+        """Remove vertices on pathologically short edges that topology
+        prevented collapsing (pyx:1221-1237)."""
+        he = self.halfedges
+        el = he.length
+        if el.size == 0:
+            return
+        short = el < threshold * np.median(el)
+        verts = np.unique(he.vertex[short])
+        if len(verts) > 0:
+            self.unsafe_remove_vertices(verts)
+            self.repair()
+            self.remesh(n_relax=0)
+            self.remove_inner_surfaces()
+
+    def punch_holes(self, pts, eps=10.0):
+        """Fenestrate the mesh between opposing unsupported face pairs
+        (pyx:1163-1199); see ``models.holepunch`` for the passes."""
+        from . import holepunch
+        n = holepunch.punch_holes(self, pts, eps=eps)
+        self._initialize_curvature_vectors()
+        return n
+
+    def delaunay_remesh(self, points, eps=1.0):
+        """Rebuild the surface from the Delaunay outer hull of the
+        current vertices (pyx:612-641)."""
+        from ..eval import delaunay_utils
+        v = self.vertices.astype(np.float64)
+        import scipy.spatial
+        d = scipy.spatial.Delaunay(v)
+        tri = delaunay_utils.orient_simps(d, v)
+        ext_inds = delaunay_utils.greedy_ext_simps(tri, self)
+        simps = delaunay_utils.del_simps(tri, ext_inds)
+        faces = delaunay_utils.surf_from_delaunay(simps)
+        old_v, idxs = np.unique(faces.ravel(), return_inverse=True)
+        reindexed = np.arange(len(old_v))[idxs].reshape(faces.shape)
+        self.set_topology(v[old_v], reindexed.astype(np.int32))
+        self._initialize_curvature_vectors()
+
+    # ------------------------------------------------------------------
+    # the fit driver
+
+    def opt_conjugate_gradient(self, points, sigma, max_iter=10,
+                               step_size=1.0, weights=None, **kwargs):
+        """Outer fit loop (pyx:1427-1560): CG blocks of ``rf``
+        iterations on device, topology passes between blocks, linear
+        edge-length refinement schedule."""
+        r = (self.remesh_frequency != 0) and (self.remesh_frequency <= max_iter)
+        dr = ((self.delaunay_remesh_frequency != 0)
+              and (self.delaunay_remesh_frequency <= max_iter))
+
+        if r and dr:
+            rf = math.gcd(self.remesh_frequency,
+                          self.delaunay_remesh_frequency)
+        elif r:
+            rf = self.remesh_frequency
+        elif dr:
+            rf = self.delaunay_remesh_frequency
+        else:
+            rf = max_iter
+
+        if r:
+            initial_length = self._mean_edge_length
+            if kwargs.get('minimum_edge_length', -1) < 0:
+                final_length = float(np.clip(np.min(sigma) / 2.5, 1.0, 50.0))
+            else:
+                final_length = kwargs.get('minimum_edge_length')
+            m = (final_length - initial_length) / (rf * np.ceil(max_iter / rf))
+
+        neck_first_iter = getattr(self, 'neck_first_iter', -1)
+
+        points = np.ascontiguousarray(points, dtype=np.float32)
+        N = points.shape[0]
+        # sigma -> per-point inverse errors (pyx:1460-1473)
+        if np.isscalar(sigma):
+            sigma_inv = np.full((N, 3), 1.0 / float(sigma), np.float32)
+        else:
+            sigma = np.asarray(sigma)
+            if sigma.ndim == 1 and sigma.shape[0] == N:
+                sigma_inv = (1.0 / sigma)[:, None].repeat(3, 1)
+            elif sigma.ndim == 2 and sigma.shape == (N, 3):
+                sigma_inv = 1.0 / sigma
+            else:
+                raise ValueError(
+                    f"Sigma must be scalar, ({N},) or ({N},3); got "
+                    f"{np.shape(sigma)}")
+            sigma_inv = sigma_inv.astype(np.float32)
+
+        if weights is None:
+            w = sigma_inv
+        else:
+            w = np.asarray(weights, dtype=np.float32).reshape(N, 3)
+        res_weights = (w / w.mean()).astype(np.float32)
+
+        lam0 = float(step_size * self.kc / 2.0)
+        use_shrink = self.shrink_weight > 0
+        shrink_lam = float(self.shrink_weight)
+
+        n_iter = int(min(max_iter, getattr(self, 'truncate_at', max_iter)))
+
+        pts_j = jnp.asarray(points)
+        sig_j = jnp.asarray(sigma_inv)
+        w_j = jnp.asarray(res_weights)
+        pmask = jnp.ones(N, bool)
+
+        last_area = self.area()
+        j = 0
+        while j < n_iter:
+            n_it = int(min(n_iter - j, rf))
+
+            ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+            f_new, diag = cg_block(
+                ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+                pts_j, sig_j, w_j, pmask,
+                lam0, shrink_lam, num_iters=n_it,
+                use_shrink=use_shrink, face_chunk=self.face_chunk)
+            self._last_diag = diag
+            V = self.vertices.shape[0]
+            self.set_positions(np.asarray(f_new)[:V])
+            self._initialize_curvature_vectors()
+            j += n_it
+
+            if dr and ((j % self.delaunay_remesh_frequency) == 0):
+                self.punch_holes(points, self.delaunay_eps)
+
+            if r and ((j % self.remesh_frequency) == 0):
+                if (neck_first_iter > 0) and (j > neck_first_iter):
+                    self.remove_necks(
+                        getattr(self, 'neck_threshold_low', -1e-4),
+                        getattr(self, 'neck_threshold_high', 1e-2))
+                self.remove_extra_short_edges()
+                target_length = initial_length + m * (j + 1)
+                self.remesh(5, target_length, 0.5, n_relax=0)
+                logger.info(
+                    'Shrinkwrapping iteration %d of %d - Remesh: target '
+                    'mean length: %.2f resulting: %.2f (V=%d)',
+                    j, n_iter, target_length, self._mean_edge_length,
+                    self.vertices.shape[0])
+
+            area = self.area()
+            last_area = area
+
+        logger.info('Shrinkwrapping complete in %d iterations', j)
+
+    def shrink_wrap(self, points=None, sigma=None,
+                    method='conjugate_gradient', max_iter=None, **kwargs):
+        """Main entry (pyx:1641-1669); caches points/sigma so repeated
+        calls continue the fit."""
+        if method not in DESCENT_METHODS:
+            logger.warning('Unknown descent method %r; using %s', method,
+                           DEFAULT_DESCENT_METHOD)
+            method = DEFAULT_DESCENT_METHOD
+
+        if max_iter is None:
+            max_iter = self.max_iter
+        if points is None:
+            points = self._points
+        if sigma is None:
+            sigma = self._sigma
+
+        self._points = np.asarray(points)
+        self._sigma = sigma
+
+        opts = dict(points=points, sigma=sigma, max_iter=max_iter,
+                    step_size=self.step_size, **kwargs)
+        return getattr(self, 'opt_{}'.format(method))(**opts)
+
+    def opt_skeleton(self, points, sigma, max_iter=10, **kwargs):
+        from .skeleton_mesh import opt_skeleton
+        return opt_skeleton(self, points, sigma, max_iter=max_iter,
+                            **kwargs)
+
+    def residual_histogram(self, points=None, sigma=None, bins=None):
+        """Signed distance-to-surface histogram with the chi-
+        distribution overlay (util.py:49-76).  Returns (counts, bin
+        edges, predicted density); plotting is left to the caller."""
+        if points is None:
+            points = self._points
+        if sigma is None:
+            sigma = self._sigma
+        d = self.distance_to_surface(points)
+        if bins is None:
+            bins = np.linspace(-100, 100, 500)
+        counts, edges = np.histogram(d, bins, density=True)
+        try:
+            from scipy import stats
+            me = float(np.median(sigma))
+            x = 0.5 * (edges[:-1] + edges[1:])
+            pred = 0.5 * stats.chi(3).pdf(np.abs(x) / me) / me
+        except Exception:
+            pred = None
+        return counts, edges, pred
+
+    def distance_to_surface(self, points):
+        """Signed distance of points to the mesh (negative inside),
+        via nearest-face plane distance."""
+        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        pts = jnp.asarray(np.asarray(points, dtype=np.float32))
+        centers = ma.positions[ma.faces].mean(1)
+        dmean, fi = _corr.nearest_face(pts, centers, ma.f_mask,
+                                       face_chunk=self.face_chunk)
+        fn, _ = _norm.face_geometry(ma.positions, ma.faces, ma.f_mask)
+        n = np.asarray(fn)[np.asarray(fi)]
+        c = np.asarray(centers)[np.asarray(fi)]
+        signed = ((np.asarray(points) - c) * n).sum(1)
+        return np.sign(signed) * np.asarray(dmean)

@@ -1,0 +1,57 @@
+"""Hole-punching integration test: oblate surface over a torus cloud."""
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+
+def torus_cloud(R=40.0, r=10.0, n=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(0, 2 * np.pi, n)
+    x = (R + r * np.cos(v)) * np.cos(u)
+    z = (R + r * np.cos(v)) * np.sin(u)
+    y = r * np.sin(v)
+    return np.stack([x, y, z], axis=1).astype(np.float32)
+
+
+def oblate_mesh(rx=55.0, ry=14.0, n_sub=3):
+    v, f = icosphere(n_sub, radius=1.0)
+    v = v * np.array([rx, ry, rx], np.float32)
+    return MembraneMesh(v, f)
+
+
+def test_punch_opens_tunnel():
+    pts = torus_cloud()
+    mesh = oblate_mesh()
+    assert mesh.euler_characteristic == 2
+
+    # pull the surface onto the torus a bit so the central faces
+    # of both sheets oppose each other with no points in between
+    mesh.remesh_frequency = 0
+    mesh.delaunay_remesh_frequency = 0
+    mesh.step_size = 4.0
+    mesh.kc = 1.0
+    mesh.max_iter = 20
+    mesh.shrink_wrap(pts, 3.0, max_iter=20)
+
+    n = mesh.punch_holes(pts, eps=15.0)
+    assert n >= 1
+    # tunnel through both sheets: sphere (chi 2) -> torus (chi 0)
+    assert mesh.euler_characteristic == 2 - 2 * n
+    assert mesh.is_manifold
+
+
+def test_punch_noop_on_supported_mesh():
+    """A mesh well covered by points must not be punched."""
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(5000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50).astype(np.float32)
+    v, f = icosphere(3, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    n = mesh.punch_holes(pts, eps=10.0)
+    assert n == 0
+    assert mesh.euler_characteristic == 2

@@ -1,0 +1,114 @@
+"""Integration tests for the MembraneMesh driver (full shrink_wrap)."""
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+from ch_shrinkwrap_tpu.mesh.marching import surface_from_function
+
+
+def sphere_cloud(R=50.0, n=5000, sigma=3.0, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1)[:, None]
+    pts = v * R + rng.normal(scale=sigma, size=(n, 3))
+    return pts.astype(np.float32), np.full((n, 3), sigma, np.float32)
+
+
+def test_full_shrink_wrap_sphere():
+    """End-to-end: noisy sphere cloud + nearby start -> converged wrap
+    with remeshing on the edge-length schedule."""
+    pts, sigma = sphere_cloud()
+    v, f = icosphere(3, radius=60.0)
+    mesh = MembraneMesh(
+        v, f, kc=1.0, step_size=4.0, remesh_frequency=5,
+        delaunay_remesh_frequency=0, neck_first_iter=-1)
+    mesh.shrink_wrap(pts, sigma, method='conjugate_gradient', max_iter=20,
+                     minimum_edge_length=4.0)
+
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert abs(r.mean() - 50.0) < 1.5
+    assert np.abs(r - 50.0).std() < 2.0
+    assert mesh.euler_characteristic == 2
+    assert mesh.is_manifold
+    # refinement schedule drove edge length toward the minimum
+    assert mesh._mean_edge_length < 8.0
+    # diagnostics accessible
+    assert mesh.point_influence.shape[0] == mesh.vertices.shape[0]
+    assert mesh.S0.shape == mesh.vertices.shape
+    assert mesh.point_dis.min() >= 0
+
+
+def test_shrink_wrap_continues_with_cached_points():
+    pts, sigma = sphere_cloud(n=1000)
+    v, f = icosphere(2, radius=60.0)
+    mesh = MembraneMesh(v, f, kc=1.0, step_size=4.0, remesh_frequency=0,
+                        delaunay_remesh_frequency=0)
+    mesh.shrink_wrap(pts, sigma, max_iter=5)
+    r1 = np.linalg.norm(mesh.vertices, axis=1).mean()
+    # continue without re-passing points (pyx:1650-1667 caching)
+    mesh.shrink_wrap(max_iter=5)
+    r2 = np.linalg.norm(mesh.vertices, axis=1).mean()
+    assert r2 < r1
+
+
+def dumbbell_mesh():
+    """Two spheres bridged by a short thin neck (smooth union)."""
+    def f(p):
+        d1 = np.linalg.norm(p - np.array([-22.0, 0, 0]), axis=1) - 20.0
+        d2 = np.linalg.norm(p - np.array([22.0, 0, 0]), axis=1) - 20.0
+        q = p.copy()
+        x = np.clip(p[:, 0], -22, 22)
+        dc = np.sqrt((p[:, 0] - x) ** 2 + p[:, 1] ** 2 + p[:, 2] ** 2) - 5.0
+        d = np.minimum(np.minimum(d1, d2), dc)
+        return d
+
+    v, fc = surface_from_function(f, (-48, -26, -26, 48, 26, 26), 1.3)
+    mesh = MembraneMesh(v, fc, smooth_curvature=True)
+    # marched output has sliver triangles whose curvature estimates are
+    # noisy; remesh to isotropic quality first (the fit pipeline always
+    # does this between CG blocks)
+    mesh.remesh(3, 2.2, 0.5, n_relax=5)
+    return mesh
+
+
+def test_remove_necks_severs_dumbbell():
+    mesh = dumbbell_mesh()
+    _, n0 = mesh.connected_components()
+    assert n0 == 1
+    assert mesh.is_manifold
+
+    # the neck saddle has strongly negative Gaussian curvature; the
+    # spheres have K = 1/400 = 2.5e-3 (inside the thresholds)
+    mesh.remove_necks(neck_curvature_threshold_low=-1e-3,
+                      neck_curvature_threshold_high=1e-1)
+    labels, n1 = mesh.connected_components()
+    sizes = np.bincount(labels, minlength=n1)
+    # the two spheres survive as separate closed components
+    assert (sizes > 100).sum() == 2
+    # and the mesh is a disjoint union of closed surfaces again
+    he = mesh.halfedges
+    assert (he.twin >= 0).all()
+
+
+def test_distance_to_surface_sign():
+    v, f = icosphere(3, radius=20.0)
+    mesh = MembraneMesh(v, f)
+    pts = np.array([[0.0, 0, 0], [25.0, 0, 0], [0, 19.0, 0]], np.float32)
+    d = mesh.distance_to_surface(pts)
+    assert d[0] < 0       # inside
+    assert d[1] > 4.0     # outside
+    # nearest-face-center distance is accurate to ~edge length
+    assert abs(d[2]) < 3.0
+
+
+def test_residual_histogram():
+    pts, sigma = sphere_cloud(n=1000)
+    v, f = icosphere(3, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    mesh._points = pts
+    mesh._sigma = sigma
+    counts, edges, pred = mesh.residual_histogram()
+    assert counts.sum() > 0
+    assert pred is not None and np.isfinite(pred).all()
