@@ -79,6 +79,9 @@ class MembraneMesh(TriangleMesh):
         # capacity bucketing quantum for device arrays
         self.pad_quantum = 1024
         self.face_chunk = 2048
+        # correspondence kernel: 'brute' (exact), 'grid' (spatial hash),
+        # or 'auto' (grid once N*F crosses the brute-force budget)
+        self.corr_method = 'auto'
 
         self._points = None
         self._sigma = None
@@ -349,6 +352,20 @@ class MembraneMesh(TriangleMesh):
 
         n_iter = int(min(max_iter, getattr(self, 'truncate_at', max_iter)))
 
+        # decide the correspondence kernel for this problem size and
+        # (for the blocked path) sort the cloud once for block locality
+        method = self.corr_method
+        approx_n_faces = 2 * self.vertices.shape[0]
+        if method == 'auto':
+            method = ('blocked' if N * approx_n_faces > 2e9 else 'brute')
+        if method == 'blocked':
+            from ..ops.correspondence import fit_point_order
+            order = fit_point_order(points)
+            points = np.ascontiguousarray(points[order])
+            sigma_inv = sigma_inv[order]
+            res_weights = res_weights[order]
+            self._points = points       # diagnostics follow this order
+
         pts_j = jnp.asarray(points)
         sig_j = jnp.asarray(sigma_inv)
         w_j = jnp.asarray(res_weights)
@@ -364,7 +381,10 @@ class MembraneMesh(TriangleMesh):
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                 pts_j, sig_j, w_j, pmask,
                 lam0, shrink_lam, num_iters=n_it,
-                use_shrink=use_shrink, face_chunk=self.face_chunk)
+                use_shrink=use_shrink, face_chunk=self.face_chunk,
+                corr_method=method,
+                cell_size=float(2.0 * self._mean_edge_length),
+                face_nbrs=ma.face_nbrs)
             self._last_diag = diag
             V = self.vertices.shape[0]
             self.set_positions(np.asarray(f_new)[:V])

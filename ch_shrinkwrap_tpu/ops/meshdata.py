@@ -32,6 +32,7 @@ class MeshArrays(NamedTuple):
     f_mask    : (Fp,)  bool
     nbr_v     : (Vp, K) i32 — one-ring neighbor vertex ids, -1 padded
     nbr_f     : (Vp, K) i32 — face left of the halfedge v->nbr, -1 padded
+    face_nbrs : (Fp, 3) i32 — edge-adjacent faces, -1 on boundary
     """
     positions: jax.Array
     v_mask: jax.Array
@@ -39,6 +40,7 @@ class MeshArrays(NamedTuple):
     f_mask: jax.Array
     nbr_v: jax.Array
     nbr_f: jax.Array
+    face_nbrs: jax.Array
 
     @property
     def n_vertices_padded(self):
@@ -98,6 +100,30 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     nbr_f = np.full((Vp, K), -1, np.int32)
     nbr_f[:V] = nf
 
+    fn = np.full((Fp, 3), -1, np.int32)
+    fn[:F] = face_adjacency(f)
+
     return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
                       jnp.asarray(faces), jnp.asarray(f_mask),
-                      jnp.asarray(nbr_v), jnp.asarray(nbr_f))
+                      jnp.asarray(nbr_v), jnp.asarray(nbr_f),
+                      jnp.asarray(fn))
+
+
+def face_adjacency(faces: np.ndarray) -> np.ndarray:
+    """(F, 3) edge-adjacent face ids (-1 on boundary/non-manifold)."""
+    F = faces.shape[0]
+    if F == 0:
+        return np.zeros((0, 3), np.int32)
+    src = faces.ravel().astype(np.int64)
+    dst = faces[:, [1, 2, 0]].ravel().astype(np.int64)
+    V = int(faces.max()) + 1
+    key = src * V + dst
+    tkey = dst * V + src
+    order = np.argsort(key, kind='stable')
+    skey = key[order]
+    pos = np.searchsorted(skey, tkey)
+    pos_c = np.clip(pos, 0, len(skey) - 1)
+    cand = order[pos_c]
+    ok = (pos < len(skey)) & (skey[pos_c] == tkey)
+    twin_face = np.where(ok, cand // 3, -1)
+    return twin_face.reshape(F, 3).astype(np.int32)

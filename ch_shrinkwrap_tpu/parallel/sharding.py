@@ -1,0 +1,89 @@
+"""Multi-chip execution: localization-axis sharding over a device mesh.
+
+The reference has no intra-fit parallelism (SURVEY §2 census: the only
+concurrency is a multiprocessing sweep).  The TPU-native scaling axis
+is the localization cloud: points, sigmas and residual weights are
+sharded over the ``points`` mesh axis, the (much smaller) vertex/face
+arrays are replicated, and XLA's SPMD partitioner inserts the
+collectives — the per-shard ``segment_sum`` scatter-adds of A^T become
+psums over ICI, the nearest-face sweep runs on local shards against the
+replicated face table, and the tiny subspace H/G reductions all-reduce.
+
+No solver code changes: the same ``cg_block`` program is jitted with
+sharded input layouts (the "pick a mesh, annotate shardings, let XLA
+insert collectives" recipe).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.shrinkwrap import cg_block
+
+
+def make_device_mesh(n_devices=None, devices=None):
+    """1-D device mesh over the ``points`` axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=('points',))
+
+
+def pad_to_multiple(arr, multiple, axis=0, fill=0):
+    n = arr.shape[axis]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return arr, n
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(arr, pad, constant_values=fill), n
+
+
+def shard_points(mesh, points, sigma_inv, weights):
+    """Pad the cloud to a multiple of the mesh size and place the
+    arrays sharded over the ``points`` axis.  Returns
+    (points, sigma_inv, weights, point_mask) device arrays."""
+    n_dev = mesh.devices.size
+    pts, n = pad_to_multiple(np.asarray(points, np.float32), n_dev)
+    sig, _ = pad_to_multiple(np.asarray(sigma_inv, np.float32), n_dev)
+    w, _ = pad_to_multiple(np.asarray(weights, np.float32), n_dev)
+    mask = np.zeros(pts.shape[0], bool)
+    mask[:n] = True
+
+    sh = NamedSharding(mesh, P('points'))
+    sh2 = NamedSharding(mesh, P('points', None))
+    return (jax.device_put(pts, sh2), jax.device_put(sig, sh2),
+            jax.device_put(w, sh2), jax.device_put(mask, sh))
+
+
+def replicate(mesh, *arrays):
+    sh = NamedSharding(mesh, P())
+    return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+
+
+def sharded_cg_block(mesh, mesh_arrays, points, sigma_inv, weights,
+                     point_mask, lam0, shrink_lam=0.0, num_iters=5,
+                     use_shrink=False, face_chunk=2048):
+    """Run a CG block with the cloud sharded over ``mesh``.
+
+    ``mesh_arrays`` fields are replicated; outputs are replicated
+    (every chip holds the updated vertex positions).
+    """
+    positions, v_mask, faces, f_mask, nbr_v = replicate(
+        mesh, mesh_arrays.positions, mesh_arrays.v_mask,
+        mesh_arrays.faces, mesh_arrays.f_mask, mesh_arrays.nbr_v)
+
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        partial(cg_block, num_iters=num_iters, use_shrink=use_shrink,
+                face_chunk=face_chunk),
+        out_shardings=rep)
+    return fn(positions, faces, f_mask, v_mask, nbr_v,
+              points, sigma_inv, weights, point_mask,
+              jnp.float32(lam0), jnp.float32(shrink_lam))

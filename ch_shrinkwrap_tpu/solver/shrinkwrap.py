@@ -70,11 +70,14 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
 
 
 @partial(jax.jit,
-         static_argnames=('num_iters', 'use_shrink', 'face_chunk'))
+         static_argnames=('num_iters', 'use_shrink', 'face_chunk',
+                          'corr_method', 'polish_iters'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
-             use_shrink=False, face_chunk=2048, stop_eps=1e-6):
+             use_shrink=False, face_chunk=2048, stop_eps=1e-6,
+             corr_method='brute', cell_size=1.0, face_nbrs=None,
+             polish_iters=4):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -115,8 +118,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # --- correspondence (rebuilt once per iteration, like calc_w)
         tri = f[faces]
         centers = tri.mean(1)
-        dmean, fi = corr.nearest_face(points, centers, f_mask,
-                                      face_chunk=face_chunk)
+        if corr_method == 'grid':
+            dmean, fi = corr.nearest_face_grid(points, centers, f_mask,
+                                               cell_size)
+        elif corr_method == 'blocked':
+            # expects fit_point_order-sorted points (driver does this)
+            dmean, fi = corr.nearest_face_blocked(points, centers, f_mask)
+        else:
+            dmean, fi = corr.nearest_face_bruteforce(
+                points, centers, f_mask, face_chunk=face_chunk)
+        if corr_method != 'brute' and face_nbrs is not None \
+                and polish_iters > 0:
+            dmean, fi = corr.refine_correspondence(points, centers,
+                                                   face_nbrs, fi,
+                                                   n_iter=polish_iters)
         v_idx, w = corr.correspondence_weights(f, faces, points, fi)
         w = w * pmask3
 

@@ -35,6 +35,43 @@ def test_nearest_face_exact():
     np.testing.assert_allclose(d, dist.min(1), rtol=1e-4, atol=1e-3)
 
 
+def test_nearest_face_grid_matches_bruteforce():
+    """Grid-hash correspondence agrees with exact brute force for
+    points near the surface (the fit regime)."""
+    rng = np.random.default_rng(3)
+    v, f = icosphere(4, radius=50.0)
+    mesh = TriangleMesh(v, f)
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(mesh, quantum=256)
+    centers = np.asarray(ma.positions)[np.asarray(ma.faces)].mean(1)
+    centers_j = jnp.asarray(centers)
+
+    # points scattered within a few nm of the sphere
+    d = rng.normal(size=(5000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape)).astype(np.float32)
+
+    cell = 2.0 * mesh._mean_edge_length
+    d_b, i_b = corr.nearest_face_bruteforce(jnp.asarray(pts), centers_j,
+                                            ma.f_mask)
+    d_g, i_g = corr.nearest_face_grid(jnp.asarray(pts), centers_j,
+                                      ma.f_mask, cell)
+    match = np.mean(np.asarray(i_b) == np.asarray(i_g))
+    assert match > 0.98
+    # distance error bounded by the cell size (the reference documents
+    # the same bound for its octree mode, mesh_conj_grad.py:459-465)
+    assert np.abs(np.asarray(d_g) - np.asarray(d_b)).max() < cell
+
+    # far points still get a bounded-error match via the subsample
+    far = (d[:100] * 200.0).astype(np.float32)
+    d_g2, i_g2 = corr.nearest_face_grid(jnp.asarray(far), centers_j,
+                                        ma.f_mask, cell)
+    d_b2, _ = corr.nearest_face_bruteforce(jnp.asarray(far), centers_j,
+                                           ma.f_mask)
+    assert np.all(np.asarray(d_g2) >= np.asarray(d_b2) - 1e-3)
+    assert np.all(np.asarray(d_g2) <= np.asarray(d_b2) + 5.0)
+
+
 def test_a_ah_adjoint():
     """<A f, r>_points == <f, A^T r>_vertices (true adjoint pair)."""
     rng = np.random.default_rng(2)
