@@ -394,40 +394,127 @@ class TriangleMesh:
                           remap[new_faces].astype(np.int32))
         self.extra_vertex_data = extra
 
-    def repair(self):
-        """Close boundary holes and drop degenerate faces.
+    def repair(self, max_passes=8):
+        """Close boundary holes and restore edge-manifoldness.
 
         Counterpart of PYME ``repair`` used after vertex removal
-        (_membrane_mesh.pyx:1216): drop degenerate faces, then
-        fan/zig-zag triangulate each boundary loop.
+        (_membrane_mesh.pyx:1216).  Iterates: drop degenerate /
+        duplicate faces and faces on over-shared (non-manifold) edges,
+        split boundary walks into simple cycles and zig-zag fill them,
+        erode boundary faces that cannot be filled, drop debris
+        components — until the boundary is gone or passes run out.
         """
-        f = self._faces
-        degen = (f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2]) | (f[:, 0] == f[:, 2])
-        if degen.any():
-            self._compact(f[~degen])
-
-        # drop tiny debris components (a closed surface needs >= 4
-        # faces; vertex-removal surgery leaves smaller shards behind)
-        labels, n = self.connected_components()
-        if n > 1:
-            fl = self.face_components
-            sizes = np.bincount(fl, minlength=n)
-            if (sizes < 8).any():
-                self.keep_faces(sizes[fl] >= 8)
-
-        loops = self.boundary_loops()
-        if not loops:
-            return
-        he = self.halfedges
-        new_tris = []
-        for loop in loops:
-            ring = he.src[loop]          # ordered boundary vertices
-            if len(ring) < 3 or len(np.unique(ring)) != len(ring):
+        for _ in range(max_passes):
+            f = self._faces
+            if f.size == 0:
+                return
+            # degenerate + duplicate faces
+            degen = ((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2])
+                     | (f[:, 0] == f[:, 2]))
+            key = np.sort(f, axis=1)
+            _, first_idx = np.unique(key, axis=0, return_index=True)
+            dup = np.ones(len(f), dtype=bool)
+            dup[first_idx] = False
+            # faces on non-manifold undirected edges (>2 incidences)
+            a = f
+            b = f[:, [1, 2, 0]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            ekey = (lo.astype(np.int64) << 32 | hi.astype(np.int64)).ravel()
+            uniq, inv, counts = np.unique(ekey, return_inverse=True,
+                                          return_counts=True)
+            over = (counts[inv] > 2).reshape(f.shape).any(1)
+            bad = degen | dup | over
+            if bad.any():
+                self._compact(f[~bad])
                 continue
-            new_tris.append(zig_zag_triangulate(ring[::-1]))
-        if new_tris:
-            faces = np.vstack([self._faces] + new_tris).astype(np.int32)
-            self.set_topology(self._vertices, faces)
+
+            # drop tiny debris components
+            labels, n = self.connected_components()
+            if n > 1:
+                fl = self.face_components
+                sizes = np.bincount(fl, minlength=n)
+                if (sizes < 8).any():
+                    self.keep_faces(sizes[fl] >= 8)
+                    continue
+
+            loops = self.boundary_loops()
+            if not loops:
+                return
+            he = self.halfedges
+            new_tris = []
+            erode = set()
+            for loop in loops:
+                ring = he.src[loop]
+                closed = (len(ring) >= 3
+                          and he.vertex[loop[-1]] == ring[0])
+                if closed:
+                    for cyc in _simple_cycles(ring):
+                        if len(cyc) >= 3:
+                            new_tris.append(zig_zag_triangulate(cyc[::-1]))
+                else:
+                    erode.update(he.face[loop].tolist())
+            faces = self._faces
+            if erode:
+                keep = np.ones(len(faces), dtype=bool)
+                keep[list(erode)] = False
+                faces = faces[keep]
+            if new_tris:
+                faces = np.vstack([faces] + new_tris)
+            if not erode and not new_tris:
+                # unfixable ring shapes: erode everything on a boundary
+                bset = np.unique(he.face[np.flatnonzero(he.twin < 0)])
+                keep = np.ones(len(faces), dtype=bool)
+                keep[bset] = False
+                faces = faces[keep]
+            self._compact(np.asarray(faces, dtype=np.int32))
+
+        self.split_pinched_vertices()
+
+    def split_pinched_vertices(self):
+        """Duplicate vertices whose incident faces form more than one
+        fan (pinch points), restoring vertex-manifoldness."""
+        he = self.halfedges
+        E = len(he.src)
+        if E == 0:
+            return
+        # fan labels: outgoing halfedges h and next[twin[h]] share a fan
+        labels = np.arange(E, dtype=np.int64)
+        has_twin = he.twin >= 0
+        p1 = np.where(has_twin, he.next[np.clip(he.twin, 0, None)],
+                      np.arange(E))
+        # inverse partner: h <- the halfedge whose p1 is h
+        inv = np.full(E, -1, np.int64)
+        inv[p1[has_twin]] = np.flatnonzero(has_twin)
+        for _ in range(64):
+            new = np.minimum(labels, labels[p1])
+            valid_inv = inv >= 0
+            new[valid_inv] = np.minimum(new[valid_inv],
+                                        labels[inv[valid_inv]])
+            if (new == labels).all():
+                break
+            labels = new
+
+        # group (src, fan) -> vertex instance
+        key = he.src.astype(np.int64) << 32 | labels
+        uniq, grp = np.unique(key, return_inverse=True)
+        grp_src = (uniq >> 32).astype(np.int64)
+        # first group per src keeps the original id; extras get new ids
+        # (uniq is sorted with src in the high bits, so the first
+        # occurrence of each src is its first group)
+        _, first_pos = np.unique(grp_src, return_index=True)
+        keep_mask = np.zeros(len(uniq), dtype=bool)
+        keep_mask[first_pos] = True
+        if keep_mask.all():
+            return
+        new_id = np.where(keep_mask, grp_src, -1)
+        extra = np.flatnonzero(new_id < 0)
+        new_id[extra] = self._vertices.shape[0] + np.arange(len(extra))
+        new_positions = np.vstack([self._vertices,
+                                   self._vertices[grp_src[extra]]])
+        # rewrite face corners: corner (f, k) owns outgoing halfedge 3f+k
+        new_faces = new_id[grp].reshape(-1, 3).astype(np.int32)
+        self.set_topology(new_positions, new_faces)
 
     def remove_inner_surfaces(self):
         """Remove connected components nested inside larger components.
@@ -501,6 +588,29 @@ class TriangleMesh:
     @classmethod
     def from_np_stl(cls, v, f, **kw):
         return cls(v, f, **kw)
+
+
+def _simple_cycles(ring: np.ndarray):
+    """Split a closed vertex walk with repeated vertices into simple
+    cycles (pinch points become cycle boundaries)."""
+    out = []
+    stack = []
+    pos = {}
+    for v in ring:
+        v = int(v)
+        if v in pos:
+            i = pos[v]
+            cyc = stack[i:]
+            for u in cyc:
+                pos.pop(u, None)
+            del stack[i:]
+            if len(cyc) >= 3:
+                out.append(np.array(cyc, dtype=ring.dtype))
+        pos[v] = len(stack)
+        stack.append(v)
+    if len(stack) >= 3:
+        out.append(np.array(stack, dtype=ring.dtype))
+    return out
 
 
 def zig_zag_triangulate(ring: np.ndarray) -> np.ndarray:

@@ -246,6 +246,17 @@ class MembraneMesh(TriangleMesh):
         K = self.curvature_gaussian
         verts = np.flatnonzero((K < neck_curvature_threshold_low)
                                | (K > neck_curvature_threshold_high))
+        # Safety valve (deviation from the reference, which removes the
+        # flagged set unconditionally): when a large fraction of the
+        # surface trips the thresholds they are flagging wrinkle noise,
+        # not necks — removing them would shred the mesh into blobs.
+        if len(verts) > 0.25 * self.vertices.shape[0]:
+            logger.warning(
+                'remove_necks: %d/%d vertices exceed the curvature '
+                'thresholds (wrinkle noise, not necks) - skipping; '
+                'widen neck_threshold_low/high for this dataset',
+                len(verts), self.vertices.shape[0])
+            return
         if len(verts) > 0:
             self.unsafe_remove_vertices(verts)
             self.repair()
