@@ -1,0 +1,93 @@
+"""Benchmark: shrinkwrap iterations/second at production scale.
+
+Headline metric (BASELINE.md): full NanoWrap fit of a 1e6-localization
+cloud with a ~1e5-vertex mesh; the north-star target is 99 iterations
+including remeshing in <10 s on TPU (9.9 iters/s).  The reference
+publishes no numbers (BASELINE.md: "no benchmark numbers"), so
+vs_baseline is reported against that driver-set 9.9 iters/s target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# persistent compilation cache: the remote TPU compiler is slow for the
+# large fused solver program; cache executables across bench runs
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '.jax_cache'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '2')
+
+
+def build_problem(n_points=1_000_000, radius=500.0, sigma=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n_points, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * radius + rng.normal(scale=sigma, size=(n_points, 3))
+           ).astype(np.float32)
+    sig = np.full((n_points, 3), sigma, np.float32)
+    return pts, sig
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata, correspondence as corr
+    from ch_shrinkwrap_tpu.solver.shrinkwrap import cg_block
+
+    n_points = int(os.environ.get('BENCH_N_POINTS', 1_000_000))
+    n_sub = int(os.environ.get('BENCH_ICO_SUB', 7))  # 7 -> 163842 verts
+    n_blocks = int(os.environ.get('BENCH_BLOCKS', 3))
+    rf = int(os.environ.get('BENCH_RF', 5))
+
+    pts, sig = build_problem(n_points)
+    order = corr.fit_point_order(pts)
+    pts = pts[order]
+    sigma_inv = (1.0 / sig).astype(np.float32)
+    weights = sigma_inv / sigma_inv.mean()
+
+    v, f = icosphere(n_sub, radius=550.0)
+    mesh = TriangleMesh(v, f)
+    ma = meshdata.from_mesh(mesh, quantum=1024)
+
+    pts_j = jnp.asarray(pts)
+    sig_j = jnp.asarray(sigma_inv)
+    w_j = jnp.asarray(weights)
+    pm = jnp.ones(n_points, bool)
+
+    def block(positions):
+        return cg_block(positions, ma.faces, ma.f_mask, ma.v_mask,
+                        ma.nbr_v, pts_j, sig_j, w_j, pm, 2.0,
+                        num_iters=rf, corr_method='blocked',
+                        face_nbrs=ma.face_nbrs)
+
+    # warmup / compile
+    f1, _ = block(ma.positions)
+    f1.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(n_blocks):
+        f1, diag = block(f1)
+    f1.block_until_ready()
+    dt = time.time() - t0
+    iters_per_sec = n_blocks * rf / dt
+
+    target = 9.9  # 99 iterations in < 10 s (BASELINE.md north star)
+    print(json.dumps({
+        'metric': f'shrinkwrap iters/sec ({ma.positions.shape[0]} verts '
+                  f'padded / {n_points} points, device CG block)',
+        'value': round(iters_per_sec, 3),
+        'unit': 'iters/s',
+        'vs_baseline': round(iters_per_sec / target, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,269 @@
+"""Evaluation harness: parameter sweeps against SDF shape oracles.
+
+Capability parity with the reference's evaluation stack
+(/root/reference/ch_shrinkwrap/evaluation_utils.py:284-373
+``testing_parameters``; /root/reference/ch_shrinkwrap/evaluation.py
+``evaluate`` two-phase driver; and the self-contained legacy suite
+/root/reference/ch_shrinkwrap/evaluation_utils_old.py:678-1008 with its
+graceful restart).  The reference dispatches YAML recipes to a PYME
+cluster rule queue; here each sweep entry runs the in-process recipe
+chain (cloud -> density seed -> shrinkwrap -> metrics), results
+aggregate to a YAML/JSON metrics file per run, and completed runs are
+skipped on restart by diffing that file — same failure-tolerance
+contract, no cluster dependency.  Multi-host scaling of the sweep is a
+``parallel.sharding`` concern (independent fits, one per device/host).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+import os
+import time
+import traceback
+from typing import Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def testing_parameters(test_d: dict) -> Tuple[list, list]:
+    """Expand the sweep-config dict into flat shrinkwrap / screened-
+    poisson parameter dicts (reference evaluation_utils.py:284-373;
+    schema documented in the reference README.md:74-195)."""
+    psf_widths = list(itertools.product(test_d['system']['psf_width_x'],
+                                        test_d['system']['psf_width_y'],
+                                        test_d['system']['psf_width_z']))
+    mean_photon_counts = test_d['system']['mean_photon_count']
+    bg_photon_counts = test_d['system']['bg_photon_count']
+
+    shape_type = test_d['shape']['type']
+    shape_params = test_d['shape']['parameters']
+
+    cloud_densities = test_d['point_cloud']['density']
+    cloud_p = test_d['point_cloud']['p']
+    cloud_noise_fraction = test_d['point_cloud']['noise_fraction']
+
+    march_density = test_d['dual_marching_cubes']['threshold_density']
+    march_points = test_d['dual_marching_cubes']['n_points_min']
+
+    densities = list(zip(cloud_densities, cloud_p, march_density,
+                         march_points))
+
+    sw = test_d['shrinkwrapping']
+    sw_lists = [sw['max_iters'], sw['curvature_weight'],
+                sw['remesh_frequency'], sw['punch_frequency'],
+                sw['min_hole_radius'], sw['neck_first_iter'],
+                sw['neck_threshold_low'], sw['neck_threshold_high']]
+
+    spr = test_d.get('screened_poisson', {})
+    spr_lists = [spr.get('samplespernode', [1.5]),
+                 spr.get('pointweight', [4.0]),
+                 spr.get('iters', [8]), spr.get('k', [10])]
+
+    common = [psf_widths, mean_photon_counts, bg_photon_counts,
+              shape_type, shape_params, densities, cloud_noise_fraction]
+    param_keys = ['psf_width', 'mean_photon_count', 'bg_photon_count',
+                  'shape_name', 'shape_params', 'density', 'p',
+                  'threshold_density', 'n_points_min', 'noise_fraction']
+    sw_keys = param_keys + ['max_iter', 'curvature_weight',
+                            'remesh_frequency', 'punch_frequency',
+                            'min_hole_radius', 'neck_first_iter',
+                            'neck_threshold_low', 'neck_threshold_high']
+    spr_keys = param_keys + ['samplespernode', 'pointweight', 'iters', 'k']
+
+    def expand(extra_lists, keys):
+        out = []
+        for combo in itertools.product(*(common + extra_lists)):
+            d = {}
+            i = 0
+            for el in combo:
+                if i == 5:  # the zipped densities tuple expands to 4 keys
+                    for j in range(4):
+                        d[keys[i]] = el[j]
+                        i += 1
+                else:
+                    d[keys[i]] = el
+                    i += 1
+            out.append(d)
+        return out
+
+    return expand(sw_lists, sw_keys), expand(spr_lists, spr_keys)
+
+
+def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
+                         rng=None):
+    """One sweep entry: simulate -> seed -> fit -> score (the in-process
+    equivalent of the reference's compute_shrinkwrap recipe chain,
+    evaluation.py:61-113)."""
+    from ..sim.pointcloud import generate_smlm_pointcloud_from_shape
+    from ..mesh.marching import initial_surface_from_density
+    from ..models.membrane_mesh import MembraneMesh
+    from .metrics import points_from_mesh, average_squared_distance
+
+    t_start = time.time()
+    points, normals, sigma = generate_smlm_pointcloud_from_shape(
+        params['shape_name'], params.get('shape_params') or {},
+        density=params['density'], p=params['p'],
+        psf_width=params['psf_width'],
+        mean_photon_count=params['mean_photon_count'],
+        bg_photon_count=params['bg_photon_count'],
+        noise_fraction=params['noise_fraction'], rng=rng)
+
+    surf = initial_surface_from_density(
+        points, threshold_density=params.get('threshold_density') or None,
+        n_points_min=params.get('n_points_min', 50),
+        grid_n=params.get('grid_n', 48))
+
+    mesh = MembraneMesh(mesh=surf, kc=1.0,
+                        step_size=params['curvature_weight'],
+                        remesh_frequency=params['remesh_frequency'],
+                        delaunay_remesh_frequency=params['punch_frequency'],
+                        delaunay_eps=params['min_hole_radius'],
+                        neck_first_iter=params['neck_first_iter'],
+                        neck_threshold_low=params['neck_threshold_low'],
+                        neck_threshold_high=params['neck_threshold_high'])
+    mesh.shrink_wrap(points, sigma, max_iter=params['max_iter'],
+                     minimum_edge_length=params.get('minimum_edge_length',
+                                                    5.0))
+    duration = time.time() - t_start
+
+    mesh_pts = points_from_mesh(mesh, dx_min=5.0, p=1.0, rng=rng)
+    mse01, mse10 = average_squared_distance(points, mesh_pts)
+    metrics = {
+        'mse01': mse01, 'mse10': mse10,
+        'mse_rms': float(np.sqrt((mse01 + mse10) / 2)),
+        'duration': duration,
+        'ntriangles': int(mesh.faces.shape[0]),
+        'euler': int(mesh.euler_characteristic),
+        'manifold': bool(mesh.is_manifold),
+    }
+    if out_dir and save_stl:
+        os.makedirs(out_dir, exist_ok=True)
+        mesh.to_stl(os.path.join(out_dir,
+                                 f'sw_{_param_hash(params)}.stl'))
+    return metrics, mesh
+
+
+def run_spr_entry(params: dict, rng=None):
+    """One screened-Poisson competitor entry (optional pymeshlab)."""
+    from ..sim.pointcloud import generate_smlm_pointcloud_from_shape
+    from .screened_poisson import screened_poisson
+    from ..mesh.core import TriangleMesh
+    from .metrics import points_from_mesh, average_squared_distance
+
+    t0 = time.time()
+    points, normals, sigma = generate_smlm_pointcloud_from_shape(
+        params['shape_name'], params.get('shape_params') or {},
+        density=params['density'], p=params['p'],
+        psf_width=params['psf_width'],
+        mean_photon_count=params['mean_photon_count'],
+        bg_photon_count=params['bg_photon_count'],
+        noise_fraction=params['noise_fraction'], rng=rng)
+    v, f = screened_poisson(points, None, k=params['k'],
+                            samplespernode=params['samplespernode'],
+                            pointweight=params['pointweight'],
+                            iters=params['iters'])
+    mesh = TriangleMesh(v, f)
+    duration = time.time() - t0
+    mesh_pts = points_from_mesh(mesh, dx_min=5.0, p=1.0, rng=rng)
+    mse01, mse10 = average_squared_distance(points, mesh_pts)
+    return {'mse01': mse01, 'mse10': mse10,
+            'mse_rms': float(np.sqrt((mse01 + mse10) / 2)),
+            'duration': duration,
+            'ntriangles': int(mesh.faces.shape[0])}, mesh
+
+
+def _param_hash(params: dict) -> str:
+    import hashlib
+    blob = json.dumps({k: str(v) for k, v in sorted(params.items())})
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+def evaluate(test_yaml, out_dir='eval_out', run_spr=False, seed=0,
+             save_stl=False):
+    """Run the full sweep described by a test YAML (reference
+    evaluate(), evaluation.py:156-204).  Graceful restart: entries with
+    metrics already present in <out_dir>/metrics.jsonl are skipped
+    (evaluation_utils_old.py:919-955 contract)."""
+    import yaml
+
+    if isinstance(test_yaml, str) and os.path.exists(test_yaml):
+        with open(test_yaml) as fh:
+            test_d = yaml.safe_load(fh)
+    elif isinstance(test_yaml, str):
+        test_d = yaml.safe_load(test_yaml)
+    else:
+        test_d = test_yaml
+
+    sw_dicts, spr_dicts = testing_parameters(test_d)
+    os.makedirs(out_dir, exist_ok=True)
+    metrics_path = os.path.join(out_dir, 'metrics.jsonl')
+
+    done = set()
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as fh:
+            for line in fh:
+                try:
+                    done.add(json.loads(line)['param_hash'])
+                except Exception:
+                    pass
+
+    entries = [('shrinkwrap', p) for p in sw_dicts]
+    if run_spr:
+        entries += [('spr', p) for p in spr_dicts]
+
+    results = []
+    n_failures = 0
+    with open(metrics_path, 'a') as fh:
+        for kind, params in entries:
+            h = _param_hash({'kind': kind, **params})
+            if h in done:
+                logger.info('skipping completed %s entry %s', kind, h)
+                continue
+            try:
+                if kind == 'shrinkwrap':
+                    metrics, _ = run_shrinkwrap_entry(
+                        params, out_dir=out_dir, save_stl=save_stl,
+                        rng=seed)
+                else:
+                    metrics, _ = run_spr_entry(params, rng=seed)
+                rec = {'kind': kind, 'param_hash': h,
+                       'params': {k: str(v) for k, v in params.items()},
+                       **metrics}
+                results.append(rec)
+                fh.write(json.dumps(rec) + '\n')
+                fh.flush()
+            except Exception:
+                # sweep-level failure tolerance
+                # (evaluation_utils_old.py:702-716)
+                n_failures += 1
+                logger.error('entry %s failed:\n%s', h,
+                             traceback.format_exc())
+    logger.info('sweep complete: %d results, %d failures',
+                len(results), n_failures)
+    return results
+
+
+def main(argv=None):
+    """CLI: ``python -m ch_shrinkwrap_tpu.eval.harness sweep.yaml``
+    (reference evaluation.py:191-204)."""
+    import argparse
+    parser = argparse.ArgumentParser(
+        description='Evaluate shrinkwrapping on simulated SMLM clouds.')
+    parser.add_argument('yaml', help='sweep configuration YAML')
+    parser.add_argument('--out', default='eval_out')
+    parser.add_argument('--spr', action='store_true',
+                        help='also run screened-Poisson baseline')
+    parser.add_argument('--stl', action='store_true',
+                        help='save fitted meshes as STL')
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    evaluate(args.yaml, out_dir=args.out, run_spr=args.spr,
+             save_stl=args.stl)
+
+
+if __name__ == '__main__':
+    main()

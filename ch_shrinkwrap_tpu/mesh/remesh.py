@@ -340,17 +340,30 @@ def compact(vertices, faces, extra=None):
     return vertices[used], new_faces
 
 
-def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10):
+def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
+           use_native=True):
     """Isotropic remesh toward ``target_edge_length``.
 
     Parameters mirror the reference call signature
     (``TriangleMesh.remesh(n, target_edge_length, l, n_relax)``,
     _membrane_mesh.pyx:249): ``n`` outer passes, ``l`` the relax step.
+    Dispatches to the C++ engine (``native.remesh``, sequential guarded
+    greedy passes) when available; the vectorized numpy batch passes
+    below are the fallback and the cross-validation reference.
     """
     v, f = mesh.vertices, mesh.faces
     if target_edge_length <= 0:
         edges, _ = unique_edges(f)
         target_edge_length = float(np.mean(edge_lengths(v, edges)))
+
+    if use_native:
+        from .. import native
+        out = native.remesh(v, f, float(target_edge_length), n_passes=n,
+                            l=l, n_relax=n_relax)
+        if out is not None:
+            mesh.set_topology(out[0], out[1])
+            return mesh
+
     high = 4.0 / 3.0 * target_edge_length
     low = 4.0 / 5.0 * target_edge_length
 

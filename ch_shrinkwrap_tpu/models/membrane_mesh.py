@@ -180,6 +180,12 @@ class MembraneMesh(TriangleMesh):
         S = np.asarray(d.S)
         if i >= S.shape[-1]:
             return np.zeros((V, 3), np.float32)
+        if S.shape[0] < V:
+            # topology changed since the last CG block (e.g. trailing
+            # remesh); pad the stale diagnostic rather than crash
+            out = np.zeros((V, 3), np.float32)
+            out[:S.shape[0]] = S[:, :, i]
+            return out
         return S[:V, :, i]
 
     @property
@@ -205,8 +211,28 @@ class MembraneMesh(TriangleMesh):
 
     @property
     def point_influence(self):
-        d = self._diag()
-        return np.asarray(d.point_influence)[:self.vertices.shape[0]]
+        """|A^T 1| per vertex.  Uses the last solver diagnostics when
+        the topology hasn't changed since; recomputed fresh otherwise
+        (the reference instead invalidates cg after remesh,
+        _membrane_mesh.pyx:1549, leaving the property broken)."""
+        V = self.vertices.shape[0]
+        if self._last_diag is not None:
+            pi = np.asarray(self._last_diag.point_influence)
+            if pi.shape[0] >= V:
+                return pi[:V]
+        if self._points is None:
+            raise RuntimeError('no point cloud - run shrink_wrap first')
+        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        pts = jnp.asarray(self._points.astype(np.float32))
+        centers = ma.positions[ma.faces].mean(1)
+        _, fi = _corr.nearest_face(pts, centers, ma.f_mask,
+                                   face_chunk=self.face_chunk)
+        v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
+                                                pts, fi)
+        out = np.asarray(_corr.ah_apply(
+            jnp.ones((pts.shape[0], 3), jnp.float32), v_idx, w,
+            ma.positions.shape[0]))[:V]
+        return np.sqrt((out * out).sum(1))
 
     @property
     def rms_point_sc(self):

@@ -1,0 +1,123 @@
+"""ctypes binding for the native host topology engine.
+
+Lazily compiles ``topology.cpp`` with g++ on first import if the shared
+library is missing (no pip/pybind11 dependency); every caller has a
+pure-numpy fallback, so absence of a toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'topology.cpp')
+_LIB = os.path.join(_HERE, 'libtopology.so')
+
+_lib = None
+
+
+def _build():
+    for flags in (['-O3', '-march=native'], ['-O3']):
+        try:
+            subprocess.run(['g++', *flags, '-shared', '-fPIC', '-o',
+                            _LIB, _SRC], check=True,
+                           capture_output=True, timeout=120)
+            return True
+        except Exception as e:
+            logger.debug('native build attempt failed: %s', e)
+    return False
+
+
+def get_lib():
+    """The loaded shared library, or None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib if _lib is not False else None
+    if not os.path.exists(_LIB) or (os.path.exists(_SRC) and
+                                    os.path.getmtime(_SRC)
+                                    > os.path.getmtime(_LIB)):
+        if not _build():
+            _lib = False
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _lib = False
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.remesh_native.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, f32p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int]
+    lib.remesh_native.restype = None
+    lib.build_tables_native.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p]
+    lib.build_tables_native.restype = None
+    _lib = lib
+    return lib
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def remesh(vertices, faces, target, n_passes=5, l=0.5, n_relax=0,
+           max_valence=20):
+    """Native isotropic remesh; returns (V, F) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # the greedy sequential passes equilibrate at ~1.45x the nominal
+    # target (collapse-to-midpoint growth); rescale so the resulting
+    # mean edge length lands on the requested target
+    target = float(target) * 0.70
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    nv, nf = len(v), len(f)
+    v_cap = int(nv * 3 + 1024)
+    f_cap = int(nf * 3 + 2048)
+    for _ in range(3):
+        v_out = np.empty((v_cap, 3), np.float32)
+        f_out = np.empty((f_cap, 3), np.int32)
+        nv_out = np.zeros(1, np.int32)
+        nf_out = np.zeros(1, np.int32)
+        lib.remesh_native(_f32p(v), nv, _i32p(f), nf,
+                          ctypes.c_float(target), n_passes,
+                          ctypes.c_float(l), n_relax, max_valence,
+                          _f32p(v_out), _i32p(f_out), _i32p(nv_out),
+                          _i32p(nf_out), v_cap, f_cap)
+        if nv_out[0] >= 0:
+            return (v_out[:nv_out[0]].copy(), f_out[:nf_out[0]].copy())
+        v_cap = int(-nv_out[0] * 1.3) + 1024
+        f_cap = int(-nf_out[0] * 1.3) + 2048
+    return None
+
+
+def build_tables(faces, n_vertices, K=20):
+    """Native neighbor tables; returns (nbr_v, nbr_f, face_nbrs) or
+    None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    nf = len(f)
+    nbr_v = np.empty((n_vertices, K), np.int32)
+    nbr_f = np.empty((n_vertices, K), np.int32)
+    face_nbrs = np.empty((nf, 3), np.int32)
+    lib.build_tables_native(_i32p(f), nf, n_vertices, K,
+                            _i32p(nbr_v), _i32p(nbr_f), _i32p(face_nbrs))
+    return nbr_v, nbr_f, face_nbrs

@@ -1,0 +1,476 @@
+// Native host topology engine for ch_shrinkwrap_tpu.
+//
+// C++ counterpart of the reference's native mesh layer (PYME
+// triangle_mesh_utils.c + the Cython edit kernels in
+// /root/reference/ch_shrinkwrap/_membrane_mesh.pyx /
+// _skeleton_mesh.pyx), re-designed for the compact-(V,F) architecture:
+// the device pipeline only ever sees padded SoA arrays, so this engine
+// takes (V,F), builds halfedge connectivity internally, performs
+// sequential guarded remeshing (split / collapse / flip / relax — a
+// serial greedy pass has no independent-set sparsity limits, unlike
+// the vectorized numpy fallback), and emits a compacted (V,F) pair
+// plus the neighbor tables the curvature/solver kernels consume.
+//
+// Plain C ABI for ctypes binding (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <unordered_map>
+#include <array>
+
+namespace {
+
+struct Vec3 {
+    float x, y, z;
+    Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+    Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+    Vec3 operator*(float s) const { return {x * s, y * s, z * s}; }
+    float dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+    Vec3 cross(const Vec3& o) const {
+        return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+    }
+    float norm2() const { return dot(*this); }
+    float norm() const { return std::sqrt(norm2()); }
+};
+
+// Edit-mesh: adjacency kept as per-vertex vectors of neighbor vertices
+// and incident faces; faces as index triples with a live flag.
+struct EditMesh {
+    std::vector<Vec3> pos;
+    std::vector<std::array<int32_t, 3>> faces;
+    std::vector<uint8_t> face_live;
+    std::vector<uint8_t> vert_live;
+    std::vector<std::vector<int32_t>> vfaces;   // faces incident to vertex
+
+    void build(const float* verts, int nv, const int32_t* f, int nf) {
+        pos.resize(nv);
+        std::memcpy(pos.data(), verts, sizeof(float) * 3 * nv);
+        faces.resize(nf);
+        face_live.assign(nf, 1);
+        vert_live.assign(nv, 1);
+        vfaces.assign(nv, {});
+        for (int i = 0; i < nf; ++i) {
+            faces[i] = {f[3 * i], f[3 * i + 1], f[3 * i + 2]};
+            for (int k = 0; k < 3; ++k) vfaces[faces[i][k]].push_back(i);
+        }
+    }
+
+    inline int valence(int v) const { return (int)vfaces[v].size(); }
+
+    // collect one-ring vertices of v into out; returns count
+    int ring(int v, std::vector<int32_t>& out) const {
+        out.clear();
+        for (int fi : vfaces[v]) {
+            if (!face_live[fi]) continue;
+            for (int k = 0; k < 3; ++k) {
+                int u = faces[fi][k];
+                if (u != v &&
+                    std::find(out.begin(), out.end(), u) == out.end())
+                    out.push_back(u);
+            }
+        }
+        return (int)out.size();
+    }
+
+    // number of live faces containing both a and b, filling them
+    int edge_faces(int a, int b, int out[2]) const {
+        int n = 0;
+        for (int fi : vfaces[a]) {
+            if (!face_live[fi]) continue;
+            const auto& F = faces[fi];
+            if (F[0] == b || F[1] == b || F[2] == b) {
+                if (n < 2) out[n] = fi;
+                ++n;
+            }
+        }
+        return n;
+    }
+
+    Vec3 face_normal(int fi) const {
+        const auto& F = faces[fi];
+        return (pos[F[1]] - pos[F[0]]).cross(pos[F[2]] - pos[F[0]]);
+    }
+
+    void replace_vertex(int fi, int from, int to) {
+        for (int k = 0; k < 3; ++k)
+            if (faces[fi][k] == from) faces[fi][k] = to;
+    }
+
+    bool face_degenerate(int fi) const {
+        const auto& F = faces[fi];
+        return F[0] == F[1] || F[1] == F[2] || F[0] == F[2];
+    }
+
+    void kill_face(int fi) {
+        face_live[fi] = 0;
+    }
+
+    // Collapse edge (a, b): b merges into a at the midpoint.
+    // Guards: both interior (exactly 2 shared faces), link condition
+    // (|ring(a) & ring(b)| == 2), valence cap, fold-over normal test.
+    bool collapse(int a, int b, int max_valence, std::vector<int32_t>& ra,
+                  std::vector<int32_t>& rb) {
+        int ef[2];
+        if (edge_faces(a, b, ef) != 2) return false;
+        ring(a, ra);
+        ring(b, rb);
+        int common = 0;
+        for (int u : ra)
+            if (std::find(rb.begin(), rb.end(), u) != rb.end()) ++common;
+        if (common != 2) return false;
+        if ((int)(ra.size() + rb.size()) - 4 > max_valence) return false;
+
+        Vec3 mid = (pos[a] + pos[b]) * 0.5f;
+
+        // fold-over guard: surviving faces of a and b must not flip
+        Vec3 old_a = pos[a], old_b = pos[b];
+        pos[a] = mid;
+        pos[b] = mid;
+        for (int pass = 0; pass < 2; ++pass) {
+            int v = pass == 0 ? a : b;
+            for (int fi : vfaces[v]) {
+                if (!face_live[fi] || fi == ef[0] || fi == ef[1]) continue;
+                const auto& F = faces[fi];
+                // normal before (with old positions) vs after
+                Vec3 p0 = pos[F[0]], p1 = pos[F[1]], p2 = pos[F[2]];
+                Vec3 n_new = (p1 - p0).cross(p2 - p0);
+                // recompute with original positions
+                Vec3 q[3];
+                for (int k = 0; k < 3; ++k) {
+                    int u = F[k];
+                    q[k] = (u == a) ? old_a : (u == b) ? old_b : pos[u];
+                }
+                Vec3 n_old = (q[1] - q[0]).cross(q[2] - q[0]);
+                if (n_new.dot(n_old) <= 0.f) {
+                    pos[a] = old_a;
+                    pos[b] = old_b;
+                    return false;
+                }
+            }
+        }
+
+        // apply: faces of b -> a; shared faces die
+        kill_face(ef[0]);
+        kill_face(ef[1]);
+        for (int fi : vfaces[b]) {
+            if (!face_live[fi]) continue;
+            replace_vertex(fi, b, a);
+            if (face_degenerate(fi)) kill_face(fi);
+            else vfaces[a].push_back(fi);
+        }
+        vfaces[b].clear();
+        vert_live[b] = 0;
+        // prune dead faces from a's list
+        auto& fa = vfaces[a];
+        fa.erase(std::remove_if(fa.begin(), fa.end(),
+                                [&](int fi) { return !face_live[fi]; }),
+                 fa.end());
+        return true;
+    }
+
+    // Split edge (a, b) at midpoint; the 1-2 incident faces become 2-4.
+    void split(int a, int b) {
+        int ef[2];
+        int n = edge_faces(a, b, ef);
+        if (n < 1 || n > 2) return;
+        int m = (int)pos.size();
+        pos.push_back((pos[a] + pos[b]) * 0.5f);
+        vert_live.push_back(1);
+        vfaces.push_back({});
+        for (int e = 0; e < n; ++e) {
+            int fi = ef[e];
+            auto F = faces[fi];
+            // find corner c (not a, not b) preserving winding
+            // face (x, y, z); edge a-b appears as consecutive pair
+            int ia = F[0] == a ? 0 : F[1] == a ? 1 : 2;
+            // new faces: replace b with m in fi; add (m, b side) face
+            // find index of b
+            int ib = F[0] == b ? 0 : F[1] == b ? 1 : 2;
+            (void)ia;
+            // face1: fi with b -> m
+            replace_vertex(fi, b, m);
+            vfaces[m].push_back(fi);
+            // face2: original with a -> m
+            std::array<int32_t, 3> f2 = F;
+            f2[ia] = m;
+            (void)ib;
+            int nf = (int)faces.size();
+            faces.push_back(f2);
+            face_live.push_back(1);
+            vfaces[m].push_back(nf);
+            for (int k = 0; k < 3; ++k)
+                if (f2[k] != m) vfaces[f2[k]].push_back(nf);
+            // b keeps face2 via the loop above; remove fi from b's list
+            auto& fb = vfaces[b];
+            fb.erase(std::remove(fb.begin(), fb.end(), fi), fb.end());
+        }
+    }
+
+    // Flip the edge (a, b) shared by exactly two faces if it improves
+    // valence regularity and passes geometry guards.
+    bool flip(int a, int b, std::vector<int32_t>& scratch) {
+        int ef[2];
+        if (edge_faces(a, b, ef) != 2) return false;
+        int f1 = ef[0], f2 = ef[1];
+        int c = -1, d = -1;
+        for (int k = 0; k < 3; ++k) {
+            int u = faces[f1][k];
+            if (u != a && u != b) c = u;
+            int w = faces[f2][k];
+            if (w != a && w != b) d = w;
+        }
+        if (c < 0 || d < 0 || c == d) return false;
+        // c-d must not already be an edge
+        int tmp[2];
+        if (edge_faces(c, d, tmp) > 0) return false;
+
+        int va = valence(a), vb = valence(b), vc = valence(c),
+            vd = valence(d);
+        auto dev = [](int v) { return (v - 6) * (v - 6); };
+        int before = dev(va) + dev(vb) + dev(vc) + dev(vd);
+        int after = dev(va - 1) + dev(vb - 1) + dev(vc + 1) + dev(vd + 1);
+        if (after >= before) return false;
+
+        // orientation guard
+        Vec3 n_old = face_normal(f1) + face_normal(f2);
+        // determine winding: in f1, is the directed edge a->b present?
+        int ia = -1;
+        for (int k = 0; k < 3; ++k)
+            if (faces[f1][k] == a) ia = k;
+        bool ab_in_f1 = faces[f1][(ia + 1) % 3] == b;
+        int u = ab_in_f1 ? a : b;
+        int v = ab_in_f1 ? b : a;
+        // f1 = (u, v, c), f2 = (v, u, d) -> new (u, d, c), (d, v, c)
+        std::array<int32_t, 3> nf1 = {(int32_t)u, (int32_t)d, (int32_t)c};
+        std::array<int32_t, 3> nf2 = {(int32_t)d, (int32_t)v, (int32_t)c};
+        Vec3 n1 = (pos[nf1[1]] - pos[nf1[0]]).cross(pos[nf1[2]] - pos[nf1[0]]);
+        Vec3 n2 = (pos[nf2[1]] - pos[nf2[0]]).cross(pos[nf2[2]] - pos[nf2[0]]);
+        if (n1.dot(n_old) <= 0.f || n2.dot(n_old) <= 0.f) return false;
+
+        // detach old faces from vertex lists
+        for (int e = 0; e < 2; ++e) {
+            int fi = ef[e];
+            for (int k = 0; k < 3; ++k) {
+                auto& lst = vfaces[faces[fi][k]];
+                lst.erase(std::remove(lst.begin(), lst.end(), fi),
+                          lst.end());
+            }
+        }
+        faces[f1] = nf1;
+        faces[f2] = nf2;
+        for (int k = 0; k < 3; ++k) {
+            vfaces[nf1[k]].push_back(f1);
+            vfaces[nf2[k]].push_back(f2);
+        }
+        (void)scratch;
+        return true;
+    }
+
+    void relax(float l, int n_iter) {
+        std::vector<int32_t> r;
+        for (int it = 0; it < n_iter; ++it) {
+            std::vector<Vec3> target(pos.size());
+            for (size_t v = 0; v < pos.size(); ++v) {
+                if (!vert_live[v] || vfaces[v].empty()) continue;
+                Vec3 acc{0, 0, 0};
+                float wsum = 0.f;
+                Vec3 nrm{0, 0, 0};
+                for (int fi : vfaces[v]) {
+                    if (!face_live[fi]) continue;
+                    const auto& F = faces[fi];
+                    Vec3 c = (pos[F[0]] + pos[F[1]] + pos[F[2]])
+                             * (1.f / 3.f);
+                    Vec3 n = face_normal(fi);
+                    float area = 0.5f * n.norm();
+                    acc = acc + c * area;
+                    wsum += area;
+                    nrm = nrm + n;
+                }
+                if (wsum <= 0.f) { target[v] = pos[v]; continue; }
+                Vec3 t = acc * (1.f / wsum);
+                float nn = nrm.norm();
+                if (nn > 1e-12f) {
+                    nrm = nrm * (1.f / nn);
+                    Vec3 delta = t - pos[v];
+                    delta = delta - nrm * delta.dot(nrm);
+                    target[v] = pos[v] + delta * l;
+                } else {
+                    target[v] = pos[v];
+                }
+            }
+            for (size_t v = 0; v < pos.size(); ++v)
+                if (vert_live[v] && !vfaces[v].empty()) pos[v] = target[v];
+        }
+    }
+
+    // write back compacted arrays; returns (nv_out, nf_out)
+    void compact(float* verts_out, int32_t* faces_out, int32_t* nv_out,
+                 int32_t* nf_out, int v_cap, int f_cap) {
+        std::vector<int32_t> remap(pos.size(), -1);
+        int nv = 0;
+        for (size_t f = 0; f < faces.size(); ++f) {
+            if (!face_live[f]) continue;
+            for (int k = 0; k < 3; ++k) {
+                int u = faces[f][k];
+                if (remap[u] < 0) remap[u] = nv++;
+            }
+        }
+        int nf = 0;
+        for (size_t f = 0; f < faces.size(); ++f)
+            if (face_live[f]) ++nf;
+        if (nv > v_cap || nf > f_cap) {
+            *nv_out = -nv;     // signal: caller must grow buffers
+            *nf_out = -nf;
+            return;
+        }
+        for (size_t u = 0; u < pos.size(); ++u) {
+            if (remap[u] >= 0) {
+                verts_out[3 * remap[u]] = pos[u].x;
+                verts_out[3 * remap[u] + 1] = pos[u].y;
+                verts_out[3 * remap[u] + 2] = pos[u].z;
+            }
+        }
+        int fo = 0;
+        for (size_t f = 0; f < faces.size(); ++f) {
+            if (!face_live[f]) continue;
+            for (int k = 0; k < 3; ++k)
+                faces_out[3 * fo + k] = remap[faces[f][k]];
+            ++fo;
+        }
+        *nv_out = nv;
+        *nf_out = nf;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Isotropic remesh toward target edge length: n_passes of
+// {split long, collapse short (greedy sequential, guarded), flip,
+// relax}.  Buffers are caller-allocated with capacities; on overflow
+// *nv/*nf return negated required sizes and no write happens.
+void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
+                   int nf, float target, int n_passes, float l,
+                   int n_relax, int max_valence,
+                   float* verts_out, int32_t* faces_out,
+                   int32_t* nv_out, int32_t* nf_out,
+                   int v_cap, int f_cap) {
+    EditMesh m;
+    m.build(verts_in, nv, faces_in, nf);
+    const float high2 = (4.f / 3.f * target) * (4.f / 3.f * target);
+    const float low2 = (4.f / 5.f * target) * (4.f / 5.f * target);
+    std::vector<int32_t> ra, rb, ring;
+
+    for (int pass = 0; pass < n_passes; ++pass) {
+        // split pass: iterate faces, split the longest over-long edge
+        size_t nf_now = m.faces.size();
+        for (size_t fi = 0; fi < nf_now; ++fi) {
+            if (!m.face_live[fi]) continue;
+            for (int k = 0; k < 3; ++k) {
+                int a = m.faces[fi][k];
+                int b = m.faces[fi][(k + 1) % 3];
+                if (a < b &&
+                    (m.pos[a] - m.pos[b]).norm2() > high2)
+                    m.split(a, b);
+            }
+        }
+
+        // collapse pass: sequential greedy over vertices' short edges
+        for (size_t v = 0; v < m.pos.size(); ++v) {
+            if (!m.vert_live[v]) continue;
+            bool again = true;
+            int guard = 8;
+            while (again && guard-- > 0) {
+                again = false;
+                m.ring((int)v, ring);
+                for (int u : ring) {
+                    if ((m.pos[v] - m.pos[u]).norm2() < low2) {
+                        if (m.collapse((int)v, u, max_valence, ra, rb)) {
+                            again = true;
+                            break;
+                        }
+                    }
+                }
+            }
+        }
+
+        // flip pass
+        nf_now = m.faces.size();
+        for (size_t fi = 0; fi < nf_now; ++fi) {
+            if (!m.face_live[fi]) continue;
+            for (int k = 0; k < 3; ++k) {
+                int a = m.faces[fi][k];
+                int b = m.faces[fi][(k + 1) % 3];
+                if (a < b) m.flip(a, b, ra);
+            }
+        }
+
+        if (n_relax > 0) m.relax(l, n_relax);
+    }
+    m.compact(verts_out, faces_out, nv_out, nf_out, v_cap, f_cap);
+}
+
+// Fused neighbor-table build: per-vertex one-ring vertex/face tables
+// (K-capped) + per-face edge-adjacent faces.  Single counting-sort
+// pass — the host-side prep for every device block.
+void build_tables_native(const int32_t* faces, int nf, int nv, int K,
+                         int32_t* nbr_v, int32_t* nbr_f,
+                         int32_t* face_nbrs) {
+    // counts per source vertex
+    std::vector<int32_t> cnt(nv + 1, 0);
+    for (int f = 0; f < nf; ++f)
+        for (int k = 0; k < 3; ++k) ++cnt[faces[3 * f + k] + 1];
+    std::vector<int32_t> start(cnt.begin(), cnt.end());
+    for (int v = 0; v < nv; ++v) start[v + 1] += start[v];
+
+    // halfedge lists sorted by src: record (dst, face)
+    std::vector<int32_t> he_dst(3 * nf), he_face(3 * nf), he_slot(3 * nf);
+    std::vector<int32_t> cursor(start.begin(), start.end() - 1);
+    for (int f = 0; f < nf; ++f) {
+        for (int k = 0; k < 3; ++k) {
+            int src = faces[3 * f + k];
+            int dst = faces[3 * f + (k + 1) % 3];
+            int pos = cursor[src]++;
+            he_dst[pos] = dst;
+            he_face[pos] = f;
+            he_slot[pos] = k;
+        }
+    }
+
+    // neighbor tables (first K outgoing halfedges per vertex)
+    for (int v = 0; v < nv; ++v) {
+        int n = 0;
+        for (int p = start[v]; p < start[v + 1] && n < K; ++p, ++n) {
+            nbr_v[(size_t)v * K + n] = he_dst[p];
+            nbr_f[(size_t)v * K + n] = he_face[p];
+        }
+        for (; n < K; ++n) {
+            nbr_v[(size_t)v * K + n] = -1;
+            nbr_f[(size_t)v * K + n] = -1;
+        }
+    }
+
+    // face adjacency: for halfedge (src=v, dst=u) find (src=u, dst=v)
+    for (int f = 0; f < nf * 3; ++f) face_nbrs[f] = -1;
+    for (int v = 0; v < nv; ++v) {
+        for (int p = start[v]; p < start[v + 1]; ++p) {
+            int u = he_dst[p];
+            int found = -1;
+            int n_found = 0;
+            for (int q = start[u]; q < start[u + 1]; ++q) {
+                if (he_dst[q] == v) {
+                    found = he_face[q];
+                    ++n_found;
+                }
+            }
+            if (n_found == 1)
+                face_nbrs[3 * he_face[p] + he_slot[p]] = found;
+        }
+    }
+}
+
+}  // extern "C"

@@ -319,8 +319,8 @@ def fit_point_order(points, k=16, sparse_factor=3.0):
 @partial(jax.jit,
          static_argnames=('block_size', 'cand_cap', 'face_k',
                           'block_chunk', 'face_chunk', 'n_subsample'))
-def nearest_face_blocked(points, centers, f_mask, block_size=512,
-                         cand_cap=2048, face_k=8, block_chunk=8,
+def nearest_face_blocked(points, centers, f_mask, block_size=256,
+                         cand_cap=2048, face_k=16, block_chunk=8,
                          face_chunk=16384, n_subsample=2048):
     """Nearest face for Morton-sorted points via per-block candidates.
 
@@ -346,27 +346,47 @@ def nearest_face_blocked(points, centers, f_mask, block_size=512,
     # curve-interleaved into a surface block
     bcent = jnp.median(blocks, axis=1)                   # (nb, 3)
 
-    # ---- stage 1: block -> cand_cap nearest faces (top-k per block).
-    # Coverage guarantee: the candidate set contains every face within
-    # R_C(block) of the centroid, so a point's true nearest face is
-    # found whenever d(p, f*) + d(p, centroid) < R_C.
-    c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
+    # ---- stage 1: assign each face to its face_k nearest block
+    # centroids (tiny top-k per face: cheap to compile, unlike a
+    # top-cand_cap-per-block sort which blows up TPU compile time),
+    # then build per-block candidate tables capped by distance rank.
+    b2 = (bcent * bcent).sum(-1)
 
-    def block_topk(bc):
-        d2 = ((bc * bc).sum(-1)[:, None] + c2_all[None, :]
-              - 2.0 * jnp.dot(bc, centers.T,
+    def face_chunk_topk(cch):
+        cc = cch
+        d2 = ((cc * cc).sum(-1)[:, None] + b2[None, :]
+              - 2.0 * jnp.dot(cc, bcent.T,
                               preferred_element_type=jnp.float32))
-        neg, idx = jax.lax.top_k(-d2, cand_cap)          # (chunk, C)
+        neg, idx = jax.lax.top_k(-d2, face_k)            # (fc, k)
         return -neg, idx.astype(jnp.int32)
 
-    n_cchunks = -(-nblocks // 64)
-    nb_pad0 = n_cchunks * 64
-    bcent_p = jnp.zeros((nb_pad0, 3), jnp.float32).at[:nblocks].set(bcent)
-    d2c, table = jax.lax.map(block_topk,
-                             bcent_p.reshape(n_cchunks, 64, 3))
-    d2c = d2c.reshape(nb_pad0, cand_cap)[:nblocks]
-    table = table.reshape(nb_pad0, cand_cap)[:nblocks]
-    table = jnp.where(d2c < BIG, table, -1)              # (nb, cap)
+    n_fchunks = -(-Fp // face_chunk)
+    Fpad2 = n_fchunks * face_chunk
+    cpad = jnp.zeros((Fpad2, 3), jnp.float32).at[:Fp].set(centers)
+    d2k, blk = jax.lax.map(face_chunk_topk,
+                           cpad.reshape(n_fchunks, face_chunk, 3))
+    d2k = d2k.reshape(Fpad2, face_k)[:Fp]
+    blk = blk.reshape(Fpad2, face_k)[:Fp]
+    blk = jnp.where(f_mask[:, None], blk, nblocks)       # invalid -> sentinel
+
+    pair_block = blk.reshape(-1)                          # (Fp*k,)
+    pair_face = jnp.broadcast_to(
+        jnp.arange(Fp, dtype=jnp.int32)[:, None], (Fp, face_k)).reshape(-1)
+    pair_d = d2k.reshape(-1)
+    # sort by (block, distance) so the cap keeps the nearest faces
+    order_d = jnp.argsort(pair_d)
+    order_b = jnp.argsort(pair_block[order_d], stable=True)
+    order_final = order_d[order_b]
+    sb = pair_block[order_final]
+    sf = pair_face[order_final]
+    starts = jnp.searchsorted(sb, jnp.arange(nblocks + 1))
+    rank = jnp.arange(sb.shape[0]) - starts[jnp.clip(sb, 0, nblocks)]
+    ok = (sb < nblocks) & (rank < cand_cap)
+    table = jnp.full((nblocks + 1, cand_cap), -1, jnp.int32)
+    table = table.at[jnp.where(ok, sb, nblocks),
+                     jnp.where(ok, rank, 0)].set(
+        jnp.where(ok, sf, -1).astype(jnp.int32))
+    table = table[:nblocks]                               # (nb, cap)
 
     # ---- stage 2: dense per-block point x candidate tiles
     n_bchunks = -(-nblocks // block_chunk)

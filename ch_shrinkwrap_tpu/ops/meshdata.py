@@ -94,14 +94,20 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     f_mask = np.zeros(Fp, bool)
     f_mask[:F] = True
 
-    nv, nf = neighbor_tables(f, V, K)
+    from .. import native
+    tables = native.build_tables(f, V, K)
+    if tables is not None:
+        nv, nf, fadj = tables
+    else:
+        nv, nf = neighbor_tables(f, V, K)
+        fadj = face_adjacency(f)
     nbr_v = np.full((Vp, K), -1, np.int32)
     nbr_v[:V] = nv
     nbr_f = np.full((Vp, K), -1, np.int32)
     nbr_f[:V] = nf
 
     fn = np.full((Fp, 3), -1, np.int32)
-    fn[:F] = face_adjacency(f)
+    fn[:F] = fadj
 
     return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
                       jnp.asarray(faces), jnp.asarray(f_mask),
