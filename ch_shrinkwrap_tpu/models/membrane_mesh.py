@@ -394,8 +394,8 @@ class MembraneMesh(TriangleMesh):
         method = self.corr_method
         approx_n_faces = 2 * self.vertices.shape[0]
         if method == 'auto':
-            method = ('blocked' if N * approx_n_faces > 2e9 else 'brute')
-        if method == 'blocked':
+            method = ('windowed' if N * approx_n_faces > 2e9 else 'brute')
+        if method in ('blocked', 'windowed'):
             from ..ops.correspondence import fit_point_order
             order = fit_point_order(points)
             points = np.ascontiguousarray(points[order])

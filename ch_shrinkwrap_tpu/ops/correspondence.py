@@ -442,6 +442,133 @@ def nearest_face_blocked(points, centers, f_mask, block_size=256,
     return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
 
 
+@partial(jax.jit,
+         static_argnames=('block_size', 'window', 'block_chunk',
+                          'n_subsample'))
+def nearest_face_windowed(points, centers, f_mask, block_size=256,
+                          window=4096, block_chunk=8, n_subsample=2048):
+    """Nearest face via contiguous Hilbert windows — the production
+    TPU path.
+
+    Requires BOTH sides spatially sorted: points by ``fit_point_order``
+    and faces by ``hilbert_order`` of their centers (meshdata.from_mesh
+    does this).  Each point block then reads one contiguous ``window``
+    of the face array around its centroid's anchor face — a pure
+    ``dynamic_slice``, no large gathers (XLA TPU gathers of (block,
+    cand) index tables are both compile- and runtime-pathological).
+    The anchor comes from a hashed-subsample search per block centroid;
+    the same subsample acts as the far-point fallback, and the
+    face-adjacency polish pass snaps the remaining boundary cases.
+    """
+    N = points.shape[0]
+    Fp = centers.shape[0]
+    nblocks = -(-N // block_size)
+    Npad = nblocks * block_size
+
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    if Npad != N:
+        p = p.at[N:].set(points[N - 1])
+    blocks = p.reshape(nblocks, block_size, 3)
+    bcent = jnp.median(blocks, axis=1)                   # (nb, 3)
+
+    # hashed subsample for anchors + fallback
+    sub_ids = _subsample_ids(Fp, n_subsample)
+    sub_c = centers[sub_ids]
+    sub_m = f_mask[sub_ids]
+    sub_c2 = jnp.where(sub_m, (sub_c * sub_c).sum(-1), BIG)
+
+    # anchor faces per block: the n_anchors nearest subsample faces to
+    # the centroid — a spatial ball maps to several disjoint index runs
+    # of the Hilbert face order, and each anchor opens a window into
+    # one run
+    n_anchors = 3
+    n_pool = 12
+    d2b = ((bcent * bcent).sum(-1)[:, None] + sub_c2[None, :]
+           - 2.0 * jnp.dot(bcent, sub_c.T,
+                           preferred_element_type=jnp.float32))
+    _, top = jax.lax.top_k(-d2b, n_pool)                 # (nb, P)
+    pool = sub_ids[top]                                  # (nb, P)
+    w_half = window // 2
+    # greedy index-diverse selection: each anchor must open a window
+    # disjoint from the already-chosen ones (spatially-near subsample
+    # faces often share an index run; diversity is the point)
+    anchors = [pool[:, 0]]
+    chosen_mask = jnp.zeros(pool.shape, bool).at[:, 0].set(True)
+    for _a in range(1, n_anchors):
+        far_from = jnp.ones(pool.shape, bool)
+        for ch in anchors:
+            far_from &= jnp.abs(pool - ch[:, None]) > w_half
+        ok = far_from & ~chosen_mask
+        # first (nearest-by-distance) pool entry that is index-far
+        any_ok = ok.any(1)
+        pick = jnp.argmax(ok, axis=1)
+        fallback = jnp.argmax(~chosen_mask, axis=1)
+        pick = jnp.where(any_ok, pick, fallback)
+        chosen_mask = chosen_mask.at[jnp.arange(pool.shape[0]),
+                                     pick].set(True)
+        anchors.append(pool[jnp.arange(pool.shape[0]), pick])
+    anchors = jnp.stack(anchors, axis=1)                 # (nb, A)
+    starts = jnp.clip(anchors - w_half, 0, max(Fp - window, 0))
+
+    n_bchunks = -(-nblocks // block_chunk)
+    nb_pad = n_bchunks * block_chunk
+    blocks_p = jnp.zeros((nb_pad, block_size, 3), jnp.float32
+                         ).at[:nblocks].set(blocks)
+    starts_p = jnp.zeros((nb_pad, n_anchors), jnp.int32
+                         ).at[:nblocks].set(starts.astype(jnp.int32))
+
+    fmask_f = f_mask.astype(jnp.float32)
+
+    def per_chunk(chunk):
+        bp, st = chunk                               # (bc,B,3),(bc,A)
+
+        def one_block(args):
+            pb, s0s = args                           # (B,3), (A,)
+            p2 = (pb * pb).sum(-1)
+            best_d = jnp.full((pb.shape[0],), BIG, jnp.float32)
+            best_i = jnp.zeros((pb.shape[0],), jnp.int32)
+            for a_ in range(n_anchors):
+                s0 = s0s[a_]
+                cw = jax.lax.dynamic_slice(centers, (s0, 0), (window, 3))
+                mw = jax.lax.dynamic_slice(fmask_f, (s0,), (window,))
+                c2 = jnp.where(mw > 0, (cw * cw).sum(-1), BIG)
+                d2 = (p2[:, None] + c2[None, :]
+                      - 2.0 * jnp.dot(pb, cw.T,
+                                      preferred_element_type=jnp.float32))
+                j = jnp.argmin(d2, axis=1)
+                dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+                upd = dmin < best_d
+                best_d = jnp.where(upd, dmin, best_d)
+                best_i = jnp.where(upd, (s0 + j).astype(jnp.int32),
+                                   best_i)
+            return best_d, best_i
+
+        dmin, fid = jax.vmap(one_block)((bp, st))
+
+        # subsample fallback for this chunk
+        flat = bp.reshape(-1, 3)
+        p2f = (flat * flat).sum(-1)
+        d2s = (p2f[:, None] + sub_c2[None, :]
+               - 2.0 * jnp.dot(flat, sub_c.T,
+                               preferred_element_type=jnp.float32))
+        js = jnp.argmin(d2s, axis=1)
+        dsub = jnp.take_along_axis(d2s, js[:, None], 1)[:, 0].reshape(
+            bp.shape[0], -1)
+        isub = sub_ids[js].reshape(bp.shape[0], -1)
+        upd = dsub < dmin
+        return (jnp.where(upd, dsub, dmin),
+                jnp.where(upd, isub, fid).astype(jnp.int32))
+
+    d2f, fidf = jax.lax.map(per_chunk,
+                            (blocks_p.reshape(n_bchunks, block_chunk,
+                                              block_size, 3),
+                             starts_p.reshape(n_bchunks, block_chunk,
+                                              n_anchors)))
+    d2f = d2f.reshape(-1)[:N]
+    fidf = fidf.reshape(-1)[:N]
+    return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
+
+
 def nearest_face(points, centers, f_mask, face_chunk=4096, method='auto',
                  cell_size=None, **kw):
     """Dispatcher: grid hash when a cell size is given (production),

@@ -75,10 +75,22 @@ def neighbor_tables(faces: np.ndarray, n_vertices: int, K: int = NEIGHBORSIZE):
 
 
 def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
-              quantum: int = 1024, K: int = NEIGHBORSIZE) -> MeshArrays:
-    """Pad a host TriangleMesh into device MeshArrays."""
+              quantum: int = 1024, K: int = NEIGHBORSIZE,
+              hilbert_faces: bool = True) -> MeshArrays:
+    """Pad a host TriangleMesh into device MeshArrays.
+
+    ``hilbert_faces`` reorders the face list by the Hilbert code of the
+    face centroids so spatially close faces are index-contiguous — the
+    invariant the windowed correspondence kernel
+    (correspondence.nearest_face_windowed) relies on.  Face order
+    carries no semantics, so this is free.
+    """
     v = np.asarray(mesh.vertices, dtype=np.float32)
     f = np.asarray(mesh.faces, dtype=np.int32)
+    if hilbert_faces and len(f) > 64:
+        from .correspondence import hilbert_order
+        fc = v[f].mean(1)
+        f = np.ascontiguousarray(f[hilbert_order(fc)])
     V, F = v.shape[0], f.shape[0]
     Vp = v_cap or round_up_bucket(V, quantum)
     Fp = f_cap or round_up_bucket(F, quantum)

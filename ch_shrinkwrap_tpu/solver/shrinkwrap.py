@@ -77,7 +77,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              lam0, shrink_lam=0.0, num_iters=5,
              use_shrink=False, face_chunk=2048, stop_eps=1e-6,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
-             polish_iters=6):
+             polish_iters=2):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -124,6 +124,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         elif corr_method == 'blocked':
             # expects fit_point_order-sorted points (driver does this)
             dmean, fi = corr.nearest_face_blocked(points, centers, f_mask)
+        elif corr_method == 'windowed':
+            # expects fit_point_order-sorted points AND hilbert-sorted
+            # faces (meshdata.from_mesh does the latter)
+            dmean, fi = corr.nearest_face_windowed(points, centers, f_mask)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
