@@ -408,11 +408,17 @@ class MembraneMesh(TriangleMesh):
         w_j = jnp.asarray(res_weights)
         pmask = jnp.ones(N, bool)
 
+        from ..utils.tracing import FitTrace
+        import time as _time
+        if getattr(self, 'trace', None) is None:
+            self.trace = FitTrace()
+
         last_area = self.area()
         j = 0
         while j < n_iter:
             n_it = int(min(n_iter - j, rf))
 
+            t0 = _time.time()
             ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
             f_new, diag = cg_block(
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
@@ -422,16 +428,23 @@ class MembraneMesh(TriangleMesh):
                 corr_method=method,
                 cell_size=float(2.0 * self._mean_edge_length),
                 face_nbrs=ma.face_nbrs)
+            f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]
             self.set_positions(np.asarray(f_new)[:V])
             self._initialize_curvature_vectors()
             j += n_it
+            self.trace.record('cg_block', j, _time.time() - t0, self,
+                              diag=diag, n_iters=n_it)
 
             if dr and ((j % self.delaunay_remesh_frequency) == 0):
-                self.punch_holes(points, self.delaunay_eps)
+                t0 = _time.time()
+                n_punched = self.punch_holes(points, self.delaunay_eps)
+                self.trace.record('punch_holes', j, _time.time() - t0,
+                                  self, n_punched=n_punched)
 
             if r and ((j % self.remesh_frequency) == 0):
+                t0 = _time.time()
                 if (neck_first_iter > 0) and (j > neck_first_iter):
                     self.remove_necks(
                         getattr(self, 'neck_threshold_low', -1e-4),
@@ -439,6 +452,8 @@ class MembraneMesh(TriangleMesh):
                 self.remove_extra_short_edges()
                 target_length = initial_length + m * (j + 1)
                 self.remesh(5, target_length, 0.5, n_relax=0)
+                self.trace.record('remesh', j, _time.time() - t0, self,
+                                  target_length=float(target_length))
                 logger.info(
                     'Shrinkwrapping iteration %d of %d - Remesh: target '
                     'mean length: %.2f resulting: %.2f (V=%d)',
@@ -448,7 +463,8 @@ class MembraneMesh(TriangleMesh):
             area = self.area()
             last_area = area
 
-        logger.info('Shrinkwrapping complete in %d iterations', j)
+        logger.info('Shrinkwrapping complete in %d iterations (%s)',
+                    j, self.trace.summary())
 
     def shrink_wrap(self, points=None, sigma=None,
                     method='conjugate_gradient', max_iter=None, **kwargs):

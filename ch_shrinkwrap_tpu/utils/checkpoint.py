@@ -1,0 +1,62 @@
+"""Fit checkpoint / resume.
+
+The reference's resume mechanisms are implicit (SURVEY §5: cached
+points/sigma for continuation, ``truncate_at`` early stop, per-stage
+STL artifacts).  Here the fit state is explicit and serializable:
+positions + topology + schedule step + cached cloud — a single ``.npz``
+that fully restores a ``MembraneMesh`` mid-fit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_fit_state(mesh, path, iteration=0):
+    """Serialize a MembraneMesh fit state to ``path`` (.npz)."""
+    payload = dict(
+        vertices=mesh.vertices,
+        faces=mesh.faces,
+        iteration=np.int64(iteration),
+        kc=np.float64(mesh.kc), kg=np.float64(mesh.kg),
+        c0=np.float64(mesh.c0),
+        step_size=np.float64(mesh.step_size),
+        max_iter=np.int64(mesh.max_iter),
+        remesh_frequency=np.int64(mesh.remesh_frequency),
+        delaunay_remesh_frequency=np.int64(mesh.delaunay_remesh_frequency),
+        delaunay_eps=np.float64(mesh.delaunay_eps),
+        neck_threshold_low=np.float64(mesh.neck_threshold_low),
+        neck_threshold_high=np.float64(mesh.neck_threshold_high),
+        neck_first_iter=np.int64(mesh.neck_first_iter),
+        shrink_weight=np.float64(mesh.shrink_weight),
+    )
+    if mesh._points is not None:
+        payload['points'] = mesh._points
+    if mesh._sigma is not None:
+        payload['sigma'] = np.asarray(mesh._sigma)
+    np.savez_compressed(path, **payload)
+
+
+def load_fit_state(path):
+    """Restore a MembraneMesh (and its cached cloud) from ``path``.
+
+    Returns (mesh, iteration).  ``mesh.shrink_wrap()`` with no
+    arguments continues the fit like the reference's cached-points path
+    (_membrane_mesh.pyx:1650-1667).
+    """
+    from ..models.membrane_mesh import MembraneMesh
+
+    with np.load(path, allow_pickle=False) as z:
+        mesh = MembraneMesh(z['vertices'], z['faces'])
+        for k in ('kc', 'kg', 'c0', 'step_size', 'delaunay_eps',
+                  'neck_threshold_low', 'neck_threshold_high',
+                  'shrink_weight'):
+            setattr(mesh, k, float(z[k]))
+        for k in ('max_iter', 'remesh_frequency',
+                  'delaunay_remesh_frequency', 'neck_first_iter'):
+            setattr(mesh, k, int(z[k]))
+        if 'points' in z:
+            mesh._points = z['points']
+        if 'sigma' in z:
+            mesh._sigma = z['sigma']
+        return mesh, int(z['iteration'])

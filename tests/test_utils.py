@@ -1,0 +1,73 @@
+"""Tests for checkpoint/resume, tracing, animation frames."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+from ch_shrinkwrap_tpu.utils.checkpoint import save_fit_state, load_fit_state
+
+
+def small_fit_mesh(seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(800, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50 + rng.normal(scale=3, size=(800, 3))).astype(np.float32)
+    sigma = np.full((800, 3), 3.0, np.float32)
+    v, f = icosphere(2, radius=60.0)
+    mesh = MembraneMesh(v, f, kc=1.0, step_size=4.0, remesh_frequency=0,
+                        delaunay_remesh_frequency=0)
+    return mesh, pts, sigma
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mesh, pts, sigma = small_fit_mesh()
+    mesh.shrink_wrap(pts, sigma, max_iter=3)
+    path = str(tmp_path / 'state.npz')
+    save_fit_state(mesh, path, iteration=3)
+
+    mesh2, it = load_fit_state(path)
+    assert it == 3
+    np.testing.assert_array_equal(mesh2.faces, mesh.faces)
+    np.testing.assert_allclose(mesh2.vertices, mesh.vertices)
+    assert mesh2.kc == mesh.kc
+    # resume continues from cached cloud (reference continuation
+    # contract, _membrane_mesh.pyx:1650-1667)
+    r1 = np.linalg.norm(mesh2.vertices, axis=1).mean()
+    mesh2.shrink_wrap(max_iter=3)
+    r2 = np.linalg.norm(mesh2.vertices, axis=1).mean()
+    assert r2 < r1
+
+
+def test_fit_trace_records():
+    mesh, pts, sigma = small_fit_mesh()
+    mesh.remesh_frequency = 2
+    mesh.shrink_wrap(pts, sigma, max_iter=4, minimum_edge_length=8.0)
+    kinds = {r.kind for r in mesh.trace.records}
+    assert 'cg_block' in kinds
+    assert 'remesh' in kinds
+    s = mesh.trace.summary()
+    assert s['cg_block']['count'] >= 2
+    assert all(r.wall_time >= 0 for r in mesh.trace.records)
+
+
+def test_fit_trace_dump(tmp_path):
+    mesh, pts, sigma = small_fit_mesh()
+    mesh.shrink_wrap(pts, sigma, max_iter=2)
+    path = str(tmp_path / 'trace.jsonl')
+    mesh.trace.dump_jsonl(path)
+    import json
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == len(mesh.trace.records)
+    assert lines[0]['kind'] == 'cg_block'
+
+
+def test_animation_frames(tmp_path):
+    from ch_shrinkwrap_tpu.animation import animate_shrinkwrap
+    mesh, pts, sigma = small_fit_mesh()
+    out = str(tmp_path / 'anim')
+    animate_shrinkwrap(mesh, pts, sigma, out, max_iters=3)
+    frames = sorted(os.listdir(out))
+    assert len(frames) == 3
