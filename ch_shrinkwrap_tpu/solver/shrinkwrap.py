@@ -136,22 +136,34 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             dmean, fi = corr.refine_correspondence(points, centers,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
-        v_idx, w = corr.correspondence_weights(f, faces, points, fi)
+        # weights + forward map share one f[v_idx] gather
+        v_idx = faces[fi]                                # (N, 3)
+        fv = f[v_idx]                                    # (N, 3, 3)
+        dvert = jnp.sqrt(((fv - points[:, None, :]) ** 2).sum(-1))
+        w = 1.0 / jnp.maximum(dvert, 1e-6)
+        w = w / w.sum(-1, keepdims=True)
         w = w * pmask3
 
         # --- weighted residuals (mesh_conj_grad.py:222-248)
-        Af = corr.a_apply(f, v_idx, w)
+        Af = (fv * w[..., None]).sum(axis=1)
         res = weights * (points - Af)
         w_dist = 1.0 / (dmean[:, None] * sigma_inv / 2.0 + 1.0)
         res = res * w_dist * pmask3
 
-        # --- priors
-        pi_vec = corr.ah_apply(ones_pts, v_idx, w, Vp)
+        # --- priors (A^T of residuals and ones batched in one scatter:
+        # gathers/scatters are row-count bound on TPU, so widening rows
+        # beats issuing multiple ops)
+        ah_in = jnp.concatenate([res, ones_pts], axis=1)     # (N, 6)
+        ah_out = jax.ops.segment_sum(
+            (w[..., None] * ah_in[:, None, :]).reshape(-1, 6),
+            v_idx.reshape(-1), num_segments=Vp)              # (Vp, 6)
+        S0_raw = ah_out[:, :3]
+        pi_vec = ah_out[:, 3:]
         point_influence = jnp.sqrt((pi_vec * pi_vec).sum(-1))
         ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask)
 
         vmask3 = v_mask[:, None]
-        S0 = corr.ah_apply(res, v_idx, w, Vp) * vmask3
+        S0 = S0_raw * vmask3
         pref0 = (f - ncc) * vmask3
         prefs = [pref0]
         dirs = [S0, -pref0]
@@ -184,9 +196,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         for (i, j) in pairs:
             test = test - cos_abs(i, j) / len(pairs)
 
-        # --- subspace solve (conj_grad.py:183-229)
-        AS = jnp.stack([corr.a_apply(S[..., k], v_idx, w)
-                        for k in range(s_size)], axis=-1)  # (N, 3, s)
+        # --- subspace solve (conj_grad.py:183-229); all direction
+        # forward maps share the correspondence, so gather once with
+        # wide rows instead of s_size separate row gathers
+        AS = (S[v_idx] * w[..., None, None]).sum(axis=1)   # (N, 3, s)
         ASm = AS * el_mask[..., None]
         res_m = res * el_mask
 
