@@ -413,13 +413,40 @@ class MembraneMesh(TriangleMesh):
         if getattr(self, 'trace', None) is None:
             self.trace = FitTrace()
 
+        # Pre-size the device arrays for the WHOLE fit: the edge-length
+        # schedule predicts the final mesh resolution, so padding every
+        # block to that capacity keeps one static shape -> one XLA
+        # compile per fit (the windowed search cost depends on N and the
+        # window, not on the face-table padding).
+        if r:
+            pred_final_len = max(float(initial_length + m
+                                       * rf * np.ceil(max_iter / rf)),
+                                 1e-3)
+            pred_faces = 2.0 * self.area() / (np.sqrt(3.0) / 4.0
+                                              * pred_final_len ** 2)
+            pred_faces = max(pred_faces, self.faces.shape[0])
+            f_cap = meshdata.round_up_bucket(int(1.3 * pred_faces),
+                                             self.pad_quantum)
+            v_cap = meshdata.round_up_bucket(int(1.3 * pred_faces / 2) + 8,
+                                             self.pad_quantum)
+        else:
+            v_cap = f_cap = None
+
         last_area = self.area()
         j = 0
         while j < n_iter:
             n_it = int(min(n_iter - j, rf))
 
             t0 = _time.time()
-            ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+            if v_cap is not None and (self.vertices.shape[0] > v_cap
+                                      or self.faces.shape[0] > f_cap):
+                # remesh overshot the prediction; grow the bucket
+                v_cap = meshdata.round_up_bucket(
+                    int(1.3 * self.vertices.shape[0]), self.pad_quantum)
+                f_cap = meshdata.round_up_bucket(
+                    int(1.3 * self.faces.shape[0]), self.pad_quantum)
+            ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
+                                    quantum=self.pad_quantum)
             f_new, diag = cg_block(
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                 pts_j, sig_j, w_j, pmask,
