@@ -249,3 +249,162 @@ def clean_neg_voronoi_poles(mesh, poles):
     :452-459)."""
     d = distance_to_mesh(poles, mesh)
     return poles[d < 0.0, :]
+
+
+CORNER_ANGLE = 3 * np.pi / 2
+
+
+def _face_edge_tables(faces):
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]], axis=0)
+    order = np.arange(len(edges))
+    # interleave like the reference layout (edge i of face f at 3f+i)
+    edges = np.sort(edges.reshape(3, -1, 2).transpose(1, 0, 2)
+                    .reshape(-1, 2), axis=1)
+    uniq, idxs, counts = np.unique(edges, axis=0, return_inverse=True,
+                                   return_counts=True)
+    return edges, uniq, idxs, counts
+
+
+def _face_normals_of(faces, v):
+    v1 = v[faces[:, 1]]
+    a = v[faces[:, 0]] - v1
+    b = v[faces[:, 2]] - v1
+    n = np.cross(a, b, axis=1)
+    nn = np.linalg.norm(n, axis=1)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        n = np.where(nn[:, None] > 0, n / np.maximum(nn, 1e-30)[:, None],
+                     0.0)
+    return n, nn, a, b
+
+
+def remove_singular_faces(faces, v):
+    """Prune a candidate triangle soup to a cleaner surface (reference
+    :463-552): drop sliver triangles (area < 10% of their circumcircle),
+    unshared faces, sharp corners, and all but the two most-aligned
+    faces on over-shared edges."""
+    norms, nn, a, b = _face_normals_of(faces, v)
+    _, uniq, idxs, counts = _face_edge_tables(faces)
+
+    kept = np.ones(faces.shape[0], dtype=bool)
+
+    a_n = np.linalg.norm(a, axis=1)
+    b_n = np.linalg.norm(b, axis=1)
+    ab_n = np.linalg.norm(a - b, axis=1)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        circumradius = a_n * b_n * ab_n / np.maximum(2 * nn, 1e-30)
+        adiff = 0.5 * nn / np.maximum(np.pi * circumradius ** 2, 1e-30)
+    kept[adiff < 0.1] = False
+
+    face_of = np.arange(3 * faces.shape[0]) // 3
+    for i in np.flatnonzero(counts == 1):
+        kept[face_of[np.flatnonzero(idxs == i)[0]]] = False
+
+    for i in np.flatnonzero(counts == 2):
+        cf = face_of[np.flatnonzero(idxs == i)]
+        dot = np.abs((norms[cf[0]] * norms[cf[1]]).sum())
+        if np.arccos(np.clip(dot, -1, 1)) > CORNER_ANGLE:
+            kept[cf] = False
+
+    for i in np.flatnonzero(counts > 2):
+        cf = face_of[np.flatnonzero(idxs == i)]
+        dots = np.abs(norms[cf] @ norms[cf].T)
+        np.fill_diagonal(dots, -2)
+        j, k = np.unravel_index(np.argmax(dots), dots.shape)
+        if np.arccos(np.clip(dots[j, k], -1, 1)) > CORNER_ANGLE:
+            kept[cf] = False
+        else:
+            drop = np.ones(len(cf), dtype=bool)
+            drop[[j, k]] = False
+            kept[cf[drop]] = False
+
+    return faces[kept]
+
+
+def construct_outer_surface(faces, v, starting_face=0):
+    """Greedy flood over edge adjacency keeping a singularity-free
+    surface (reference :555-622): visit faces breadth-first from
+    ``starting_face``, never letting an edge exceed two incident kept
+    faces, preferring the smoothest normal transition on over-shared
+    edges and refusing sharp corners."""
+    norms, _, _, _ = _face_normals_of(faces, v)
+    _, uniq, idxs, counts = _face_edge_tables(faces)
+    face_of = np.arange(3 * faces.shape[0]) // 3
+
+    # edge id -> incident face list
+    order = np.argsort(idxs, kind='stable')
+    sidx = idxs[order]
+    sface = face_of[order]
+    starts = np.searchsorted(sidx, np.arange(len(uniq) + 1))
+
+    def edge_faces(e):
+        return sface[starts[e]:starts[e + 1]]
+
+    visited = np.zeros(faces.shape[0], dtype=bool)
+    kept_edges = np.zeros(len(uniq), dtype=int)
+    kept = np.zeros(faces.shape[0], dtype=bool)
+    stack = [starting_face]
+
+    face_edge_ids = idxs.reshape(-1, 3)
+
+    while stack:
+        cur = stack.pop()
+        if visited[cur]:
+            continue
+        visited[cur] = True
+        eids = face_edge_ids[cur]
+        if (counts[eids] == 1).any():
+            continue
+        if (kept_edges[eids] == 2).any():
+            continue
+        kept[cur] = True
+        kept_edges[eids] += 1
+
+        for e in eids:
+            cf = edge_faces(e)
+            if counts[e] == 2:
+                other = cf[cf != cur]
+                if len(other) != 1:
+                    continue
+                dot = np.abs((norms[cur] * norms[other[0]]).sum())
+                if np.arccos(np.clip(dot, -1, 1)) > CORNER_ANGLE:
+                    continue
+                stack.append(int(other[0]))
+            elif counts[e] > 2:
+                others = cf[cf != cur]
+                if len(others) == 0:
+                    continue
+                dots = np.abs(norms[others] @ norms[cur])
+                b = int(np.argmax(dots))
+                if np.arccos(np.clip(dots[b], -1, 1)) > CORNER_ANGLE:
+                    continue
+                stack.append(int(others[b]))
+
+    return faces[kept]
+
+
+def sliver_simps(d, v, sigma0=0.06, rho0=2.0):
+    """Indices of sliver tetrahedra (shape quality V/l^3 below sigma0
+    with bounded radius-edge ratio; reference :665-721 after Li 2000)."""
+    d = _simplices(d)
+    v_tri = v[d]
+    v21 = v_tri[:, 1] - v_tri[:, 2]
+    v23 = v_tri[:, 3] - v_tri[:, 2]
+    v20 = v_tri[:, 0] - v_tri[:, 2]
+    v30 = v_tri[:, 0] - v_tri[:, 3]
+    v10 = v_tri[:, 0] - v_tri[:, 1]
+    v13 = v_tri[:, 1] - v_tri[:, 3]
+    nrm = lambda x: np.linalg.norm(x, axis=1)
+    aA = nrm(v21) * nrm(v30)
+    bB = nrm(v23) * nrm(v10)
+    cC = nrm(v20) * nrm(v13)
+    V = np.abs((v21 * np.cross(v23, v20, axis=1)).sum(1)) / 6.0
+    l = np.min(np.stack([nrm(v21), nrm(v23), nrm(v20), nrm(v30),
+                         nrm(v10), nrm(v13)]), axis=0)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        R = np.sqrt(np.maximum(
+            (aA + bB + cC) * (aA + bB - cC) * (aA - bB + cC)
+            * (-aA + bB + cC), 0.0)) / np.maximum(24 * V, 1e-30)
+        sigma = V / np.maximum(l ** 3, 1e-30)
+        rho = R / np.maximum(l, 1e-30)
+    return np.flatnonzero((sigma < sigma0) & (rho < rho0))

@@ -1,0 +1,52 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from ch_shrinkwrap_tpu.parallel.sharding import (
+    make_device_mesh, shard_points, sharded_cg_block)
+from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+from ch_shrinkwrap_tpu.ops import meshdata
+from ch_shrinkwrap_tpu.solver.shrinkwrap import cg_block
+import jax.numpy as jnp
+
+
+def problem(n=1600, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50 + rng.normal(scale=3, size=(n, 3))).astype(np.float32)
+    sigma_inv = np.full((n, 3), 1 / 3, np.float32)
+    weights = sigma_inv / sigma_inv.mean()
+    v, f = icosphere(2, radius=60.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    return ma, pts, sigma_inv, weights
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_sharded_block_matches_single_device():
+    ma, pts, sigma_inv, weights = problem()
+    mesh = make_device_mesh(8)
+    p, s, w, m = shard_points(mesh, pts, sigma_inv, weights)
+    f_sharded, diag = sharded_cg_block(mesh, ma, p, s, w, m, lam0=2.0,
+                                       num_iters=3, face_chunk=256)
+
+    f_single, _ = cg_block(
+        ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+        jnp.asarray(pts), jnp.asarray(sigma_inv), jnp.asarray(weights),
+        jnp.ones(pts.shape[0], bool), 2.0, num_iters=3, face_chunk=256,
+        face_nbrs=ma.face_nbrs)
+
+    # SPMD partitioning changes only reduction order
+    np.testing.assert_allclose(np.asarray(f_sharded),
+                               np.asarray(f_single), atol=5e-3)
+    assert int(diag.n_done) == 3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
