@@ -65,7 +65,7 @@ def main():
     def block(positions):
         return cg_block(positions, ma.faces, ma.f_mask, ma.v_mask,
                         ma.nbr_v, pts_j, sig_j, w_j, pm, 2.0,
-                        num_iters=rf, corr_method='windowed',
+                        num_iters=rf, corr_method='windowed_pallas',
                         face_nbrs=ma.face_nbrs)
 
     # warmup / compile

@@ -394,8 +394,12 @@ class MembraneMesh(TriangleMesh):
         method = self.corr_method
         approx_n_faces = 2 * self.vertices.shape[0]
         if method == 'auto':
-            method = ('windowed' if N * approx_n_faces > 2e9 else 'brute')
-        if method in ('blocked', 'windowed'):
+            import jax
+            big = N * approx_n_faces > 2e9
+            on_tpu = jax.default_backend() == 'tpu'
+            method = (('windowed_pallas' if on_tpu else 'windowed')
+                      if big else 'brute')
+        if method in ('blocked', 'windowed', 'windowed_pallas'):
             from ..ops.correspondence import fit_point_order
             order = fit_point_order(points)
             points = np.ascontiguousarray(points[order])

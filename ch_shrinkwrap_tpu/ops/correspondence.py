@@ -444,9 +444,10 @@ def nearest_face_blocked(points, centers, f_mask, block_size=256,
 
 @partial(jax.jit,
          static_argnames=('block_size', 'window', 'block_chunk',
-                          'n_subsample'))
+                          'n_subsample', 'use_pallas', 'pallas_interpret'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
-                          window=4096, block_chunk=8, n_subsample=2048):
+                          window=4096, block_chunk=8, n_subsample=2048,
+                          use_pallas=False, pallas_interpret=False):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
 
@@ -518,6 +519,31 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
                          ).at[:nblocks].set(starts.astype(jnp.int32))
 
     fmask_f = f_mask.astype(jnp.float32)
+
+    if use_pallas:
+        from .pallas_kernels import window_min_pallas
+        blocks_t = jnp.transpose(blocks, (0, 2, 1))       # (nb, 3, B)
+        centers_t = centers.T                             # (3, Fp)
+        c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
+        d2k, fidk = window_min_pallas(
+            blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
+            window=window, n_anchors=n_anchors,
+            interpret=pallas_interpret)
+        p2 = (blocks * blocks).sum(-1)                    # (nb, B)
+        d2k = d2k + p2
+        # subsample fallback
+        flatp = blocks.reshape(-1, 3)
+        d2s = ((flatp * flatp).sum(-1)[:, None] + sub_c2[None, :]
+               - 2.0 * jnp.dot(flatp, sub_c.T,
+                               preferred_element_type=jnp.float32))
+        js = jnp.argmin(d2s, axis=1)
+        dsub = jnp.take_along_axis(d2s, js[:, None], 1)[:, 0].reshape(
+            nblocks, -1)
+        isub = sub_ids[js].reshape(nblocks, -1)
+        upd = dsub < d2k
+        d2f = jnp.where(upd, dsub, d2k).reshape(-1)[:N]
+        fidf = jnp.where(upd, isub, fidk).reshape(-1)[:N]
+        return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
 
     def per_chunk(chunk):
         bp, st = chunk                               # (bc,B,3),(bc,A)

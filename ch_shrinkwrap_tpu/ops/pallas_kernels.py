@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for the correspondence hot path.
+
+The windowed nearest-face pass dominates each solver iteration
+(BASELINE.md round-1 profile).  This kernel implements it natively:
+each grid program owns 8 point blocks (to satisfy Mosaic's (8, 128)
+block-shape tiling); the face table lives in HBM packed as an
+(8, Fp) array — rows x, y, z, |c|^2 (+ padding rows) so a window is
+one (8, W) DMA with a 128-aligned dynamic lane start; the (B x W)
+distance tile is one MXU matmul (|p-c|^2 = |c|^2 - 2 p.c up to the
+per-point |p|^2 constant) and the running (min, argmin) across anchors
+stays on-chip.  Mosaic also compiles this orders of magnitude faster
+than the equivalent XLA fusion, which matters behind the slow
+remote-compile service (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCKS_PER_PROGRAM = 8
+
+
+def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
+                   pts_ref,               # (BP, 3, B) VMEM
+                   cents8_ref,            # (8, Fp) HBM
+                   dout_ref,              # (BP, B) VMEM
+                   iout_ref,              # (BP, B) VMEM
+                   cw_scratch,            # (8, W) VMEM
+                   sems,                  # (2,) DMA semaphores
+                   *, n_anchors, window):
+    i = pl.program_id(0)
+
+    for b in range(BLOCKS_PER_PROGRAM):
+        pts = pts_ref[b]                  # (3, B)
+        B = pts.shape[1]
+        best_d = jnp.full((1, B), 3.4e38, jnp.float32)
+        best_j = jnp.zeros((1, B), jnp.int32)
+
+        for a in range(n_anchors):
+            s0 = pl.multiple_of(
+                starts_ref[(i * BLOCKS_PER_PROGRAM + b) * n_anchors + a],
+                128)
+            cp = pltpu.make_async_copy(
+                cents8_ref.at[:, pl.ds(s0, window)], cw_scratch,
+                sems.at[a % 2])
+            cp.start()
+            cp.wait()
+
+            cw = cw_scratch[0:3, :]                       # (3, W)
+            c2 = cw_scratch[3:4, :]                       # (1, W)
+            # (B, W) squared distances up to the per-point |p|^2 const
+            d2 = c2 - 2.0 * jax.lax.dot_general(
+                pts, cw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (B, W)
+            j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
+            dmin = jnp.min(d2, axis=1)                    # (B,)
+            fid = s0 + j
+            upd = dmin[None, :] < best_d
+            best_d = jnp.where(upd, dmin[None, :], best_d)
+            best_j = jnp.where(upd, fid[None, :], best_j)
+
+        dout_ref[b, :] = best_d[0]
+        iout_ref[b, :] = best_j[0]
+
+
+@partial(jax.jit, static_argnames=('window', 'n_anchors', 'interpret'))
+def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
+                      n_anchors=3, interpret=False):
+    """Per-block windowed (min |p-c|^2 - |p|^2, argmin face id).
+
+    blocks_t : (nb, 3, B) f32 — transposed point blocks
+    starts : (nb, A) i32 — window start indices; rounded down to 128
+        multiples here (DMA lane-offset alignment)
+    centers_t : (3, Fp) f32 — transposed face centers (Hilbert order)
+    c2 : (Fp,) f32 — |c|^2 with BIG on invalid faces
+    Returns (d2_nop2 (nb, B), fid (nb, B) i32); caller adds |p|^2.
+    """
+    nb, _, B = blocks_t.shape
+    Fp = centers_t.shape[1]
+    BP = BLOCKS_PER_PROGRAM
+    n_prog = -(-nb // BP)
+    nb_pad = n_prog * BP
+    if nb_pad != nb:
+        blocks_t = jnp.concatenate(
+            [blocks_t, jnp.zeros((nb_pad - nb, 3, B), blocks_t.dtype)])
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((nb_pad - nb, starts.shape[1]),
+                               starts.dtype)])
+
+    # pack [x; y; z; |c|^2; 0...] as (8, Fp_aligned)
+    Fp_al = -(-Fp // 128) * 128
+    cents8 = jnp.zeros((8, Fp_al), jnp.float32)
+    cents8 = cents8.at[0:3, :Fp].set(centers_t)
+    cents8 = cents8.at[3, :Fp].set(c2)
+    cents8 = cents8.at[3, Fp:].set(3.4e38)
+
+    starts = jnp.clip((starts // 128) * 128, 0,
+                      max(Fp_al - window, 0)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((BP, 3, B), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BP, B), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, B), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = partial(_window_kernel, n_anchors=n_anchors, window=window)
+    d2, fid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb_pad, B), jnp.float32),
+                   jax.ShapeDtypeStruct((nb_pad, B), jnp.int32)],
+        interpret=interpret,
+    )(starts.reshape(-1), blocks_t, cents8)
+    return d2[:nb], fid[:nb]

@@ -128,6 +128,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # expects fit_point_order-sorted points AND hilbert-sorted
             # faces (meshdata.from_mesh does the latter)
             dmean, fi = corr.nearest_face_windowed(points, centers, f_mask)
+        elif corr_method == 'windowed_pallas':
+            dmean, fi = corr.nearest_face_windowed(points, centers, f_mask,
+                                                   use_pallas=True)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
