@@ -112,8 +112,11 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
         bg_photon_count=params['bg_photon_count'],
         noise_fraction=params['noise_fraction'], rng=rng)
 
+    thr = params.get('threshold_density')
+    if thr is not None and thr <= 0:
+        thr = None
     surf = initial_surface_from_density(
-        points, threshold_density=params.get('threshold_density') or None,
+        points, threshold_density=thr,
         n_points_min=params.get('n_points_min', 50),
         grid_n=params.get('grid_n', 48))
 

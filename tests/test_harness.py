@@ -1,0 +1,94 @@
+"""Evaluation-harness tests: sweep expansion, restart, image recipe."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ch_shrinkwrap_tpu.eval.harness import evaluate
+from ch_shrinkwrap_tpu.eval.harness import testing_parameters as expand_parameters
+
+
+MICRO_SWEEP = {
+    'system': {'psf_width_x': [100.0], 'psf_width_y': [100.0],
+               'psf_width_z': [200.0], 'mean_photon_count': [600],
+               'bg_photon_count': [20]},
+    'shape': {'type': ['Sphere'], 'parameters': [{'radius': 50.0}]},
+    'point_cloud': {'density': [0.05], 'p': [1.0],
+                    'noise_fraction': [0.02]},
+    'dual_marching_cubes': {'threshold_density': [-1.0],
+                            'n_points_min': [50]},
+    'shrinkwrapping': {'max_iters': [6], 'curvature_weight': [4.0],
+                       'remesh_frequency': [3], 'punch_frequency': [0],
+                       'min_hole_radius': [100.0], 'neck_first_iter': [-1],
+                       'neck_threshold_low': [-1e-3],
+                       'neck_threshold_high': [1e-2]},
+    'screened_poisson': {'samplespernode': [1.5], 'pointweight': [4.0],
+                         'iters': [8], 'k': [10]},
+}
+
+
+def test_testing_parameters_grid_product():
+    d = dict(MICRO_SWEEP)
+    d['shrinkwrapping'] = dict(d['shrinkwrapping'],
+                               max_iters=[6, 9],
+                               curvature_weight=[4.0, 8.0])
+    sw, spr = expand_parameters(d)
+    assert len(sw) == 4
+    assert len(spr) == 1
+    assert sw[0]['shape_name'] == 'Sphere'
+    assert sw[0]['psf_width'] == (100.0, 100.0, 200.0)
+
+
+def test_evaluate_runs_and_restarts(tmp_path):
+    out = str(tmp_path / 'sweep')
+    results = evaluate(MICRO_SWEEP, out_dir=out, seed=3)
+    assert len(results) == 1
+    assert results[0]['mse_rms'] < 20.0
+    assert results[0]['ntriangles'] > 100
+
+    # restart: the completed entry is skipped
+    results2 = evaluate(MICRO_SWEEP, out_dir=out, seed=3)
+    assert len(results2) == 0
+    lines = open(os.path.join(out, 'metrics.jsonl')).read().splitlines()
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec['kind'] == 'shrinkwrap'
+
+
+def test_image_shrinkwrap_recipe():
+    """ImageShrinkwrapMembrane: voxel image -> weighted pseudo-points."""
+    from ch_shrinkwrap_tpu.recipes.surface_fitting import \
+        ImageShrinkwrapMembrane
+    from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+    class Image:
+        pass
+
+    # a solid ball of weight in a 24^3 voxel grid, 4 nm voxels
+    n = 24
+    x, y, z = np.mgrid[0:n, 0:n, 0:n]
+    c = (n - 1) / 2.0
+    r = np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) * 4.0
+    im = Image()
+    im.data = ((r > 30) & (r < 38)).astype(np.float32)
+    im.voxelsize_nm = (4.0, 4.0, 4.0)
+    im.origin = (0.0, 0.0, 0.0)
+
+    v, f = icosphere(2, radius=55.0, centre=(c * 4, c * 4, c * 4))
+    surf = MembraneMesh(v, f)
+
+    mod = ImageShrinkwrapMembrane(input='surf', input_image='im',
+                                  output='out', max_iters=6,
+                                  curvature_weight=4.0, shrink_weight=0.0,
+                                  remesh_frequency=3, neck_first_iter=-1,
+                                  minimum_edge_length=8.0)
+    ns = {'surf': surf, 'im': im}
+    mod.execute(ns)
+    mesh = ns['out']
+    rr = np.linalg.norm(mesh.vertices - np.array([c * 4, c * 4, c * 4]),
+                        axis=1)
+    # pulled from 55 toward the 30-38 nm shell
+    assert rr.mean() < 48.0
