@@ -68,15 +68,17 @@ def main():
                         num_iters=rf, corr_method='windowed_pallas',
                         face_nbrs=ma.face_nbrs)
 
-    # warmup / compile
+    # warmup / compile (the float() fetch forces real completion even
+    # when the remote execution path lies about readiness)
     f1, _ = block(ma.positions)
-    f1.block_until_ready()
+    float(jnp.sum(f1))
 
     t0 = time.time()
     for _ in range(n_blocks):
         f1, diag = block(f1)
-    f1.block_until_ready()
+    checksum = float(jnp.sum(f1))
     dt = time.time() - t0
+    assert np.isfinite(checksum)
     iters_per_sec = n_blocks * rf / dt
 
     target = 9.9  # 99 iterations in < 10 s (BASELINE.md north star)

@@ -446,7 +446,7 @@ def nearest_face_blocked(points, centers, f_mask, block_size=256,
          static_argnames=('block_size', 'window', 'block_chunk',
                           'n_subsample', 'use_pallas', 'pallas_interpret'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
-                          window=4096, block_chunk=8, n_subsample=2048,
+                          window=4096, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
