@@ -30,11 +30,20 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
                    cents8_ref,            # (8, Fp) HBM
                    dout_ref,              # (BP, B) VMEM
                    iout_ref,              # (BP, B) VMEM
-                   cw_scratch,            # (8, W) VMEM
+                   cw_scratch,            # (2, 8, W) VMEM (double buffer)
                    sems,                  # (2,) DMA semaphores
                    *, n_anchors, window):
     i = pl.program_id(0)
+    n_steps = BLOCKS_PER_PROGRAM * n_anchors
 
+    def start_dma(t, slot):
+        s0 = pl.multiple_of(
+            starts_ref[i * n_steps + t], 128)
+        pltpu.make_async_copy(
+            cents8_ref.at[:, pl.ds(s0, window)], cw_scratch.at[slot],
+            sems.at[slot]).start()
+
+    start_dma(0, 0)
     for b in range(BLOCKS_PER_PROGRAM):
         pts = pts_ref[b]                  # (3, B)
         B = pts.shape[1]
@@ -42,17 +51,17 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
         best_j = jnp.zeros((1, B), jnp.int32)
 
         for a in range(n_anchors):
-            s0 = pl.multiple_of(
-                starts_ref[(i * BLOCKS_PER_PROGRAM + b) * n_anchors + a],
-                128)
-            cp = pltpu.make_async_copy(
-                cents8_ref.at[:, pl.ds(s0, window)], cw_scratch,
-                sems.at[a % 2])
-            cp.start()
-            cp.wait()
+            t = b * n_anchors + a
+            slot = t % 2
+            if t + 1 < n_steps:
+                start_dma(t + 1, (t + 1) % 2)
+            s0 = pl.multiple_of(starts_ref[i * n_steps + t], 128)
+            pltpu.make_async_copy(
+                cents8_ref.at[:, pl.ds(s0, window)],
+                cw_scratch.at[slot], sems.at[slot]).wait()
 
-            cw = cw_scratch[0:3, :]                       # (3, W)
-            c2 = cw_scratch[3:4, :]                       # (1, W)
+            cw = cw_scratch[slot, 0:3, :]                 # (3, W)
+            c2 = cw_scratch[slot, 3:4, :]                 # (1, W)
             # (B, W) squared distances up to the per-point |p|^2 const
             d2 = c2 - 2.0 * jax.lax.dot_general(
                 pts, cw,
@@ -118,7 +127,7 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, window), jnp.float32),
+            pltpu.VMEM((2, 8, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
