@@ -12,9 +12,11 @@ import jax
 import jax.numpy as jnp
 
 
-def face_geometry(positions, faces, f_mask):
-    """(unit normals (Fp,3), areas (Fp,)) with padding rows zeroed."""
-    tri = positions[faces]                       # (Fp, 3, 3)
+def face_geometry(positions, faces, f_mask, tri=None):
+    """(unit normals (Fp,3), areas (Fp,)) with padding rows zeroed.
+    Pass ``tri = positions[faces]`` to reuse an existing gather."""
+    if tri is None:
+        tri = positions[faces]                   # (Fp, 3, 3)
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     nn = jnp.sqrt((n * n).sum(-1))
     areas = 0.5 * nn * f_mask
@@ -22,16 +24,18 @@ def face_geometry(positions, faces, f_mask):
     return normals, areas
 
 
-def vertex_normals(positions, faces, f_mask, n_vertices):
+def vertex_normals(positions, faces, f_mask, n_vertices, tri=None):
     """Angle-weighted vertex normals (unit), via segment_sum scatter.
 
     Each incident face contributes its normal weighted by its corner
     angle at the vertex — substantially more accurate than area
     weighting on irregular rings, which matters for the curvature
     kernel's Gaussian-curvature tolerance (see tests/test_curvature.py).
+    Pass ``tri = positions[faces]`` to reuse an existing gather.
     """
-    fn, _ = face_geometry(positions, faces, f_mask)
-    tri = positions[faces]                       # (Fp, 3, 3)
+    if tri is None:
+        tri = positions[faces]                   # (Fp, 3, 3)
+    fn, _ = face_geometry(positions, faces, f_mask, tri=tri)
     # corner angle at vertex k: between edges to the other two corners
     e_next = tri[:, [1, 2, 0]] - tri             # (Fp, 3, 3)
     e_prev = tri[:, [2, 0, 1]] - tri

@@ -113,11 +113,12 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     def iteration(carry, it):
         f, S_last, tests_hist, halted, last_diag = carry
 
-        vn = _normals.vertex_normals(f, faces, f_mask, Vp)
-
-        # --- correspondence (rebuilt once per iteration, like calc_w)
+        # one f[faces] gather shared by centers + face/vertex normals
         tri = f[faces]
         centers = tri.mean(1)
+        vn = _normals.vertex_normals(f, faces, f_mask, Vp, tri=tri)
+
+        # --- correspondence (rebuilt once per iteration, like calc_w)
         if corr_method == 'grid':
             dmean, fi = corr.nearest_face_grid(points, centers, f_mask,
                                                cell_size)
