@@ -462,7 +462,14 @@ class MembraneMesh(TriangleMesh):
             f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]
-            self.set_positions(np.asarray(f_new)[:V])
+            new_pos = np.asarray(f_new)[:V]
+            if not np.isfinite(new_pos).all():
+                # counterpart of the reference's scattered NaN asserts
+                # (mesh_conj_grad.py:548,580,613)
+                raise FloatingPointError(
+                    'non-finite vertex positions after CG block at '
+                    f'iteration {j + n_it}; check sigma/weights inputs')
+            self.set_positions(new_pos)
             self._initialize_curvature_vectors()
             j += n_it
             self.trace.record('cg_block', j, _time.time() - t0, self,

@@ -108,3 +108,18 @@ def test_curvature_padded_rows_zero():
     assert np.all(np.asarray(st.H)[pad] == 0)
     assert np.all(np.asarray(st.E)[pad] == 0)
     assert np.all(np.asarray(st.dEdN)[pad] == 0)
+
+
+def test_taubin_method_compat():
+    """The reference's Taubin 3l1-l2 eigen mapping is kept as
+    method='taubin'; looser tolerance (its known anisotropy splits)."""
+    from ch_shrinkwrap_tpu.ops.curvature import curvature_grad
+    v, f = icosphere(3, radius=20.0)
+    mesh = TriangleMesh(v, f)
+    ma = meshdata.from_mesh(mesh, quantum=256)
+    st = curvature_grad(ma.positions, ma.faces, ma.f_mask, ma.v_mask,
+                        ma.nbr_v, ma.nbr_f, method='taubin')
+    H = np.asarray(st.H)[np.asarray(ma.v_mask)]
+    np.testing.assert_allclose(H, 1 / 20.0, atol=5e-3)
+    K = np.asarray(st.K)[np.asarray(ma.v_mask)]
+    np.testing.assert_allclose(K, 1 / 400.0, atol=3e-4)
