@@ -55,3 +55,38 @@ def test_punch_noop_on_supported_mesh():
     n = mesh.punch_holes(pts, eps=10.0)
     assert n == 0
     assert mesh.euler_characteristic == 2
+
+
+def test_punch_holes_sdf_variant():
+    """SDF-based hole punching (the reference's alternative path,
+    holepunch.py:57-85): carve unsupported regions of a fitted mesh."""
+    from ch_shrinkwrap_tpu.models.holepunch_sdf import punch_holes_sdf
+
+    pts = torus_cloud()
+    mesh = oblate_mesh()
+    mesh.remesh_frequency = 0
+    mesh.delaunay_remesh_frequency = 0
+    mesh.step_size = 4.0
+    mesh.kc = 1.0
+    mesh.shrink_wrap(pts, 3.0, max_iter=20)
+
+    out = punch_holes_sdf(mesh, offset=12.0, pi_threshold=0.05, grid_n=48)
+    # carving opened the unsupported center: genus increased
+    assert out.euler_characteristic < 2
+    assert out.vertices.shape[0] > 100
+    # the supported torus body survives
+    r = np.sqrt(out.vertices[:, 0] ** 2 + out.vertices[:, 2] ** 2)
+    assert (np.abs(r - 40.0) < 25.0).mean() > 0.8
+
+
+def test_wrap_start_initial_surface():
+    from ch_shrinkwrap_tpu.mesh.marching import wrap_start
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = d * 50 + rng.normal(scale=3, size=(20000, 3))
+    surf = wrap_start(pts, offset=10.0, neighbourhood=50, grid_n=40)
+    assert surf.euler_characteristic == 2
+    assert surf.is_manifold
+    r = np.linalg.norm(surf.vertices, axis=1)
+    assert 50.0 < r.mean() < 70.0
