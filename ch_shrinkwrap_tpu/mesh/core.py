@@ -394,6 +394,29 @@ class TriangleMesh:
                           remap[new_faces].astype(np.int32))
         self.extra_vertex_data = extra
 
+    def spatial_sort(self):
+        """Reorder vertices and faces along a Hilbert curve.
+
+        Vertex/face order carries no semantics, but index locality is
+        worth large factors on TPU: locally-sorted gather/scatter
+        indices measured 8x (gather) and 93x (segment-sum) faster than
+        random ones at 3M rows (BASELINE.md).  The solver's v_idx
+        tables inherit locality from this ordering.
+        """
+        from ..ops.correspondence import hilbert_order
+        if self._vertices.shape[0] < 64:
+            return
+        vperm = hilbert_order(self._vertices)
+        inv = np.empty(len(vperm), np.int64)
+        inv[vperm] = np.arange(len(vperm))
+        new_v = self._vertices[vperm]
+        new_f = inv[self._faces].astype(np.int32)
+        fc = new_v[new_f].mean(1)
+        new_f = np.ascontiguousarray(new_f[hilbert_order(fc)])
+        extra = {k: v[vperm] for k, v in self.extra_vertex_data.items()}
+        self.set_topology(new_v, new_f)
+        self.extra_vertex_data = extra
+
     def repair(self, max_passes=8):
         """Close boundary holes and restore edge-manifoldness.
 

@@ -442,6 +442,8 @@ class MembraneMesh(TriangleMesh):
             n_it = int(min(n_iter - j, rf))
 
             t0 = _time.time()
+            # index locality for the device gathers/scatters
+            self.spatial_sort()
             if v_cap is not None and (self.vertices.shape[0] > v_cap
                                       or self.faces.shape[0] > f_cap):
                 # remesh overshot the prediction; grow the bucket
