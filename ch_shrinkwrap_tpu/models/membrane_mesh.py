@@ -224,15 +224,29 @@ class MembraneMesh(TriangleMesh):
             raise RuntimeError('no point cloud - run shrink_wrap first')
         ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
         pts = jnp.asarray(self._points.astype(np.float32))
-        centers = ma.positions[ma.faces].mean(1)
-        _, fi = _corr.nearest_face(pts, centers, ma.f_mask,
-                                   face_chunk=self.face_chunk)
+        _, fi, centers = self._nearest_for_diagnostics(ma, pts)
         v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
                                                 pts, fi)
         out = np.asarray(_corr.ah_apply(
             jnp.ones((pts.shape[0], 3), jnp.float32), v_idx, w,
             ma.positions.shape[0]))[:V]
         return np.sqrt((out * out).sum(1))
+
+    def _nearest_for_diagnostics(self, ma, pts):
+        """Nearest-face lookup for diagnostics, sized appropriately."""
+        centers = ma.positions[ma.faces].mean(1)
+        N = pts.shape[0]
+        if N * ma.faces.shape[0] > 2e9:
+            order = _corr.fit_point_order(np.asarray(pts))
+            inv = np.empty(len(order), np.int64)
+            inv[order] = np.arange(len(order))
+            d, fi = _corr.nearest_face_windowed(
+                jnp.asarray(np.asarray(pts)[order]), centers, ma.f_mask)
+            return jnp.asarray(np.asarray(d)[inv]), \
+                jnp.asarray(np.asarray(fi)[inv]), centers
+        d, fi = _corr.nearest_face_bruteforce(pts, centers, ma.f_mask,
+                                              face_chunk=self.face_chunk)
+        return d, fi, centers
 
     @property
     def rms_point_sc(self):
@@ -242,9 +256,7 @@ class MembraneMesh(TriangleMesh):
         rn = np.sqrt((res * res).sum(1))[:, None] * np.ones(3)[None, :]
         ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
         pts = jnp.asarray(self._points.astype(np.float32))
-        centers = ma.positions[ma.faces].mean(1)
-        _, fi = _corr.nearest_face(pts, centers, ma.f_mask,
-                                   face_chunk=self.face_chunk)
+        _, fi, centers = self._nearest_for_diagnostics(ma, pts)
         v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
                                                 pts, fi)
         out = np.asarray(_corr.ah_apply(jnp.asarray(rn.astype(np.float32)),
@@ -451,8 +463,10 @@ class MembraneMesh(TriangleMesh):
                     int(1.3 * self.vertices.shape[0]), self.pad_quantum)
                 f_cap = meshdata.round_up_bucket(
                     int(1.3 * self.faces.shape[0]), self.pad_quantum)
+            # spatial_sort already hilbert-ordered the faces
             ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
-                                    quantum=self.pad_quantum)
+                                    quantum=self.pad_quantum,
+                                    hilbert_faces=False)
             f_new, diag = cg_block(
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                 pts_j, sig_j, w_j, pmask,
@@ -560,9 +574,7 @@ class MembraneMesh(TriangleMesh):
         via nearest-face plane distance."""
         ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
         pts = jnp.asarray(np.asarray(points, dtype=np.float32))
-        centers = ma.positions[ma.faces].mean(1)
-        dmean, fi = _corr.nearest_face(pts, centers, ma.f_mask,
-                                       face_chunk=self.face_chunk)
+        dmean, fi, centers = self._nearest_for_diagnostics(ma, pts)
         fn, _ = _norm.face_geometry(ma.positions, ma.faces, ma.f_mask)
         n = np.asarray(fn)[np.asarray(fi)]
         c = np.asarray(centers)[np.asarray(fi)]

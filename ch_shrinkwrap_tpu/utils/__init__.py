@@ -3,3 +3,4 @@ from .math import (
     dot2,
     loc_error,
 )
+from . import tracing, checkpoint
