@@ -5,22 +5,24 @@ over face centers (``_compute_weight_matrix4``,
 /root/reference/ch_shrinkwrap/mesh_conj_grad.py:433-516) and its
 "~10x faster but inexact" octree variant (mesh_conj_grad.py:459-481).
 
-Two device paths behind one interface:
+Four device paths behind one interface (all static-shape, jit-safe):
 
 * ``nearest_face_bruteforce`` — exact: squared distance via
   ``|p - c|^2 = |p|^2 + |c|^2 - 2 p.c`` (the ``-2 P C^T`` term on the
   MXU), streamed over face chunks x point blocks with a running
   (min, argmin) merge so nothing of size N x F materializes.
-* ``nearest_face_grid`` — the production path: spatial-hash grid over
-  face centers (XOR hash of integer cell coords, sort + searchsorted
-  buckets, static per-cell candidate cap), 27-neighbor-cell lookup,
-  with a strided face subsample as a static-shape fallback so far-away
-  points still get a bounded-error match (the counterpart of the
-  reference's octree approximation, with the same error model:
-  bounded by the local sampling pitch).
-
-Everything is static-shape and jit-safe; the hash build is three sorts
-of length F per call.
+* ``nearest_face_grid`` — spatial-hash grid over face centers
+  (XOR hash, sort + searchsorted buckets, per-cell candidate cap),
+  27-neighbor-cell lookup.  Correct but gather-bound on TPU.
+* ``nearest_face_blocked`` — Hilbert-sorted point blocks with
+  per-block candidate tables (face -> k nearest block centroids).
+* ``nearest_face_windowed`` — THE production path: both points and
+  faces Hilbert-sorted, each point block reads contiguous face windows
+  (pure dynamic_slice / one DMA in the Pallas variant,
+  ``ops.pallas_kernels``) at index-diverse anchors; a hashed-subsample
+  brute pass bounds the error for far points (same error model as the
+  reference's octree approximation) and ``refine_correspondence``
+  snaps near-misses along the face-adjacency graph.
 """
 
 from __future__ import annotations
