@@ -163,6 +163,8 @@ def component_boundary(mesh, faces_subset):
     if not boundary:
         return None
     nxt = {int(a): int(b) for a, b in boundary}
+    if len(nxt) != len(boundary):
+        return None    # branching boundary (vertex-pinched patch)
     start = boundary[0][0]
     ring = [int(start)]
     v = nxt.get(int(start))
@@ -172,6 +174,11 @@ def component_boundary(mesh, faces_subset):
         v = nxt.get(v)
         guard -= 1
     if v != start or len(ring) < 3:
+        return None
+    if len(ring) != len(boundary):
+        # a chi=1 patch can still carry several boundary loops (faces
+        # touching only at a vertex); zipping just one would leave the
+        # others as open seams
         return None
     return np.array(ring, dtype=np.int64)
 
@@ -230,6 +237,21 @@ def punch_pair(mesh, component_cands, paired_component_cands):
     # hole1's walk ring
     tube = zipper_rings(mesh.vertices, ring0[::-1], ring1)
     new_faces = np.vstack([remaining, tube]).astype(np.int32)
+
+    # validate the surgery: tube edges may collide with existing mesh
+    # edges (e.g. near a previous tunnel) — reject rather than leave a
+    # non-manifold seam
+    de = np.concatenate([new_faces[:, [0, 1]], new_faces[:, [1, 2]],
+                         new_faces[:, [2, 0]]], axis=0).astype(np.int64)
+    dkey = de[:, 0] << 32 | de[:, 1]
+    rkey = de[:, 1] << 32 | de[:, 0]
+    uniq, counts = np.unique(dkey, return_counts=True)
+    if (counts > 1).any():
+        return False
+    # every directed edge must have its reverse (closed surface)
+    if not np.isin(rkey, uniq, assume_unique=False).all():
+        return False
+
     mesh._compact(new_faces)
     return True
 
