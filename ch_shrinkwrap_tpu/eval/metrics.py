@@ -113,3 +113,35 @@ def mesh_metrics_vs_shape(mesh, shape, dx_min=5.0, p=1.0, rng=None):
         'sdf_hausdorff': float(np.abs(sdf_d).max()),
     }
     return out
+
+
+def compute_mesh_metrics(mesh, truth_points, truth_normals=None,
+                         dx_min=5.0, p=1.0, rng=None):
+    """Aggregate metric panel of a fitted mesh vs a ground-truth cloud
+    (counterpart of the legacy suite's compute_mesh_metrics,
+    evaluation_utils_old.py:738-801)."""
+    pts, nrm = points_from_mesh(mesh, dx_min=dx_min, p=p,
+                                return_normals=True, rng=rng)
+    mse01, mse10 = average_squared_distance(truth_points, pts)
+    mean_d, hausdorff = mean_and_hausdorff_distance(pts, truth_points)
+    out = {
+        'mse01': mse01,
+        'mse10': mse10,
+        'mse_rms': float(np.sqrt((mse01 + mse10) / 2)),
+        'mean_distance': mean_d,
+        'hausdorff_distance': hausdorff,
+        'ntriangles': int(mesh.faces.shape[0]),
+        'nvertices': int(mesh.vertices.shape[0]),
+        'euler': int(mesh.euler_characteristic),
+        'genus': float(mesh.genus),
+        'manifold': bool(mesh.is_manifold),
+        'components': int(mesh.connected_components()[1]),
+        'area': float(mesh.area()),
+        'volume': float(mesh.volume()),
+    }
+    if truth_normals is not None:
+        smooth_mean, smooth_haus = hausdorff_smoothness(
+            pts, truth_points, nrm, truth_normals)
+        out['smoothness_mean'] = float(smooth_mean)
+        out['smoothness_hausdorff'] = float(smooth_haus)
+    return out

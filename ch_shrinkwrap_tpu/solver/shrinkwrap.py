@@ -77,7 +77,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              lam0, shrink_lam=0.0, num_iters=5,
              use_shrink=False, face_chunk=2048, stop_eps=1e-6,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
-             polish_iters=1):
+             polish_iters=0):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 

@@ -123,3 +123,42 @@ def test_taubin_method_compat():
     np.testing.assert_allclose(H, 1 / 20.0, atol=5e-3)
     K = np.asarray(st.K)[np.asarray(ma.v_mask)]
     np.testing.assert_allclose(K, 1 / 400.0, atol=3e-4)
+
+
+def cylinder_mesh(R=10.0, L=60.0, n_theta=48, n_z=30):
+    """Open cylinder along z (the reference stubbed this fixture,
+    tests/test_membrane_mesh.py:90-92)."""
+    theta = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+    z = np.linspace(0, L, n_z)
+    T, Z = np.meshgrid(theta, z, indexing='ij')
+    v = np.stack([R * np.cos(T).ravel(), R * np.sin(T).ravel(),
+                  Z.ravel()], axis=1).astype(np.float32)
+
+    def vid(i, j):
+        return (i % n_theta) * n_z + j
+
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_z - 1):
+            faces.append((vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)))
+            faces.append((vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)))
+    return TriangleMesh(v, np.array(faces, np.int32))
+
+
+def test_curvature_cylinder():
+    """Cylinder: H = 1/(2R), K = 0 (interior vertices)."""
+    R = 10.0
+    mesh = cylinder_mesh(R)
+    ma, st = compute_state(mesh)
+    m = interior_mask(mesh, ma)
+    H = np.asarray(st.H)[m]
+    K = np.asarray(st.K)[m]
+    np.testing.assert_allclose(H, 1.0 / (2 * R), atol=2e-3)
+    np.testing.assert_allclose(K, 0.0, atol=2e-4)
+    # principal curvatures: one ~1/R, one ~0
+    k0 = np.asarray(st.k_0)[m]
+    k1 = np.asarray(st.k_1)[m]
+    hi = np.maximum(k0, k1)
+    lo = np.minimum(k0, k1)
+    np.testing.assert_allclose(hi, 1.0 / R, atol=5e-3)
+    np.testing.assert_allclose(lo, 0.0, atol=5e-3)

@@ -110,3 +110,22 @@ def test_hausdorff_shifted_cloud():
     mean, haus = mean_and_hausdorff_distance(pts, shifted)
     assert mean <= 1.0 + 1e-6
     assert haus <= 1.0 + 1e-6
+
+
+def test_compute_mesh_metrics_panel():
+    from ch_shrinkwrap_tpu.eval.metrics import compute_mesh_metrics
+    from ch_shrinkwrap_tpu.sim import sdf as sdf_mod
+    v, f = icosphere(3, radius=20.0)
+    mesh = TriangleMesh(v, f)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(5000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    truth = d * 20.0
+    m = compute_mesh_metrics(mesh, truth, truth_normals=d, dx_min=2.0,
+                             rng=0)
+    # Hausdorff includes max sampling gap of the 5000-pt random truth cloud
+    assert m['hausdorff_distance'] < 5.0
+    assert m['mse_rms'] < 1.0
+    assert m['euler'] == 2 and m['manifold']
+    assert abs(m['volume'] - 4 / 3 * np.pi * 8000) / (4 / 3 * np.pi * 8000) < 0.05
+    assert m['smoothness_mean'] < 0.2
