@@ -291,26 +291,37 @@ def hilbert_order(points, bits=10):
     return np.argsort(code, kind='stable')
 
 
-def fit_point_order(points, k=16, sparse_factor=3.0):
+def fit_point_order(points, grid_n=128, sparse_fraction=0.1):
     """Once-per-fit point permutation for the blocked search.
 
     Hilbert order alone lets sparse background-noise points drag a
     block across huge empty volumes (the curve visits them between
     surface patches), wrecking that block's candidate coverage for the
-    surface points caught inside.  Partition by local density first
-    (kNN radius vs the median), Hilbert-sort each part, and put the
-    sparse part last: dense blocks stay spatially tight, sparse blocks
-    hold only noise points whose far matches tolerate the subsample
-    fallback's bounded relative error.
+    surface points caught inside.  Partition by local density first,
+    Hilbert-sort each part, and put the sparse part last: dense blocks
+    stay spatially tight, sparse blocks hold only noise points whose
+    far matches tolerate the subsample fallback's bounded error.
+
+    Density is a grid-cell occupancy count (a kNN radius estimate costs
+    ~14 s at 1e6 points on this host; the histogram costs ~0.3 s and
+    partitions equivalently for this purpose).
     """
     import numpy as np
-    from scipy.spatial import cKDTree
 
     points = np.asarray(points)
-    tree = cKDTree(points)
-    dd, _ = tree.query(points, k=k, workers=-1)
-    r = dd[:, -1]
-    sparse = r > sparse_factor * np.median(r)
+    lo = points.min(0)
+    hi = points.max(0)
+    h = float((hi - lo).max()) / grid_n
+    if h <= 0:
+        return hilbert_order(points).astype(np.int64)
+    cells = np.floor((points - lo) / h).astype(np.int64)
+    key = (cells[:, 0] * (grid_n + 2) + cells[:, 1]) * (grid_n + 2) \
+        + cells[:, 2]
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    occupancy = counts[inv]
+    thresh = max(2.0, sparse_fraction * float(np.median(counts)))
+    sparse = occupancy < thresh
     dense_idx = np.flatnonzero(~sparse)
     sparse_idx = np.flatnonzero(sparse)
     od = hilbert_order(points[dense_idx]) if len(dense_idx) else []
