@@ -79,8 +79,9 @@ class MembraneMesh(TriangleMesh):
         # capacity bucketing quantum for device arrays
         self.pad_quantum = 1024
         self.face_chunk = 2048
-        # correspondence kernel: 'brute' (exact), 'grid' (spatial hash),
-        # or 'auto' (grid once N*F crosses the brute-force budget)
+        # correspondence kernel: 'brute' (exact), 'grid' (spatial
+        # hash), 'blocked', 'windowed', 'windowed_pallas', or 'auto'
+        # (windowed[_pallas on TPU] once N*F crosses the brute budget)
         self.corr_method = 'auto'
 
         self._points = None
