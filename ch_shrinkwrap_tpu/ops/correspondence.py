@@ -476,6 +476,12 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
     """
     N = points.shape[0]
     Fp = centers.shape[0]
+    # tiny meshes: a window can't exceed the face array (the Pallas
+    # branch DMAs from a 128-lane-aligned table, so clamp to that)
+    if use_pallas:
+        window = min(window, -(-Fp // 128) * 128)
+    else:
+        window = min(window, Fp)
     nblocks = -(-N // block_size)
     Npad = nblocks * block_size
 
@@ -538,24 +544,14 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
         blocks_t = jnp.transpose(blocks, (0, 2, 1))       # (nb, 3, B)
         centers_t = centers.T                             # (3, Fp)
         c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
+        # the kernel merges the subsample fallback in-VMEM
         d2k, fidk = window_min_pallas(
             blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
-            window=window, n_anchors=n_anchors,
-            interpret=pallas_interpret)
+            sub_ids.astype(jnp.int32), window=window,
+            n_anchors=n_anchors, interpret=pallas_interpret)
         p2 = (blocks * blocks).sum(-1)                    # (nb, B)
-        d2k = d2k + p2
-        # subsample fallback
-        flatp = blocks.reshape(-1, 3)
-        d2s = ((flatp * flatp).sum(-1)[:, None] + sub_c2[None, :]
-               - 2.0 * jnp.dot(flatp, sub_c.T,
-                               preferred_element_type=jnp.float32))
-        js = jnp.argmin(d2s, axis=1)
-        dsub = jnp.take_along_axis(d2s, js[:, None], 1)[:, 0].reshape(
-            nblocks, -1)
-        isub = sub_ids[js].reshape(nblocks, -1)
-        upd = dsub < d2k
-        d2f = jnp.where(upd, dsub, d2k).reshape(-1)[:N]
-        fidf = jnp.where(upd, isub, fidk).reshape(-1)[:N]
+        d2f = (d2k + p2).reshape(-1)[:N]
+        fidf = fidk.reshape(-1)[:N]
         return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
 
     def per_chunk(chunk):

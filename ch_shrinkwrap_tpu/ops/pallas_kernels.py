@@ -28,6 +28,8 @@ BLOCKS_PER_PROGRAM = 8
 def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
                    pts_ref,               # (BP, 3, B) VMEM
                    cents8_ref,            # (8, Fp) HBM
+                   subs8_ref,             # (8, nsub) VMEM: packed
+                                          # subsample [x;y;z;c2;id;...]
                    dout_ref,              # (BP, B) VMEM
                    iout_ref,              # (BP, B) VMEM
                    cw_scratch,            # (2, 8, W) VMEM (double buffer)
@@ -47,8 +49,24 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
     for b in range(BLOCKS_PER_PROGRAM):
         pts = pts_ref[b]                  # (3, B)
         B = pts.shape[1]
-        best_d = jnp.full((1, B), 3.4e38, jnp.float32)
-        best_j = jnp.zeros((1, B), jnp.int32)
+
+        # far-point fallback: brute pass over the (VMEM-resident)
+        # hashed subsample; face ids are carried as exact f32 in row 4
+        # and recovered with a one-hot matmul (no lane gathers)
+        nsub = subs8_ref.shape[1]
+        d2s = subs8_ref[3:4, :] - 2.0 * jax.lax.dot_general(
+            pts, subs8_ref[0:3, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (B, nsub)
+        js = jnp.argmin(d2s, axis=1)                      # (B,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, nsub), 1)
+        onehot = (lane == js[:, None]).astype(jnp.float32)
+        sub_fid = jax.lax.dot_general(
+            onehot, subs8_ref[4:5, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]     # (B,)
+        best_d = jnp.min(d2s, axis=1)[None, :]            # (1, B)
+        best_j = sub_fid.astype(jnp.int32)[None, :]
 
         for a in range(n_anchors):
             t = b * n_anchors + a
@@ -79,15 +97,18 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
 
 
 @partial(jax.jit, static_argnames=('window', 'n_anchors', 'interpret'))
-def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
-                      n_anchors=3, interpret=False):
-    """Per-block windowed (min |p-c|^2 - |p|^2, argmin face id).
+def window_min_pallas(blocks_t, starts, centers_t, c2, sub_ids,
+                      window=4096, n_anchors=3, interpret=False):
+    """Per-block windowed (min |p-c|^2 - |p|^2, argmin face id),
+    merged with a brute pass over the ``sub_ids`` face subsample (the
+    far-point fallback) inside the kernel.
 
     blocks_t : (nb, 3, B) f32 — transposed point blocks
     starts : (nb, A) i32 — window start indices; rounded down to 128
         multiples here (DMA lane-offset alignment)
     centers_t : (3, Fp) f32 — transposed face centers (Hilbert order)
     c2 : (Fp,) f32 — |c|^2 with BIG on invalid faces
+    sub_ids : (nsub,) i32 — hashed-subsample face indices
     Returns (d2_nop2 (nb, B), fid (nb, B) i32); caller adds |p|^2.
     """
     nb, _, B = blocks_t.shape
@@ -109,6 +130,15 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
     cents8 = cents8.at[3, :Fp].set(c2)
     cents8 = cents8.at[3, Fp:].set(3.4e38)
 
+    # packed subsample table [x; y; z; |c|^2; face id; 0...]
+    nsub = sub_ids.shape[0]
+    nsub_al = -(-nsub // 128) * 128
+    subs8 = jnp.full((8, nsub_al), 0.0, jnp.float32)
+    subs8 = subs8.at[0:3, :nsub].set(centers_t[:, sub_ids])
+    subs8 = subs8.at[3, :nsub].set(c2[sub_ids])
+    subs8 = subs8.at[3, nsub:].set(3.4e38)
+    subs8 = subs8.at[4, :nsub].set(sub_ids.astype(jnp.float32))
+
     starts = jnp.clip((starts // 128) * 128, 0,
                       max(Fp_al - window, 0)).astype(jnp.int32)
 
@@ -119,6 +149,7 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
             pl.BlockSpec((BP, 3, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BP, B), lambda i, *_: (i, 0),
@@ -139,5 +170,5 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, window=4096,
         out_shape=[jax.ShapeDtypeStruct((nb_pad, B), jnp.float32),
                    jax.ShapeDtypeStruct((nb_pad, B), jnp.int32)],
         interpret=interpret,
-    )(starts.reshape(-1), blocks_t, cents8)
+    )(starts.reshape(-1), blocks_t, cents8, subs8)
     return d2[:nb], fid[:nb]

@@ -166,3 +166,37 @@ def test_cg_block_respects_padding():
     # padded vertices never move
     np.testing.assert_array_equal(f1[pad], np.zeros((pad.sum(), 3)))
     assert not np.isnan(f1).any()
+
+
+def test_nearest_face_windowed_pallas_interpret():
+    """The Pallas windowed kernel (interpret mode on CPU) matches the
+    XLA windowed path and stays close to exact brute force, including
+    the in-kernel hashed-subsample fallback for far points."""
+    rng = np.random.default_rng(7)
+    v, f = icosphere(4, radius=50.0)
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
+    centers = jnp.asarray(
+        np.asarray(ma.positions)[np.asarray(ma.faces)].mean(1))
+
+    d = rng.normal(size=(4000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape))
+    far = rng.uniform(-150, 150, (200, 3))
+    allp = np.vstack([pts, far]).astype(np.float32)
+    allp = allp[corr.fit_point_order(allp)]
+    jp = jnp.asarray(allp)
+
+    d_b, i_b = corr.nearest_face_bruteforce(jp, centers, ma.f_mask)
+    d_p, i_p = corr.nearest_face_windowed(
+        jp, centers, ma.f_mask, window=1024, use_pallas=True,
+        pallas_interpret=True)
+    i_b, i_p = np.asarray(i_b), np.asarray(i_p)
+    d_b, d_p = np.asarray(d_b), np.asarray(d_p)
+    # high id agreement; windowed distances can only overestimate, and
+    # the misses land on near-equidistant neighbor faces (the fit is
+    # insensitive to these ties — see BASELINE.md accuracy study)
+    assert (i_p == i_b).mean() > 0.85
+    assert np.all(d_p >= d_b - 1e-2)
+    assert np.abs(d_p - d_b).mean() < 1.0
+    assert np.abs(d_p - d_b).max() < 10.0
