@@ -24,15 +24,12 @@ def face_geometry(positions, faces, f_mask, tri=None):
     return normals, areas
 
 
-def vertex_normals(positions, faces, f_mask, n_vertices, tri=None):
-    """Angle-weighted vertex normals (unit), via segment_sum scatter.
-
-    Each incident face contributes its normal weighted by its corner
-    angle at the vertex — substantially more accurate than area
-    weighting on irregular rings, which matters for the curvature
-    kernel's Gaussian-curvature tolerance (see tests/test_curvature.py).
-    Pass ``tri = positions[faces]`` to reuse an existing gather.
-    """
+def vertex_normal_corners(positions, faces, f_mask, tri=None):
+    """Pre-scatter corner contributions for angle-weighted vertex
+    normals: (Fp, 3, 3) values to be segment-summed by
+    ``faces.reshape(-1)``.  Exposed separately so callers can batch
+    this scatter with others sharing the same index (scatters are
+    row-count bound on TPU; see solver/shrinkwrap.py)."""
     if tri is None:
         tri = positions[faces]                   # (Fp, 3, 3)
     fn, _ = face_geometry(positions, faces, f_mask, tri=tri)
@@ -43,12 +40,29 @@ def vertex_normals(positions, faces, f_mask, n_vertices, tri=None):
     crs = jnp.cross(e_next, e_prev)
     sin = jnp.sqrt((crs * crs).sum(-1))
     ang = jnp.arctan2(sin, dot) * f_mask[:, None]        # (Fp, 3)
+    return fn[:, None, :] * ang[:, :, None]              # (Fp, 3, 3)
 
-    idx = faces.reshape(-1)                      # (3 Fp,)
-    vals = (fn[:, None, :] * ang[:, :, None]).reshape(-1, 3)
-    vn = jax.ops.segment_sum(vals, idx, num_segments=n_vertices)
+
+def normalize_vertex_normals(vn):
+    """Unit-normalize summed corner contributions."""
     norm = jnp.sqrt((vn * vn).sum(-1))
     return vn / jnp.maximum(norm, 1e-12)[:, None]
+
+
+def vertex_normals(positions, faces, f_mask, n_vertices, tri=None):
+    """Angle-weighted vertex normals (unit), via segment_sum scatter.
+
+    Each incident face contributes its normal weighted by its corner
+    angle at the vertex — substantially more accurate than area
+    weighting on irregular rings, which matters for the curvature
+    kernel's Gaussian-curvature tolerance (see tests/test_curvature.py).
+    Pass ``tri = positions[faces]`` to reuse an existing gather.
+    """
+    corners = vertex_normal_corners(positions, faces, f_mask, tri=tri)
+    idx = faces.reshape(-1)                      # (3 Fp,)
+    vn = jax.ops.segment_sum(corners.reshape(-1, 3), idx,
+                             num_segments=n_vertices)
+    return normalize_vertex_normals(vn)
 
 
 def vertex_areas(positions, faces, f_mask, n_vertices):

@@ -54,11 +54,16 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
     ms_safe = jnp.maximum(ms, 1)
     safe = jnp.clip(nbr_v, 0, Vp - 1)
 
-    vpos = f[safe]                                   # (Vp, K, 3)
+    # one wide-row (Vp*K,)-gather of [position, normal] records —
+    # gathers are row-count bound, so batching the two 3-col gathers
+    # into one 6-col gather halves the cost
+    fn = jnp.concatenate([f, vnormals], axis=1)      # (Vp, 6)
+    vg = fn[safe]                                    # (Vp, K, 6)
+    vpos = vg[..., 0:3]
+    n_n = vg[..., 3:6]
     vc = (vpos * nmask[..., None]).sum(1) / ms_safe[:, None]
 
     c_n = (vpos - vc[:, None, :]) * nmask[..., None]
-    n_n = vnormals[safe]
     n_dot_n = (n_n * vnormals[:, None, :]).sum(-1)
     alpha_j = ((c_n * n_n).sum(-1)
                / jnp.sqrt(2.0 * (jnp.maximum(n_dot_n, 0.0) + 1.0)))
@@ -113,10 +118,13 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     def iteration(carry, it):
         f, S_last, tests_hist, halted, last_diag = carry
 
-        # one f[faces] gather shared by centers + face/vertex normals
+        # one f[faces] gather shared by centers + face/vertex normals;
+        # the vertex-normal scatter is deferred and fused into the A^T
+        # scatter below (same faces.reshape(-1) index)
         tri = f[faces]
         centers = tri.mean(1)
-        vn = _normals.vertex_normals(f, faces, f_mask, Vp, tri=tri)
+        vn_corners = _normals.vertex_normal_corners(f, faces, f_mask,
+                                                    tri=tri)
 
         # --- correspondence (rebuilt once per iteration, like calc_w)
         if corr_method == 'grid':
@@ -140,9 +148,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             dmean, fi = corr.refine_correspondence(points, centers,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
-        # weights + forward map share one f[v_idx] gather
-        v_idx = faces[fi]                                # (N, 3)
-        fv = f[v_idx]                                    # (N, 3, 3)
+        # weights + forward map reuse the face-side ``tri`` gather:
+        # TPU gathers are row-count bound, so one (N,)-row gather of
+        # 9-float face records beats the (N*3,)-row f[faces[fi]] form
+        fv = tri[fi]                                     # (N, 3, 3)
         dvert = jnp.sqrt(((fv - points[:, None, :]) ** 2).sum(-1))
         w = 1.0 / jnp.maximum(dvert, 1e-6)
         w = w / w.sum(-1, keepdims=True)
@@ -154,13 +163,24 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         w_dist = 1.0 / (dmean[:, None] * sigma_inv / 2.0 + 1.0)
         res = res * w_dist * pmask3
 
-        # --- priors (A^T of residuals and ones batched in one scatter:
-        # gathers/scatters are row-count bound on TPU, so widening rows
-        # beats issuing multiple ops)
+        # --- priors (A^T of residuals and ones, two-stage: points ->
+        # (face, corner) slots by fi, then (face, corner) -> vertices
+        # by the static faces table.  Scatters are row-count bound on
+        # TPU, so N + 3*Fp wide rows beat the direct 3*N-row scatter,
+        # and rows are widened to batch both operands in one pass)
+        Fp = faces.shape[0]
         ah_in = jnp.concatenate([res, ones_pts], axis=1)     # (N, 6)
-        ah_out = jax.ops.segment_sum(
-            (w[..., None] * ah_in[:, None, :]).reshape(-1, 6),
-            v_idx.reshape(-1), num_segments=Vp)              # (Vp, 6)
+        per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 6)
+        face_acc = jax.ops.segment_sum(
+            per_corner.reshape(N, 18), fi, num_segments=Fp)  # (Fp, 18)
+        # the vertex-normal corners ride the same scatter (9-col rows)
+        fused = jnp.concatenate(
+            [vn_corners.reshape(Fp * 3, 3),
+             face_acc.reshape(Fp * 3, 6)], axis=1)           # (Fp*3, 9)
+        out9 = jax.ops.segment_sum(fused, faces.reshape(-1),
+                                   num_segments=Vp)          # (Vp, 9)
+        vn = _normals.normalize_vertex_normals(out9[:, :3])
+        ah_out = out9[:, 3:]
         S0_raw = ah_out[:, :3]
         pi_vec = ah_out[:, 3:]
         point_influence = jnp.sqrt((pi_vec * pi_vec).sum(-1))
@@ -201,9 +221,12 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             test = test - cos_abs(i, j) / len(pairs)
 
         # --- subspace solve (conj_grad.py:183-229); all direction
-        # forward maps share the correspondence, so gather once with
-        # wide rows instead of s_size separate row gathers
-        AS = (S[v_idx] * w[..., None, None]).sum(axis=1)   # (N, 3, s)
+        # forward maps share the correspondence.  Gather face-side
+        # first (3*Fp rows of (3, s) records), then per point (N rows
+        # of 9*s-float records) — 3*Fp + N rows beat the direct
+        # 3*N-row S[faces[fi]] gather
+        S_tri = S[faces]                                   # (Fp,3,3,s)
+        AS = (S_tri[fi] * w[..., None, None]).sum(axis=1)  # (N, 3, s)
         ASm = AS * el_mask[..., None]
         res_m = res * el_mask
 
