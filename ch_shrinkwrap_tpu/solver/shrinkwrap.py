@@ -148,10 +148,11 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             dmean, fi = corr.refine_correspondence(points, centers,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
-        # weights + forward map reuse the face-side ``tri`` gather:
-        # TPU gathers are row-count bound, so one (N,)-row gather of
-        # 9-float face records beats the (N*3,)-row f[faces[fi]] form
-        fv = tri[fi]                                     # (N, 3, 3)
+        # weights + forward map reuse the face-side ``tri`` gather.
+        # Gather through a 2-D row-major view: XLA-TPU lowers >2-D
+        # gathers with a minor-most batch dim ~8x slower (measured
+        # 56.6 -> 7.1 ms at 1M rows, scripts/probe_layout.py)
+        fv = tri.reshape(-1, 9)[fi].reshape(-1, 3, 3)    # (N, 3, 3)
         dvert = jnp.sqrt(((fv - points[:, None, :]) ** 2).sum(-1))
         w = 1.0 / jnp.maximum(dvert, 1e-6)
         w = w / w.sum(-1, keepdims=True)
@@ -169,21 +170,23 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # TPU, so N + 3*Fp wide rows beat the direct 3*N-row scatter,
         # and rows are widened to batch both operands in one pass)
         Fp = faces.shape[0]
-        ah_in = jnp.concatenate([res, ones_pts], axis=1)     # (N, 6)
-        per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 6)
+        # per-corner values w_j * [res, 1]: 4 cols per corner (the
+        # reference's A^T 1 scatters ones into 3 identical coordinate
+        # columns — one column + sqrt(3) at readout is the same
+        # number; scatter cost grows ~3.3 ms/column at this scale)
+        ah_in = jnp.concatenate([res, ones_pts[:, :1]], axis=1)  # (N,4)
+        per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 4)
         face_acc = jax.ops.segment_sum(
-            per_corner.reshape(N, 18), fi, num_segments=Fp)  # (Fp, 18)
-        # the vertex-normal corners ride the same scatter (9-col rows)
+            per_corner.reshape(N, 12), fi, num_segments=Fp)  # (Fp, 12)
+        # the vertex-normal corners ride the same scatter (7-col rows)
         fused = jnp.concatenate(
             [vn_corners.reshape(Fp * 3, 3),
-             face_acc.reshape(Fp * 3, 6)], axis=1)           # (Fp*3, 9)
-        out9 = jax.ops.segment_sum(fused, faces.reshape(-1),
-                                   num_segments=Vp)          # (Vp, 9)
-        vn = _normals.normalize_vertex_normals(out9[:, :3])
-        ah_out = out9[:, 3:]
-        S0_raw = ah_out[:, :3]
-        pi_vec = ah_out[:, 3:]
-        point_influence = jnp.sqrt((pi_vec * pi_vec).sum(-1))
+             face_acc.reshape(Fp * 3, 4)], axis=1)           # (Fp*3, 7)
+        out7 = jax.ops.segment_sum(fused, faces.reshape(-1),
+                                   num_segments=Vp)          # (Vp, 7)
+        vn = _normals.normalize_vertex_normals(out7[:, :3])
+        S0_raw = out7[:, 3:6]
+        point_influence = jnp.sqrt(3.0) * jnp.abs(out7[:, 6])
         ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask)
 
         vmask3 = v_mask[:, None]
@@ -222,11 +225,13 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
 
         # --- subspace solve (conj_grad.py:183-229); all direction
         # forward maps share the correspondence.  Gather face-side
-        # first (3*Fp rows of (3, s) records), then per point (N rows
-        # of 9*s-float records) — 3*Fp + N rows beat the direct
-        # 3*N-row S[faces[fi]] gather
-        S_tri = S[faces]                                   # (Fp,3,3,s)
-        AS = (S_tri[fi] * w[..., None, None]).sum(axis=1)  # (N, 3, s)
+        # first (3*Fp rows of (3, s) records), then per point through
+        # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
+        # batch dim are ~8x slower — scripts/probe_layout.py)
+        S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
+                 .reshape(Fp, 9 * s_size))                 # (Fp, 9s)
+        ASfv = S_tri[fi].reshape(-1, 3, 3, s_size)         # (N,3,3,s)
+        AS = (ASfv * w[..., None, None]).sum(axis=1)       # (N, 3, s)
         ASm = AS * el_mask[..., None]
         res_m = res * el_mask
 
