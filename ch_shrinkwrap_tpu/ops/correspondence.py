@@ -28,6 +28,7 @@ Four device paths behind one interface (all static-shape, jit-safe):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -455,12 +456,25 @@ def nearest_face_blocked(points, centers, f_mask, block_size=256,
     return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
 
 
+class WindowedMeta(NamedTuple):
+    """Scatter-routing metadata from the windowed correspondence:
+    enough to re-locate every point's winning face inside one of its
+    block's contiguous windows (or the shared subsample) without any
+    global scatter — consumed by ``windowed_segment_sum``.  Array-only
+    (jit-transparent); pass block_size/window statically alongside."""
+    starts: jax.Array      # (nb, A) i32 128-aligned window starts
+    js: jax.Array          # (N,) i32 subsample argmin slot per point
+    sub_ids: jax.Array     # (nsub,) i32 subsample face ids
+
+
 @partial(jax.jit,
          static_argnames=('block_size', 'window', 'block_chunk',
-                          'n_subsample', 'use_pallas', 'pallas_interpret'))
+                          'n_subsample', 'use_pallas', 'pallas_interpret',
+                          'return_meta'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
                           window=4096, block_chunk=8, n_subsample=1024,
-                          use_pallas=False, pallas_interpret=False):
+                          use_pallas=False, pallas_interpret=False,
+                          return_meta=False):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
 
@@ -545,14 +559,24 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
         centers_t = centers.T                             # (3, Fp)
         c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
         # the kernel merges the subsample fallback in-VMEM
-        d2k, fidk = window_min_pallas(
+        d2k, fidk, jsk = window_min_pallas(
             blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
             sub_ids.astype(jnp.int32), window=window,
             n_anchors=n_anchors, interpret=pallas_interpret)
         p2 = (blocks * blocks).sum(-1)                    # (nb, B)
         d2f = (d2k + p2).reshape(-1)[:N]
         fidf = fidk.reshape(-1)[:N]
-        return jnp.sqrt(jnp.maximum(d2f, 0.0)), fidf
+        d_out = jnp.sqrt(jnp.maximum(d2f, 0.0))
+        if return_meta:
+            Fp_al = -(-Fp // 128) * 128
+            starts_al = jnp.clip(
+                (starts.astype(jnp.int32) // 128) * 128, 0,
+                max(Fp_al - min(window, Fp_al), 0))
+            meta = WindowedMeta(
+                starts=starts_al, js=jsk.reshape(-1)[:N],
+                sub_ids=sub_ids.astype(jnp.int32))
+            return d_out, fidf, meta
+        return d_out, fidf
 
     def per_chunk(chunk):
         bp, st = chunk                               # (bc,B,3),(bc,A)
@@ -676,3 +700,107 @@ def refine_correspondence(points, centers, face_nbrs, fid, n_iter=3):
     d2 = ((centers[fid] - points) ** 2).sum(-1)
     fid, d2 = jax.lax.fori_loop(0, n_iter, step, (fid, d2))
     return jnp.sqrt(jnp.maximum(d2, 0.0)), fid
+
+
+def windowed_segment_sum(vals, fid, meta: WindowedMeta, num_segments,
+                         block_size=256, window=4096, scan_chunk=1):
+    """segment_sum(vals, fid) -> (num_segments, C) without a global
+    scatter.
+
+    XLA-TPU scatters run at ~0.5 GB/s at 1M rows (scripts/
+    probe_layout.py); here every row's target is known to lie inside
+    one of its block's ``n_anchors`` contiguous 128-aligned windows
+    (or the shared subsample) — exactly the candidate set the windowed
+    correspondence searched.  A ``lax.scan`` over point blocks
+    accumulates each window region with a factorized one-hot MXU
+    matmul (hi/lo decomposition of the in-window offset keeps the
+    one-hot build off the VPU critical path) and a
+    dynamic_slice/dynamic_update_slice read-modify-write; the rare
+    not-in-any-window rows (subsample fallback winners) accumulate
+    into a (nsub, C) side table folded in with one tiny scatter.
+    """
+    N, C = vals.shape
+    Bsz = block_size
+    # same clamp as the windowed search applies for tiny face tables
+    W = min(window, -(-num_segments // 128) * 128)
+    Wh = W // 128
+    nb = meta.starts.shape[0]
+    A = meta.starts.shape[1]
+    nsub = meta.sub_ids.shape[0]
+    nsh = nsub // 128
+    Npad = nb * Bsz
+    Fp_al = -(-num_segments // 128) * 128
+
+    valsp = jnp.zeros((Npad, C), vals.dtype).at[:N].set(vals)
+    fidp = jnp.zeros((Npad,), jnp.int32).at[:N].set(fid)
+    jsp = jnp.zeros((Npad,), jnp.int32).at[:N].set(meta.js)
+
+    def one_block(carry, val, f, st, j):
+        acc, sacc = carry
+        B = val.shape[0]
+        left = jnp.ones((B,), bool)
+        for a in range(A):
+            s0 = st[a]
+            off = f - s0
+            ina = left & (off >= 0) & (off < W)
+            hi = ((jax.lax.broadcasted_iota(jnp.int32, (B, Wh), 1)
+                   == (off // 128)[:, None]) & ina[:, None]
+                  ).astype(jnp.float32)
+            lo = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+                  == (off % 128)[:, None]).astype(jnp.float32)
+            t1 = (hi[:, :, None] * val[:, None, :]).reshape(B, Wh * C)
+            part = jax.lax.dot_general(
+                t1, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Wh*C, 128)
+            part = jnp.transpose(part.reshape(Wh, C, 128),
+                                 (0, 2, 1)).reshape(W, C)
+            region = jax.lax.dynamic_slice(acc, (s0, 0), (W, C))
+            acc = jax.lax.dynamic_update_slice(acc, region + part,
+                                               (s0, 0))
+            left = left & ~ina
+        # subsample remainder (hi/lo factorized the same way)
+        hi = ((jax.lax.broadcasted_iota(jnp.int32, (B, nsh), 1)
+               == (j // 128)[:, None]) & left[:, None]
+              ).astype(jnp.float32)
+        lo = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+              == (j % 128)[:, None]).astype(jnp.float32)
+        t1 = (hi[:, :, None] * val[:, None, :]).reshape(B, nsh * C)
+        spart = jax.lax.dot_general(
+            t1, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sacc = sacc + jnp.transpose(spart.reshape(nsh, C, 128),
+                                    (0, 2, 1)).reshape(nsub, C)
+        return acc, sacc
+
+    # scan_chunk > 1 unrolls several blocks per scan step; measured
+    # slower on TPU v5e (6.6 vs 6.8 iters/s at the bench scale), so
+    # the default stays 1
+    CH = scan_chunk
+    nch = -(-nb // CH)
+    nbp = nch * CH
+    if nbp != nb:
+        pad = nbp - nb
+        valsp = jnp.concatenate(
+            [valsp, jnp.zeros((pad * Bsz, C), valsp.dtype)])
+        fidp = jnp.concatenate([fidp, jnp.zeros((pad * Bsz,), jnp.int32)])
+        jsp = jnp.concatenate([jsp, jnp.zeros((pad * Bsz,), jnp.int32)])
+        starts_all = jnp.concatenate(
+            [meta.starts, jnp.zeros((pad, A), jnp.int32)])
+    else:
+        starts_all = meta.starts
+
+    def body(carry, inp):
+        vals_c, fid_c, st_c, js_c = inp    # (CH,B,C),(CH,B),(CH,A),(CH,B)
+        for k in range(CH):
+            carry = one_block(carry, vals_c[k], fid_c[k], st_c[k],
+                              js_c[k])
+        return carry, None
+
+    acc0 = jnp.zeros((Fp_al, C), jnp.float32)
+    sacc0 = jnp.zeros((nsub, C), jnp.float32)
+    (acc, sacc), _ = jax.lax.scan(
+        body, (acc0, sacc0),
+        (valsp.reshape(nch, CH, Bsz, C), fidp.reshape(nch, CH, Bsz),
+         starts_all.reshape(nch, CH, A), jsp.reshape(nch, CH, Bsz)))
+    acc = acc[:num_segments].at[meta.sub_ids].add(sacc)
+    return acc

@@ -32,6 +32,7 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
                                           # subsample [x;y;z;c2;id;...]
                    dout_ref,              # (BP, B) VMEM
                    iout_ref,              # (BP, B) VMEM
+                   jout_ref,              # (BP, B) VMEM subsample slot
                    cw_scratch,            # (2, 8, W) VMEM (double buffer)
                    sems,                  # (2,) DMA semaphores
                    *, n_anchors, window):
@@ -94,6 +95,10 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
 
         dout_ref[b, :] = best_d[0]
         iout_ref[b, :] = best_j[0]
+        # subsample argmin slot per point: lets the caller route the
+        # rare not-in-any-window winners in windowed_segment_sum
+        # without inverting the subsample hash
+        jout_ref[b, :] = js.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=('window', 'n_anchors', 'interpret'))
@@ -109,7 +114,8 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, sub_ids,
     centers_t : (3, Fp) f32 — transposed face centers (Hilbert order)
     c2 : (Fp,) f32 — |c|^2 with BIG on invalid faces
     sub_ids : (nsub,) i32 — hashed-subsample face indices
-    Returns (d2_nop2 (nb, B), fid (nb, B) i32); caller adds |p|^2.
+    Returns (d2_nop2 (nb, B), fid (nb, B) i32, js (nb, B) i32 —
+    the subsample argmin slot per point); caller adds |p|^2.
     """
     nb, _, B = blocks_t.shape
     Fp = centers_t.shape[1]
@@ -156,6 +162,8 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, sub_ids,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BP, B), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, B), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 8, window), jnp.float32),
@@ -164,11 +172,12 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, sub_ids,
     )
 
     kernel = partial(_window_kernel, n_anchors=n_anchors, window=window)
-    d2, fid = pl.pallas_call(
+    d2, fid, js = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb_pad, B), jnp.float32),
+                   jax.ShapeDtypeStruct((nb_pad, B), jnp.int32),
                    jax.ShapeDtypeStruct((nb_pad, B), jnp.int32)],
         interpret=interpret,
     )(starts.reshape(-1), blocks_t, cents8, subs8)
-    return d2[:nb], fid[:nb]
+    return d2[:nb], fid[:nb], js[:nb]

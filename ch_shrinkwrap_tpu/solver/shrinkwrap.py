@@ -76,13 +76,14 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
 
 @partial(jax.jit,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
-                          'corr_method', 'polish_iters'))
+                          'corr_method', 'polish_iters',
+                          'pallas_interpret'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
              use_shrink=False, face_chunk=2048, stop_eps=1e-6,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
-             polish_iters=0):
+             polish_iters=0, pallas_interpret=False):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -138,8 +139,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # faces (meshdata.from_mesh does the latter)
             dmean, fi = corr.nearest_face_windowed(points, centers, f_mask)
         elif corr_method == 'windowed_pallas':
-            dmean, fi = corr.nearest_face_windowed(points, centers, f_mask,
-                                                   use_pallas=True)
+            dmean, fi, corr_meta = corr.nearest_face_windowed(
+                points, centers, f_mask, use_pallas=True,
+                return_meta=True, pallas_interpret=pallas_interpret)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
@@ -176,8 +178,16 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # number; scatter cost grows ~3.3 ms/column at this scale)
         ah_in = jnp.concatenate([res, ones_pts[:, :1]], axis=1)  # (N,4)
         per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 4)
-        face_acc = jax.ops.segment_sum(
-            per_corner.reshape(N, 12), fi, num_segments=Fp)  # (Fp, 12)
+        if corr_method == 'windowed_pallas':
+            # scatter-free: route rows through their block's windows
+            # (XLA scatter runs ~0.5 GB/s at this scale)
+            face_acc = corr.windowed_segment_sum(
+                per_corner.reshape(N, 12), fi, corr_meta,
+                num_segments=Fp)                             # (Fp, 12)
+        else:
+            face_acc = jax.ops.segment_sum(
+                per_corner.reshape(N, 12), fi,
+                num_segments=Fp)                             # (Fp, 12)
         # the vertex-normal corners ride the same scatter (7-col rows)
         fused = jnp.concatenate(
             [vn_corners.reshape(Fp * 3, 3),

@@ -200,3 +200,58 @@ def test_nearest_face_windowed_pallas_interpret():
     assert np.all(d_p >= d_b - 1e-2)
     assert np.abs(d_p - d_b).mean() < 1.0
     assert np.abs(d_p - d_b).max() < 10.0
+
+
+def test_windowed_segment_sum_matches_segment_sum():
+    """The scatter-free windowed A^T accumulator reproduces
+    jax.ops.segment_sum exactly on real correspondence routing data
+    (window winners AND subsample-fallback winners)."""
+    import jax
+    rng = np.random.default_rng(5)
+    v, f = icosphere(4, radius=50.0)
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
+    centers = jnp.asarray(
+        np.asarray(ma.positions)[np.asarray(ma.faces)].mean(1))
+    Fp = centers.shape[0]
+
+    d = rng.normal(size=(6000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape))
+    far = rng.uniform(-150, 150, (400, 3))
+    allp = np.vstack([pts, far]).astype(np.float32)
+    allp = allp[corr.fit_point_order(allp)]
+
+    _, fid, meta = corr.nearest_face_windowed(
+        jnp.asarray(allp), centers, ma.f_mask, window=1024,
+        use_pallas=True, pallas_interpret=True, return_meta=True)
+    vals = jnp.asarray(
+        rng.normal(size=(allp.shape[0], 12)).astype(np.float32))
+    ref = jax.ops.segment_sum(vals, fid, num_segments=Fp)
+    out = jax.jit(lambda v_, f_: corr.windowed_segment_sum(
+        v_, f_, meta, Fp, window=1024))(vals, fid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4 * float(jnp.abs(ref).max()))
+
+
+def test_cg_block_windowed_pallas_matches_brute():
+    """Full solver block through the Pallas correspondence + windowed
+    A^T accumulator (interpret mode) converges identically to the
+    exact brute-force path."""
+    pts, sig = sphere_cloud(n=8000, seed=3)
+    pts = pts[corr.fit_point_order(pts)]
+    v, f = icosphere(3, radius=60.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    sigma_inv = jnp.asarray(1.0 / sig)
+    weights = sigma_inv / jnp.sqrt((sigma_inv ** 2).sum())
+    pmask = jnp.ones((len(pts),), bool)
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            jnp.asarray(pts), sigma_inv, weights, pmask, 10.0)
+    fb, _ = cg_block(*args, num_iters=6, corr_method='brute')
+    fw, _ = cg_block(*args, num_iters=6, corr_method='windowed_pallas',
+                     pallas_interpret=True)
+    vm = np.asarray(ma.v_mask)
+    rb = np.linalg.norm(np.asarray(fb)[vm], axis=1)
+    rw = np.linalg.norm(np.asarray(fw)[vm], axis=1)
+    assert abs(rb.mean() - rw.mean()) < 0.05
+    assert np.abs(np.asarray(fb) - np.asarray(fw))[vm].max() < 0.5
