@@ -472,7 +472,7 @@ class WindowedMeta(NamedTuple):
                           'n_subsample', 'use_pallas', 'pallas_interpret',
                           'return_meta'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
-                          window=4096, block_chunk=8, n_subsample=1024,
+                          window=2048, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False,
                           return_meta=False):
     """Nearest face via contiguous Hilbert windows — the production
@@ -703,7 +703,7 @@ def refine_correspondence(points, centers, face_nbrs, fid, n_iter=3):
 
 
 def windowed_segment_sum(vals, fid, meta: WindowedMeta, num_segments,
-                         block_size=256, window=4096, scan_chunk=1):
+                         block_size=256, window=2048, scan_chunk=1):
     """segment_sum(vals, fid) -> (num_segments, C) without a global
     scatter.
 

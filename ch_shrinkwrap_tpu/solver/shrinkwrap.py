@@ -179,11 +179,16 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         ah_in = jnp.concatenate([res, ones_pts[:, :1]], axis=1)  # (N,4)
         per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 4)
         if corr_method == 'windowed_pallas':
-            # scatter-free: route rows through their block's windows
-            # (XLA scatter runs ~0.5 GB/s at this scale)
-            face_acc = corr.windowed_segment_sum(
-                per_corner.reshape(N, 12), fi, corr_meta,
-                num_segments=Fp)                             # (Fp, 12)
+            # scatter-free: route rows through their block's sorted
+            # windows in the sliding-ring Pallas kernel (XLA scatter
+            # runs ~0.5 GB/s at this scale; the XLA scan formulation
+            # pays ~11 us dispatch overhead per block)
+            from ..ops.pallas_scatter import windowed_segment_sum_pallas
+            face_acc = windowed_segment_sum_pallas(
+                per_corner.reshape(N, 12), fi, corr_meta.js,
+                corr_meta.starts, corr_meta.sub_ids,
+                num_segments=Fp,
+                interpret=pallas_interpret)                  # (Fp, 12)
         else:
             face_acc = jax.ops.segment_sum(
                 per_corner.reshape(N, 12), fi,

@@ -255,3 +255,4 @@ def test_cg_block_windowed_pallas_matches_brute():
     rw = np.linalg.norm(np.asarray(fw)[vm], axis=1)
     assert abs(rb.mean() - rw.mean()) < 0.05
     assert np.abs(np.asarray(fb) - np.asarray(fw))[vm].max() < 0.5
+
