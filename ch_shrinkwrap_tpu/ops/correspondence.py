@@ -470,11 +470,11 @@ class WindowedMeta(NamedTuple):
 @partial(jax.jit,
          static_argnames=('block_size', 'window', 'block_chunk',
                           'n_subsample', 'use_pallas', 'pallas_interpret',
-                          'return_meta'))
+                          'return_meta', 'n_anchors'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
                           window=2048, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False,
-                          return_meta=False):
+                          return_meta=False, n_anchors=3):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
 
@@ -515,7 +515,6 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
     # the centroid — a spatial ball maps to several disjoint index runs
     # of the Hilbert face order, and each anchor opens a window into
     # one run
-    n_anchors = 3
     n_pool = 12
     d2b = ((bcent * bcent).sum(-1)[:, None] + sub_c2[None, :]
            - 2.0 * jnp.dot(bcent, sub_c.T,

@@ -294,3 +294,4 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
     out = acc2[:num_segments, :C]
     sub_rows = acc2[sub_base:sub_base + nsub, :C]
     return out.at[sub_ids].add(sub_rows)
+

@@ -197,6 +197,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         fused = jnp.concatenate(
             [vn_corners.reshape(Fp * 3, 3),
              face_acc.reshape(Fp * 3, 4)], axis=1)           # (Fp*3, 7)
+        # (a windowed-kernel fold was tried here and reverted: a
+        # Hilbert face order splits a vertex's incident faces across
+        # curve jumps, so per-block single windows cannot cover the
+        # faces->verts targets — the plain segment_sum stays)
         out7 = jax.ops.segment_sum(fused, faces.reshape(-1),
                                    num_segments=Vp)          # (Vp, 7)
         vn = _normals.normalize_vertex_normals(out7[:, :3])
