@@ -43,17 +43,19 @@ JS_COL = 13                # f32 column carrying the subsample slot
 
 def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
                     starts_ref,      # ((nb+1)*A,) prefetch
-                    vals_ref,        # (nb+1, C, B) HBM packed blocks
+                    vals_ref,        # (nb+1, C, B) HBM packed blocks,
+                                     # or (nb+1, 9, B) [w|ah|fid|js]
+                                     # rows when ``factored``
                     eh_ref,          # (Wh*C, Wh) VMEM constant
                     ec_ref,          # (Wh*C, C) VMEM constant
                     acc_in_ref,      # (n_chunks, C, 128) HBM (zeros,
                                      # aliased to the output)
                     acc_ref,         # (n_chunks, C, 128) HBM out
                     ring,            # (RING, C, 128) VMEM scratch
-                    vscr,            # (2, C, B) VMEM scratch
+                    vscr,            # (2, rows, B) VMEM scratch
                     base_ref,        # (1,) SMEM
                     sems,            # (2,) in + (1,) flush DMA sems
-                    *, n_steps, n_anchors, window, c_cols):
+                    *, n_steps, n_anchors, window, c_cols, factored):
     del acc_in_ref
     i = pl.program_id(0)
     SP = STEPS_PER_PROGRAM
@@ -121,9 +123,22 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
             ring[...] = jnp.zeros_like(ring)
             base_ref[0] = s0 // 128
 
-        valT = vscr[slot]                        # (C, B)
-        fid = valT[FID_COL, :].astype(jnp.int32)  # exact for < 2^24
-        js = valT[JS_COL, :].astype(jnp.int32)
+        raw = vscr[slot]                         # (rows, B)
+        if factored:
+            # rows [w0 w1 w2 | ah0..ah3 | fid js]: build the 12
+            # per-corner products w_j * ah_c in-kernel (saves the
+            # XLA-side (N, 12) materialization + repack)
+            rows = [raw[3 * 0 + j:j + 1] * raw[3 + c:4 + c]
+                    for j in range(3) for c in range(4)]
+            valT = jnp.concatenate(
+                rows + [jnp.zeros((c_cols - 12, B), jnp.float32)],
+                axis=0)                          # (C, B)
+            fid = raw[7, :].astype(jnp.int32)    # exact for < 2^24
+            js = raw[8, :].astype(jnp.int32)
+        else:
+            valT = raw
+            fid = raw[FID_COL, :].astype(jnp.int32)
+            js = raw[JS_COL, :].astype(jnp.int32)
 
         # routing: the first anchor window containing fid hosts the
         # row; the subsample step (a == n_anchors) takes the rest.
@@ -194,39 +209,21 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
             flush(RING_CHUNKS)
 
 
-@partial(jax.jit,
-         static_argnames=('num_segments', 'block_size', 'window',
-                          'interpret'))
-def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
-                                num_segments, block_size=256,
-                                window=2048, interpret=False):
-    """Exact ``segment_sum(vals, fid) -> (num_segments, C)`` via the
-    sorted sliding-window kernel.  ``starts``/``js``/``sub_ids`` are
-    the WindowedMeta fields of the matching correspondence call (the
-    routing invariant — every fid lies inside one of its block's
-    windows or equals sub_ids[js] — comes from there).
-    """
-    N, C = vals.shape
-    A = starts.shape[1]
-    nb = starts.shape[0]
+def _call_scatter(blocks, starts_al, sub_ids, num_segments,
+                  block_size, window, factored, interpret):
+    """Shared driver: sorts (block, anchor) steps and invokes the
+    sliding-ring kernel.  ``blocks`` is (Cp, nb+1, B) with the last
+    block all-zero (pad-step target)."""
+    nbp, rows, Bsz = blocks.shape
+    nb = nbp - 1
+    Cp = 16
+    A = starts_al.shape[1]
     nsub = sub_ids.shape[0]
-    Bsz = block_size
     Fp_al = -(-num_segments // 128) * 128
     W = min(window, Fp_al)
-    Wh = W // 128
     if nsub > W:
         raise ValueError('subsample larger than the window')
-    Cp = 16
-    if C > FID_COL:
-        raise ValueError(f'at most {FID_COL} value columns')
-    Npad = nb * Bsz
 
-    valsp = jnp.zeros((Npad, Cp), jnp.float32).at[:N, :C].set(vals)
-    valsp = valsp.at[:N, FID_COL].set(fid.astype(jnp.float32))
-    valsp = valsp.at[:N, JS_COL].set(js.astype(jnp.float32))
-    # padded rows keep zero values: any in-range target is harmless
-
-    starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
     sub_base = Fp_al            # virtual subsample window
     n_steps = nb * (A + 1)
     SP = STEPS_PER_PROGRAM
@@ -239,19 +236,16 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
     anc = jnp.tile(jnp.arange(A + 1, dtype=jnp.int32), nb)
     order = jnp.argsort(key)
     seq = jnp.stack([key[order], blk[order], anc[order]], axis=1)
-    # pad steps: subsample steps of a dedicated all-zero block
-    zero_blk = nb
-    pad_step = jnp.array([[sub_base, zero_blk, A]], jnp.int32)
+    # pad steps: subsample steps of the dedicated all-zero block
+    pad_step = jnp.array([[sub_base, nb, A]], jnp.int32)
     seq = jnp.concatenate(
         [seq, jnp.tile(pad_step, (n_steps_pad - n_steps, 1))])
 
-    blocks = jnp.concatenate(
-        [jnp.transpose(valsp.reshape(nb, Bsz, Cp), (0, 2, 1)),
-         jnp.zeros((1, Cp, Bsz), jnp.float32)])           # (nb+1,Cp,B)
     starts_sc = jnp.concatenate(
         [starts_al, jnp.zeros((1, A), jnp.int32)]).reshape(-1)
 
     n_chunks = sub_base // 128 + RING_CHUNKS
+    Wh = W // 128
 
     # constant routing matrices for the factorized one-hot:
     # eh[k, h(k)] = 1 and ec[k, c(k)] = 1 with k = h * Cp + c
@@ -273,14 +267,15 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((RING_CHUNKS, Cp, 128), jnp.float32),
-            pltpu.VMEM((2, Cp, Bsz), jnp.float32),
+            pltpu.VMEM((2, rows, Bsz), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
     kernel = partial(_scatter_kernel, n_steps=n_steps_pad,
-                     n_anchors=A, window=W, c_cols=Cp)
+                     n_anchors=A, window=W, c_cols=Cp,
+                     factored=factored)
     acc_zero = jnp.zeros((n_chunks, Cp, 128), jnp.float32)
     acc = pl.pallas_call(
         kernel,
@@ -291,7 +286,80 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
     )(seq.reshape(-1), starts_sc, blocks, eh, ec, acc_zero)
 
     acc2 = jnp.transpose(acc, (0, 2, 1)).reshape(-1, Cp)
-    out = acc2[:num_segments, :C]
-    sub_rows = acc2[sub_base:sub_base + nsub, :C]
-    return out.at[sub_ids].add(sub_rows)
+    sub_rows = acc2[sub_base:sub_base + nsub]
+    return acc2[:num_segments].at[sub_ids].add(sub_rows)
 
+
+@partial(jax.jit,
+         static_argnames=('num_segments', 'block_size', 'window',
+                          'interpret'))
+def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
+                                num_segments, block_size=256,
+                                window=2048, interpret=False):
+    """Exact ``segment_sum(vals, fid) -> (num_segments, C)`` via the
+    sorted sliding-window kernel.  ``starts``/``js``/``sub_ids`` are
+    the WindowedMeta fields of the matching correspondence call (the
+    routing invariant — every fid lies inside one of its block's
+    windows or equals sub_ids[js] — comes from there).
+    """
+    N, C = vals.shape
+    nb = starts.shape[0]
+    Bsz = block_size
+    Fp_al = -(-num_segments // 128) * 128
+    W = min(window, Fp_al)
+    Cp = 16
+    if C > FID_COL:
+        raise ValueError(f'at most {FID_COL} value columns')
+    Npad = nb * Bsz
+
+    valsp = jnp.zeros((Npad, Cp), jnp.float32).at[:N, :C].set(vals)
+    valsp = valsp.at[:N, FID_COL].set(fid.astype(jnp.float32))
+    valsp = valsp.at[:N, JS_COL].set(js.astype(jnp.float32))
+    # padded rows keep zero values: any in-range target is harmless
+
+    starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
+    blocks = jnp.concatenate(
+        [jnp.transpose(valsp.reshape(nb, Bsz, Cp), (0, 2, 1)),
+         jnp.zeros((1, Cp, Bsz), jnp.float32)])          # (nb+1,Cp,B)
+    out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
+                        Bsz, window, False, interpret)
+    return out[:, :C]
+
+
+@partial(jax.jit,
+         static_argnames=('num_segments', 'block_size', 'window',
+                          'interpret'))
+def windowed_ah_pallas(w, ah, fid, js, starts, sub_ids, num_segments,
+                       block_size=256, window=2048, interpret=False):
+    """A^T accumulation with the per-corner products formed in-kernel:
+    ``segment_sum((w[:, :, None] * ah[:, None, :]).reshape(N, 12),
+    fid)`` without materializing the (N, 12) operand — the kernel
+    receives packed rows [w0 w1 w2 | ah0..ah3 | fid js] per block.
+    """
+    N = w.shape[0]
+    nb = starts.shape[0]
+    Bsz = block_size
+    Fp_al = -(-num_segments // 128) * 128
+    W = min(window, Fp_al)
+    Cp = 16
+    Npad = nb * Bsz
+
+    def blockify(x2, rows):
+        # (N, rows) -> (nb, rows, B) via small per-field transposes
+        xp = jnp.zeros((Npad, rows), jnp.float32).at[:N].set(x2)
+        return jnp.transpose(xp.reshape(nb, Bsz, rows), (0, 2, 1))
+
+    blocks = jnp.concatenate([
+        blockify(w, 3),
+        blockify(ah, 4),
+        blockify(fid.astype(jnp.float32)[:, None], 1),
+        blockify(js.astype(jnp.float32)[:, None], 1),
+        jnp.zeros((nb, 7, Bsz), jnp.float32),  # sublane-pad to 16
+    ], axis=1)                                           # (nb, 16, B)
+    blocks = jnp.concatenate(
+        [blocks, jnp.zeros((1, 16, Bsz), jnp.float32)])  # (nb+1,16,B)
+
+    starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
+    out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
+                        Bsz, window, True, interpret)
+    return out[:, :12]

@@ -177,19 +177,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # columns — one column + sqrt(3) at readout is the same
         # number; scatter cost grows ~3.3 ms/column at this scale)
         ah_in = jnp.concatenate([res, ones_pts[:, :1]], axis=1)  # (N,4)
-        per_corner = (w[..., None] * ah_in[:, None, :])      # (N, 3, 4)
         if corr_method == 'windowed_pallas':
             # scatter-free: route rows through their block's sorted
             # windows in the sliding-ring Pallas kernel (XLA scatter
-            # runs ~0.5 GB/s at this scale; the XLA scan formulation
-            # pays ~11 us dispatch overhead per block)
-            from ..ops.pallas_scatter import windowed_segment_sum_pallas
-            face_acc = windowed_segment_sum_pallas(
-                per_corner.reshape(N, 12), fi, corr_meta.js,
+            # runs ~0.5 GB/s at this scale); the w_j * ah_c per-corner
+            # products form in-kernel, so the (N, 12) operand never
+            # materializes
+            from ..ops.pallas_scatter import windowed_ah_pallas
+            face_acc = windowed_ah_pallas(
+                w, ah_in, fi, corr_meta.js,
                 corr_meta.starts, corr_meta.sub_ids,
                 num_segments=Fp,
                 interpret=pallas_interpret)                  # (Fp, 12)
         else:
+            per_corner = (w[..., None] * ah_in[:, None, :])  # (N, 3, 4)
             face_acc = jax.ops.segment_sum(
                 per_corner.reshape(N, 12), fi,
                 num_segments=Fp)                             # (Fp, 12)
