@@ -33,72 +33,88 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
                    dout_ref,              # (BP, B) VMEM
                    iout_ref,              # (BP, B) VMEM
                    jout_ref,              # (BP, B) VMEM subsample slot
-                   cw_scratch,            # (2, 8, W) VMEM (double buffer)
-                   sems,                  # (2,) DMA semaphores
+                   cw_scratch,            # (2, 8, A*W + nsub) VMEM:
+                                          # per-slot concatenated
+                                          # anchor windows + subsample
+                   sems,                  # (2, A) DMA semaphores
                    *, n_anchors, window):
     i = pl.program_id(0)
-    n_steps = BLOCKS_PER_PROGRAM * n_anchors
+    BP = BLOCKS_PER_PROGRAM
+    A = n_anchors
+    W = window
+    nsub = subs8_ref.shape[1]
 
-    def start_dma(t, slot):
-        s0 = pl.multiple_of(
-            starts_ref[i * n_steps + t], 128)
-        pltpu.make_async_copy(
-            cents8_ref.at[:, pl.ds(s0, window)], cw_scratch.at[slot],
-            sems.at[slot]).start()
+    def start_dmas(b, slot):
+        # all A anchor windows of block b into one concatenated tile
+        for a in range(A):
+            s0 = pl.multiple_of(
+                starts_ref[(i * BP + b) * A + a], 128)
+            pltpu.make_async_copy(
+                cents8_ref.at[:, pl.ds(s0, W)],
+                cw_scratch.at[slot, :, a * W:(a + 1) * W],
+                sems.at[slot, a]).start()
 
-    start_dma(0, 0)
+    def wait_dmas(b, slot):
+        for a in range(A):
+            s0 = pl.multiple_of(
+                starts_ref[(i * BP + b) * A + a], 128)
+            pltpu.make_async_copy(
+                cents8_ref.at[:, pl.ds(s0, W)],
+                cw_scratch.at[slot, :, a * W:(a + 1) * W],
+                sems.at[slot, a]).wait()
+
+    # the subsample tile rides the tail of both slots
+    cw_scratch[0, :, A * W:] = subs8_ref[...]
+    cw_scratch[1, :, A * W:] = subs8_ref[...]
+    start_dmas(0, 0)
+
     for b in range(BLOCKS_PER_PROGRAM):
+        slot = b % 2
+        if b + 1 < BLOCKS_PER_PROGRAM:
+            start_dmas(b + 1, (b + 1) % 2)
+        wait_dmas(b, slot)
+
         pts = pts_ref[b]                  # (3, B)
         B = pts.shape[1]
 
-        # far-point fallback: brute pass over the (VMEM-resident)
-        # hashed subsample; face ids are carried as exact f32 in row 4
-        # and recovered with a one-hot matmul (no lane gathers)
-        nsub = subs8_ref.shape[1]
-        d2s = subs8_ref[3:4, :] - 2.0 * jax.lax.dot_general(
-            pts, subs8_ref[0:3, :],
+        # ONE distance tile + ONE (min, argmin) sweep over the
+        # concatenated [anchor windows | subsample] candidates —
+        # reduction-pass setup costs amortize 4x vs per-source sweeps
+        cw = cw_scratch[slot, 0:3, :]                 # (3, AW+nsub)
+        c2 = cw_scratch[slot, 3:4, :]                 # (1, AW+nsub)
+        d2 = c2 - 2.0 * jax.lax.dot_general(
+            pts, cw,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (B, nsub)
-        js = jnp.argmin(d2s, axis=1)                      # (B,)
+            preferred_element_type=jnp.float32)       # (B, AW+nsub)
+        j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
+        dmin = jnp.min(d2, axis=1)                    # (B,)
+
+        # map the concatenated column back to a global face id
+        anc = j // W                                  # A = sub region
+        jw = j - anc * W
+        fid_win = jw
+        for a in range(A):
+            s0 = starts_ref[(i * BP + b) * A + a]
+            fid_win = fid_win + s0 * (anc == a).astype(jnp.int32)
+        is_sub = j >= A * W
+        js = jnp.clip(j - A * W, 0, nsub - 1)
+        # winning subsample face id via a one-hot matmul over row 4
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, nsub), 1)
         onehot = (lane == js[:, None]).astype(jnp.float32)
         sub_fid = jax.lax.dot_general(
             onehot, subs8_ref[4:5, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)[:, 0]     # (B,)
-        best_d = jnp.min(d2s, axis=1)[None, :]            # (1, B)
-        best_j = sub_fid.astype(jnp.int32)[None, :]
+            preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+        fid = jnp.where(is_sub, sub_fid, fid_win)
 
-        for a in range(n_anchors):
-            t = b * n_anchors + a
-            slot = t % 2
-            if t + 1 < n_steps:
-                start_dma(t + 1, (t + 1) % 2)
-            s0 = pl.multiple_of(starts_ref[i * n_steps + t], 128)
-            pltpu.make_async_copy(
-                cents8_ref.at[:, pl.ds(s0, window)],
-                cw_scratch.at[slot], sems.at[slot]).wait()
-
-            cw = cw_scratch[slot, 0:3, :]                 # (3, W)
-            c2 = cw_scratch[slot, 3:4, :]                 # (1, W)
-            # (B, W) squared distances up to the per-point |p|^2 const
-            d2 = c2 - 2.0 * jax.lax.dot_general(
-                pts, cw,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (B, W)
-            j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
-            dmin = jnp.min(d2, axis=1)                    # (B,)
-            fid = s0 + j
-            upd = dmin[None, :] < best_d
-            best_d = jnp.where(upd, dmin[None, :], best_d)
-            best_j = jnp.where(upd, fid[None, :], best_j)
-
-        dout_ref[b, :] = best_d[0]
-        iout_ref[b, :] = best_j[0]
-        # subsample argmin slot per point: lets the caller route the
-        # rare not-in-any-window winners in windowed_segment_sum
-        # without inverting the subsample hash
-        jout_ref[b, :] = js.astype(jnp.int32)
+        dout_ref[b, :] = dmin
+        iout_ref[b, :] = fid
+        # subsample slot per point: lets the caller route the rare
+        # not-in-any-window winners in windowed_segment_sum without
+        # inverting the subsample hash (only consulted for rows whose
+        # winner is not inside any of the block's windows — exactly
+        # the rows where the subsample region won the argmin)
+        jout_ref[b, :] = js
 
 
 @partial(jax.jit, static_argnames=('window', 'n_anchors', 'interpret'))
@@ -166,8 +182,9 @@ def window_min_pallas(blocks_t, starts, centers_t, c2, sub_ids,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, n_anchors * window + nsub_al),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_anchors)),
         ],
     )
 
