@@ -56,9 +56,11 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
 
     # one wide-row (Vp*K,)-gather of [position, normal] records —
     # gathers are row-count bound, so batching the two 3-col gathers
-    # into one 6-col gather halves the cost
-    fn = jnp.concatenate([f, vnormals], axis=1)      # (Vp, 6)
-    vg = fn[safe]                                    # (Vp, K, 6)
+    # into one gather halves the cost; rows pad to 8 columns for a
+    # clean (8, 128) tiling of both the source and the gather output
+    fn = jnp.concatenate(
+        [f, vnormals, jnp.zeros((Vp, 2), f.dtype)], axis=1)  # (Vp, 8)
+    vg = fn[safe]                                    # (Vp, K, 8)
     vpos = vg[..., 0:3]
     n_n = vg[..., 3:6]
     vc = (vpos * nmask[..., None]).sum(1) / ms_safe[:, None]
@@ -151,17 +153,22 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
         # weights + forward map reuse the face-side ``tri`` gather.
-        # Gather through a 2-D row-major view: XLA-TPU lowers >2-D
-        # gathers with a minor-most batch dim ~8x slower (measured
-        # 56.6 -> 7.1 ms at 1M rows, scripts/probe_layout.py)
-        fv = tri.reshape(-1, 9)[fi].reshape(-1, 3, 3)    # (N, 3, 3)
-        dvert = jnp.sqrt(((fv - points[:, None, :]) ** 2).sum(-1))
+        # Gather through a 2-D row-major view and KEEP the flat (N, 9)
+        # layout — XLA-TPU lowers >2-D gathers with a minor-most batch
+        # dim ~8x slower (56.6 vs 7.1 ms at 1M rows, scripts/
+        # probe_layout.py), and the (N,9)->(N,3,3) reshape is a paid
+        # relayout
+        fv9 = tri.reshape(-1, 9)[fi]                     # (N, 9)
+        fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
+        dvert = jnp.stack(
+            [jnp.sqrt(((fj - points) ** 2).sum(-1)) for fj in fvj],
+            axis=-1)                                     # (N, 3)
         w = 1.0 / jnp.maximum(dvert, 1e-6)
         w = w / w.sum(-1, keepdims=True)
         w = w * pmask3
 
         # --- weighted residuals (mesh_conj_grad.py:222-248)
-        Af = (fv * w[..., None]).sum(axis=1)
+        Af = sum(fvj[j] * w[:, j:j + 1] for j in range(3))
         res = weights * (points - Af)
         w_dist = 1.0 / (dmean[:, None] * sigma_inv / 2.0 + 1.0)
         res = res * w_dist * pmask3
@@ -247,11 +254,14 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # forward maps share the correspondence.  Gather face-side
         # first (3*Fp rows of (3, s) records), then per point through
         # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
-        # batch dim are ~8x slower — scripts/probe_layout.py)
+        # batch dim are ~8x slower — scripts/probe_layout.py); the
+        # corner sum runs on flat 2-D slices to avoid 4-D relayouts
         S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
                  .reshape(Fp, 9 * s_size))                 # (Fp, 9s)
-        ASfv = S_tri[fi].reshape(-1, 3, 3, s_size)         # (N,3,3,s)
-        AS = (ASfv * w[..., None, None]).sum(axis=1)       # (N, 3, s)
+        ASr = S_tri[fi]                                    # (N, 9s)
+        ks = 3 * s_size
+        AS = sum(ASr[:, ks * j:ks * (j + 1)] * w[:, j:j + 1]
+                 for j in range(3)).reshape(-1, 3, s_size)  # (N, 3, s)
         ASm = AS * el_mask[..., None]
         res_m = res * el_mask
 
