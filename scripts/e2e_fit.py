@@ -14,7 +14,7 @@ pts = (d * R + rng.normal(scale=sigma, size=(N, 3))).astype(np.float32)
 sig = np.full((N, 3), sigma, np.float32)
 
 t0 = time.time()
-surf = wrap_start(pts, target_vertices=10000)
+surf = wrap_start(pts, offset=25.0, grid_n=48)
 t1 = time.time()
 print(f"wrap_start: {t1-t0:.1f}s  V={surf.vertices.shape[0]}", flush=True)
 
