@@ -119,7 +119,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     ones_pts = jnp.ones((N, 3), jnp.float32) * pmask3
 
     def iteration(carry, it):
-        f, S_last, tests_hist, halted = carry
+        f, S_last, tests_hist, halted, _prev_diag = carry
 
         # one f[faces] gather shared by centers + face/vertex normals;
         # the vertex-normal scatter is deferred and fused into the A^T
@@ -300,29 +300,29 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                               jnp.array([tests_hist[1], tests_hist[2],
                                          test]))
 
-        # heavy diagnostics leave the loop as stacked scan outputs
-        # (carrying them with a where(halted) freeze forces full
-        # array copies every iteration); the post-scan slice picks
-        # the last applied iteration's row
+        # heavy diagnostics ride the carry with plain replacement:
+        # once halted, f is frozen, so the next iteration recomputes
+        # IDENTICAL values from it — no where(halted) freeze copies
+        # and no stacked scan outputs needed
         trace = (jnp.where(halted_new, jnp.nan, test),
                  jnp.linalg.norm(res.ravel()),
-                 (~halted_new).astype(jnp.int32),
-                 S, res, point_influence, dmean)
-        return (f_out, S_last_out, tests_new, halted_new), trace
+                 (~halted_new).astype(jnp.int32))
+        return (f_out, S_last_out, tests_new, halted_new,
+                (S, res, point_influence, dmean)), trace
 
+    init_diag = (jnp.zeros((Vp, 3, s_size), jnp.float32),
+                 jnp.zeros((N, 3), jnp.float32),
+                 jnp.zeros((Vp,), jnp.float32),
+                 jnp.zeros((N,), jnp.float32))
     init = (positions,
             jnp.zeros_like(positions),
             jnp.full((3,), jnp.inf, jnp.float32),
-            jnp.zeros((), bool))
-    (f_final, _, _, _), (tests, ress, dones, S_h, res_h, pi_h, d_h) = \
+            jnp.zeros((), bool),
+            init_diag)
+    (f_final, _, _, _, (S_f, res_f, pi_f, d_f)), (tests, ress, dones) = \
         jax.lax.scan(iteration, init, jnp.arange(num_iters))
 
-    n_done = dones.sum()
-    last = jnp.maximum(n_done - 1, 0)
-    pick = lambda ys: jax.lax.dynamic_index_in_dim(ys, last, 0,
-                                                   keepdims=False)
     diags = SolverDiagnostics(
-        tests=tests, ress=ress, n_done=n_done,
-        S=pick(S_h), res=pick(res_h), point_influence=pick(pi_h),
-        d=pick(d_h))
+        tests=tests, ress=ress, n_done=dones.sum(),
+        S=S_f, res=res_f, point_influence=pi_f, d=d_f)
     return f_final, diags
