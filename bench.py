@@ -55,7 +55,10 @@ def main():
 
     v, f = icosphere(n_sub, radius=550.0)
     mesh = TriangleMesh(v, f)
-    ma = meshdata.from_mesh(mesh, quantum=1024)
+    # hilbert-sort vertices AND faces (the production driver does this
+    # per block): scatter/gather locality is worth ~1% at this scale
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
 
     pts_j = jnp.asarray(pts)
     sig_j = jnp.asarray(sigma_inv)
