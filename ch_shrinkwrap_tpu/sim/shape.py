@@ -107,9 +107,12 @@ class Sphere(Shape):
 
 
 class Torus(Shape):
-    def __init__(self, radius=2, r=0.05, **kwargs):
+    def __init__(self, radius=2, r=0.05, R=None, **kwargs):
         Shape.__init__(self, **kwargs)
-        self._radius = radius   # major (ring) radius
+        # accept the sweep-config spelling {r, R} (the reference's
+        # Torus silently drops R= into an unused attribute and keeps
+        # the default ring radius — shape.py:110-114; fixed here)
+        self._radius = radius if R is None else R
         self._r = r             # minor (tube) radius
 
     @property
