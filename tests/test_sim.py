@@ -132,3 +132,15 @@ def test_generate_smlm_pointcloud_no_jitter():
         noise_fraction=0.0, rng=7)
     r = np.linalg.norm(points, axis=1)
     np.testing.assert_allclose(r, 50.0, atol=1.0)
+
+
+def test_torus_accepts_sweep_config_spelling():
+    """Torus(r=, R=) — the sweep-config parameter names — must give
+    the same shape as Torus(radius=, r=)."""
+    import numpy as np
+    from ch_shrinkwrap_tpu.sim.shape import Torus
+    a = Torus(r=30, R=100)
+    b = Torus(radius=100, r=30)
+    p = np.array([[130.0, 0.0], [0.0, 100.0], [0.0, 30.0]])
+    np.testing.assert_allclose(np.asarray(a.sdf(p)), np.asarray(b.sdf(p)))
+    assert abs(float(np.asarray(a.sdf(p)).ravel()[0])) < 1e-9
