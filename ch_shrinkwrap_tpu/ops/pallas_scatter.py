@@ -125,16 +125,18 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
 
         raw = vscr[slot]                         # (rows, B)
         if factored:
-            # rows [w0 w1 w2 | ah0..ah3 | fid js]: build the 12
-            # per-corner products w_j * ah_c in-kernel (saves the
-            # XLA-side (N, 12) materialization + repack)
-            rows = [raw[3 * 0 + j:j + 1] * raw[3 + c:4 + c]
-                    for j in range(3) for c in range(4)]
+            # rows [w0 w1 w2 | res0 res1 res2 | fid js]: build the 12
+            # per-corner products w_j * [res, 1] in-kernel (saves the
+            # XLA-side (N, 12) materialization + repack; the ones
+            # column's products are just w_j, already present)
+            rows = [raw[j:j + 1] * raw[3 + c:4 + c]
+                    for j in range(3) for c in range(3)]
+            rows += [raw[j:j + 1] for j in range(3)]
             valT = jnp.concatenate(
                 rows + [jnp.zeros((c_cols - 12, B), jnp.float32)],
                 axis=0)                          # (C, B)
-            fid = raw[7, :].astype(jnp.int32)    # exact for < 2^24
-            js = raw[8, :].astype(jnp.int32)
+            fid = raw[6, :].astype(jnp.int32)    # exact for < 2^24
+            js = raw[7, :].astype(jnp.int32)
         else:
             valT = raw
             fid = raw[FID_COL, :].astype(jnp.int32)
@@ -329,12 +331,14 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
 @partial(jax.jit,
          static_argnames=('num_segments', 'block_size', 'window',
                           'interpret'))
-def windowed_ah_pallas(w, ah, fid, js, starts, sub_ids, num_segments,
+def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
                        block_size=256, window=2048, interpret=False):
     """A^T accumulation with the per-corner products formed in-kernel:
-    ``segment_sum((w[:, :, None] * ah[:, None, :]).reshape(N, 12),
-    fid)`` without materializing the (N, 12) operand — the kernel
-    receives packed rows [w0 w1 w2 | ah0..ah3 | fid js] per block.
+    ``segment_sum((w[:, :, None] * concat([res, 1])[:, None, :])
+    .reshape(N, 12), fid)`` without materializing the (N, 12) operand
+    — the kernel receives packed rows [w | res | fid js] per block.
+    Output columns are ordered (j, c) with c in [res0 res1 res2, 1]:
+    cols 0..8 = w_j * res_c row-major, cols 9..11 = w_j.
     """
     N = w.shape[0]
     nb = starts.shape[0]
@@ -351,13 +355,12 @@ def windowed_ah_pallas(w, ah, fid, js, starts, sub_ids, num_segments,
 
     blocks = jnp.concatenate([
         blockify(w, 3),
-        blockify(ah, 4),
+        blockify(res, 3),
         blockify(fid.astype(jnp.float32)[:, None], 1),
         blockify(js.astype(jnp.float32)[:, None], 1),
-        jnp.zeros((nb, 7, Bsz), jnp.float32),  # sublane-pad to 16
-    ], axis=1)                                           # (nb, 16, B)
+    ], axis=1)                                           # (nb, 8, B)
     blocks = jnp.concatenate(
-        [blocks, jnp.zeros((1, 16, Bsz), jnp.float32)])  # (nb+1,16,B)
+        [blocks, jnp.zeros((1, 8, Bsz), jnp.float32)])   # (nb+1,8,B)
 
     starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,

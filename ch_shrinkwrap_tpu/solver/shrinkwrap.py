@@ -183,20 +183,26 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # reference's A^T 1 scatters ones into 3 identical coordinate
         # columns — one column + sqrt(3) at readout is the same
         # number; scatter cost grows ~3.3 ms/column at this scale)
-        ah_in = jnp.concatenate([res, ones_pts[:, :1]], axis=1)  # (N,4)
         if corr_method == 'windowed_pallas':
             # scatter-free: route rows through their block's sorted
             # windows in the sliding-ring Pallas kernel (XLA scatter
-            # runs ~0.5 GB/s at this scale); the w_j * ah_c per-corner
-            # products form in-kernel, so the (N, 12) operand never
-            # materializes
+            # runs ~0.5 GB/s at this scale); the w_j * [res, 1]
+            # per-corner products form in-kernel, so the (N, 12)
+            # operand never materializes.  Column order: 0..8 =
+            # w_j * res_c (j-major), 9..11 = w_j
             from ..ops.pallas_scatter import windowed_ah_pallas
-            face_acc = windowed_ah_pallas(
-                w, ah_in, fi, corr_meta.js,
+            acc = windowed_ah_pallas(
+                w, res, fi, corr_meta.js,
                 corr_meta.starts, corr_meta.sub_ids,
                 num_segments=Fp,
                 interpret=pallas_interpret)                  # (Fp, 12)
+            # reorder to the (j, [res, 1]) 4-wide layout shared with
+            # the segment_sum branch (static permutation, free)
+            perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
+            face_acc = acc[:, jnp.array(perm)]
         else:
+            ah_in = jnp.concatenate([res, ones_pts[:, :1]],
+                                    axis=1)                  # (N, 4)
             per_corner = (w[..., None] * ah_in[:, None, :])  # (N, 3, 4)
             face_acc = jax.ops.segment_sum(
                 per_corner.reshape(N, 12), fi,
