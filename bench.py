@@ -59,6 +59,15 @@ def main():
     # per block): scatter/gather locality is worth ~1% at this scale
     mesh.spatial_sort()
     ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    # XLA's faces->verts segment_sum collapses once the output table
+    # leaves cache (~300k padded verts); switch to the kernel fold
+    fold_starts = fold_uncov = None
+    if ma.positions.shape[0] > 300_000:
+        sched = meshdata.fold_schedule(np.asarray(ma.faces),
+                                       mesh.faces.shape[0],
+                                       ma.positions.shape[0])
+        if sched is not None:
+            fold_starts, fold_uncov = sched
 
     pts_j = jnp.asarray(pts)
     sig_j = jnp.asarray(sigma_inv)
@@ -69,7 +78,8 @@ def main():
         return cg_block(positions, ma.faces, ma.f_mask, ma.v_mask,
                         ma.nbr_v, pts_j, sig_j, w_j, pm, 2.0,
                         num_iters=rf, corr_method='windowed_pallas',
-                        face_nbrs=ma.face_nbrs)
+                        face_nbrs=ma.face_nbrs,
+                        fold_starts=fold_starts, fold_uncov=fold_uncov)
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

@@ -468,6 +468,16 @@ class MembraneMesh(TriangleMesh):
             ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
                                     quantum=self.pad_quantum,
                                     hilbert_faces=False)
+            fold_starts = fold_uncov = None
+            if (method == 'windowed_pallas'
+                    and ma.positions.shape[0] > 300_000):
+                # XLA's faces->verts segment_sum collapses once its
+                # output table leaves cache (BASELINE.md scaling)
+                sched = meshdata.fold_schedule(
+                    np.asarray(ma.faces), self.faces.shape[0],
+                    ma.positions.shape[0])
+                if sched is not None:
+                    fold_starts, fold_uncov = sched
             f_new, diag = cg_block(
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                 pts_j, sig_j, w_j, pmask,
@@ -475,7 +485,8 @@ class MembraneMesh(TriangleMesh):
                 use_shrink=use_shrink, face_chunk=self.face_chunk,
                 corr_method=method,
                 cell_size=float(2.0 * self._mean_edge_length),
-                face_nbrs=ma.face_nbrs)
+                face_nbrs=ma.face_nbrs,
+                fold_starts=fold_starts, fold_uncov=fold_uncov)
             f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]

@@ -145,3 +145,56 @@ def face_adjacency(faces: np.ndarray) -> np.ndarray:
     ok = (pos < len(skey)) & (skey[pos_c] == tkey)
     twin_face = np.where(ok, cand // 3, -1)
     return twin_face.reshape(F, 3).astype(np.int32)
+
+
+def fold_schedule(faces_padded: np.ndarray, n_faces: int, n_vertices: int,
+                  block_size: int = 512, window: int = 2048,
+                  n_bands: int = 3):
+    """Host-side static window schedule for the faces -> vertices fold
+    (solver A^T second stage): splits each ``block_size``-row slice of
+    ``faces_padded.reshape(-1)`` at its ``n_bands - 1`` largest target
+    gaps into 128-aligned ``window``-wide bands.  Returns
+    (starts (nb, n_bands) i32, uncovered_idx (U_pad,) i32, -1 padded)
+    for the sliding-ring kernel plus a tiny exact side-scatter, or
+    None when the uncovered tail exceeds the capacity-stable pad (the
+    solver then falls back to a plain segment_sum).
+
+    Only worth it on big meshes: XLA's segment_sum is competitive
+    while its output table stays cache-resident (~12.7 ms at 164k
+    padded vertices) but falls off a cliff beyond (235 ms at 656k,
+    measured round 1); the kernel scales linearly.
+    """
+    Fp = faces_padded.shape[0]
+    t = faces_padded.reshape(-1).astype(np.int64)
+    n_rows = 3 * n_faces
+    nb = -(-t.shape[0] // block_size)
+    Vp_al = -(-n_vertices // 128) * 128
+    W = min(window, Vp_al)
+
+    tb = t.reshape(nb, block_size)
+    ts = np.sort(tb, axis=1)
+    gaps = np.diff(ts, axis=1)
+    splits = np.sort(
+        np.argsort(gaps, axis=1)[:, ::-1][:, :n_bands - 1], axis=1)
+    rows = np.arange(nb)
+    starts = np.zeros((nb, n_bands), np.int64)
+    starts[:, 0] = ts[:, 0]
+    for i in range(1, n_bands):
+        starts[:, i] = ts[rows, np.minimum(splits[:, i - 1] + 1,
+                                           block_size - 1)]
+    starts = np.clip((starts // 128) * 128, 0, max(Vp_al - W, 0))
+
+    cov = np.zeros((nb, block_size), bool)
+    for a in range(n_bands):
+        off = tb - starts[:, a:a + 1]
+        cov |= (off >= 0) & (off < W)
+    flat_cov = cov.reshape(-1)
+    flat_cov[n_rows:] = True    # padded rows carry zero values
+    uncov = np.flatnonzero(~flat_cov)
+
+    u_pad = max(1024, -(-(3 * Fp // 64) // 1024) * 1024)
+    if len(uncov) > u_pad:
+        return None
+    uidx = np.full(u_pad, -1, np.int32)
+    uidx[:len(uncov)] = uncov
+    return (jnp.asarray(starts.astype(np.int32)), jnp.asarray(uidx))

@@ -212,7 +212,8 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
 
 
 def _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                  block_size, window, factored, interpret):
+                  block_size, window, factored, interpret,
+                  discard_sub=False):
     """Shared driver: sorts (block, anchor) steps and invokes the
     sliding-ring kernel.  ``blocks`` is (Cp, nb+1, B) with the last
     block all-zero (pad-step target)."""
@@ -288,16 +289,22 @@ def _call_scatter(blocks, starts_al, sub_ids, num_segments,
     )(seq.reshape(-1), starts_sc, blocks, eh, ec, acc_zero)
 
     acc2 = jnp.transpose(acc, (0, 2, 1)).reshape(-1, Cp)
+    if discard_sub:
+        # rows the windows didn't claim are the caller's concern
+        # (a host-verified exact side-scatter) — drop the virtual-
+        # window accumulation instead of folding it back
+        return acc2[:num_segments]
     sub_rows = acc2[sub_base:sub_base + nsub]
     return acc2[:num_segments].at[sub_ids].add(sub_rows)
 
 
 @partial(jax.jit,
          static_argnames=('num_segments', 'block_size', 'window',
-                          'interpret'))
+                          'interpret', 'discard_sub'))
 def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
                                 num_segments, block_size=256,
-                                window=2048, interpret=False):
+                                window=2048, interpret=False,
+                                discard_sub=False):
     """Exact ``segment_sum(vals, fid) -> (num_segments, C)`` via the
     sorted sliding-window kernel.  ``starts``/``js``/``sub_ids`` are
     the WindowedMeta fields of the matching correspondence call (the
@@ -324,7 +331,8 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
         [jnp.transpose(valsp.reshape(nb, Bsz, Cp), (0, 2, 1)),
          jnp.zeros((1, Cp, Bsz), jnp.float32)])          # (nb+1,Cp,B)
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                        Bsz, window, False, interpret)
+                        Bsz, window, False, interpret,
+                        discard_sub=discard_sub)
     return out[:, :C]
 
 

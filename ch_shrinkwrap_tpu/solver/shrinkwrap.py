@@ -85,7 +85,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              lam0, shrink_lam=0.0, num_iters=5,
              use_shrink=False, face_chunk=2048, stop_eps=1e-6,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
-             polish_iters=0, pallas_interpret=False):
+             polish_iters=0, pallas_interpret=False,
+             fold_starts=None, fold_uncov=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -105,6 +106,12 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         regularization term (the reference declares it but its
         ``n_smooth = min(len(Lfuncs), len(lams))`` clamp leaves it
         dead — SURVEY §2 quirks; here it actually works)
+    fold_starts, fold_uncov : optional static faces->verts fold
+        schedule from ``meshdata.fold_schedule`` — routes the A^T
+        second stage through the sliding-ring kernel plus an exact
+        side-scatter of the host-verified uncovered rows.  XLA's
+        segment_sum wins below ~300k padded vertices (cache-resident
+        output) and collapses above; the driver gates on that.
     """
     Vp = positions.shape[0]
     N = points.shape[0]
@@ -215,8 +222,23 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # Hilbert face order splits a vertex's incident faces across
         # curve jumps, so per-block single windows cannot cover the
         # faces->verts targets — the plain segment_sum stays)
-        out7 = jax.ops.segment_sum(fused, faces.reshape(-1),
-                                   num_segments=Vp)          # (Vp, 7)
+        if fold_starts is not None:
+            # static 3-band window schedule (host-verified): the
+            # sliding-ring kernel accumulates in-band rows; the ~1%
+            # uncovered tail lands via a tiny exact scatter
+            from ..ops.pallas_scatter import windowed_segment_sum_pallas
+            tgt = faces.reshape(-1)
+            out7 = windowed_segment_sum_pallas(
+                fused, tgt, jnp.zeros((tgt.shape[0],), jnp.int32),
+                fold_starts, jnp.zeros((1,), jnp.int32),
+                num_segments=Vp, block_size=512,
+                interpret=pallas_interpret, discard_sub=True)
+            safe_u = jnp.maximum(fold_uncov, 0)
+            uvals = fused[safe_u] * (fold_uncov >= 0)[:, None]
+            out7 = out7.at[tgt[safe_u]].add(uvals)           # (Vp, 7)
+        else:
+            out7 = jax.ops.segment_sum(fused, faces.reshape(-1),
+                                       num_segments=Vp)      # (Vp, 7)
         vn = _normals.normalize_vertex_normals(out7[:, :3])
         S0_raw = out7[:, 3:6]
         point_influence = jnp.sqrt(3.0) * jnp.abs(out7[:, 6])
