@@ -31,4 +31,5 @@ print(f"fit: {t1-t0:.1f}s  V={mesh.vertices.shape[0]} "
       f"euler={mesh.euler_characteristic} manifold={mesh.is_manifold}",
       flush=True)
 for rec in mesh.trace.records:
-    print(rec.kind, rec.iteration, f"{rec.seconds:.1f}s")
+    print(rec.kind, rec.iteration, f"{rec.wall_time:.1f}s",
+          f"V={rec.n_vertices}")
