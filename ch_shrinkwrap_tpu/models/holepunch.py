@@ -62,7 +62,13 @@ def pair_candidate_faces(mesh, candidates):
     min_inds = np.argmin(penal, axis=1)
 
     kept = np.flatnonzero(min_mask)
-    return candidates[kept], min_inds[kept]
+    # min_inds index the ORIGINAL candidate array; downstream passes work
+    # in the kept-array index space, so remap (the reference's C path does
+    # the same via new_inds = cumsum(pair_inds) - 1,
+    # membrane_mesh_utils.c:1301-1379).  Every chosen partner j satisfies
+    # nd[j, i] < factor, hence min_mask[j] is True and the remap is total.
+    new_inds = np.cumsum(min_mask) - 1
+    return candidates[kept], new_inds[min_inds[kept]].astype(np.int64)
 
 
 def empty_prism_candidate_faces(mesh, points, candidates, candidate_pair,

@@ -19,6 +19,14 @@ logger = logging.getLogger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, 'topology.cpp')
 _LIB = os.path.join(_HERE, 'libtopology.so')
+_STAMP = _LIB + '.srchash'
+
+
+def _src_hash():
+    import hashlib
+    with open(_SRC, 'rb') as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
 
 _lib = None
 
@@ -29,10 +37,26 @@ def _build():
             subprocess.run(['g++', *flags, '-shared', '-fPIC', '-o',
                             _LIB, _SRC], check=True,
                            capture_output=True, timeout=120)
+            with open(_STAMP, 'w') as fh:
+                fh.write(_src_hash())
             return True
         except Exception as e:
             logger.debug('native build attempt failed: %s', e)
     return False
+
+
+def _lib_current():
+    """True iff the .so on disk was built from the current source ON
+    THIS machine (a copied/stale binary built elsewhere with
+    -march=native could SIGILL at call time; mtime comparison cannot
+    catch that after a fresh checkout)."""
+    if not os.path.exists(_LIB):
+        return False
+    try:
+        with open(_STAMP) as fh:
+            return fh.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def get_lib():
@@ -40,9 +64,7 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib if _lib is not False else None
-    if not os.path.exists(_LIB) or (os.path.exists(_SRC) and
-                                    os.path.getmtime(_SRC)
-                                    > os.path.getmtime(_LIB)):
+    if not _lib_current():
         if not _build():
             _lib = False
             return None

@@ -44,6 +44,30 @@ def test_punch_opens_tunnel():
     assert mesh.is_manifold
 
 
+def test_pair_candidate_faces_remaps_into_kept_space():
+    """Unpaired candidates must not leave stale pre-filter indices in
+    the pair array (regression: IndexError / silently-wrong pairing when
+    any candidate has no opposing partner)."""
+    from ch_shrinkwrap_tpu.models import holepunch
+
+    v, f = icosphere(2, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    nrm = mesh.face_normals
+    # candidate subset biased upward: most downward faces are excluded,
+    # so many upward candidates keep a partner while equatorial ones
+    # (normal_z near 0.6: partner would need normal dot < -0.5 among the
+    # surviving few) lose theirs -> min_mask has False entries
+    cand = np.flatnonzero(nrm[:, 2] > -0.25).astype(np.int32)
+    cands, pairs = holepunch.pair_candidate_faces(mesh, cand)
+    assert len(cands) < len(cand)          # some candidates were dropped
+    assert len(pairs) == len(cands)
+    assert pairs.max() < len(cands)        # indices live in kept space
+    assert pairs.min() >= 0
+    # and the pairing is genuinely opposing in that space
+    nd = (mesh.face_normals[cands] * mesh.face_normals[cands[pairs]]).sum(1)
+    assert (nd < -0.5).all()
+
+
 def test_punch_noop_on_supported_mesh():
     """A mesh well covered by points must not be punched."""
     rng = np.random.default_rng(1)
