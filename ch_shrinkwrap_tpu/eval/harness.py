@@ -185,13 +185,145 @@ def _param_hash(params: dict) -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 
+def _run_one_entry(kind, params, seed, out_dir, save_stl):
+    if kind == 'shrinkwrap':
+        metrics, _ = run_shrinkwrap_entry(params, out_dir=out_dir,
+                                          save_stl=save_stl, rng=seed)
+    else:
+        metrics, _ = run_spr_entry(params, rng=seed)
+    return metrics
+
+
+def _entry_worker(q, kind, params, seed, out_dir, save_stl):
+    """Subprocess target for isolated sweep entries (spawned fresh, so
+    each worker owns its own jax runtime like the reference's
+    ``mp.Pool`` fan-out, evaluation_utils_old.py:998-1002)."""
+    try:
+        q.put(('ok', _run_one_entry(kind, params, seed, out_dir,
+                                    save_stl)))
+    except BaseException:
+        q.put(('err', traceback.format_exc()))
+
+
+def _run_entries_isolated(todo, seed, out_dir, save_stl, n_workers,
+                          entry_timeout, emit):
+    """Sweep-level data parallelism with per-entry isolation: up to
+    ``n_workers`` spawned processes run entries concurrently; a hung or
+    crashed entry is terminated at ``entry_timeout`` seconds and counted
+    as a failure instead of blocking the sweep (VERDICT round-1 weak #8)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context('spawn')
+    pending = list(todo)
+    live = {}        # proc -> (queue, h, kind, params, deadline)
+    n_failures = 0
+    while pending or live:
+        while pending and len(live) < n_workers:
+            h, kind, params = pending.pop(0)
+            q = ctx.Queue(1)
+            proc = ctx.Process(target=_entry_worker,
+                               args=(q, kind, params, seed, out_dir,
+                                     save_stl))
+            proc.start()
+            deadline = (time.time() + entry_timeout
+                        if entry_timeout else None)
+            live[proc] = (q, h, kind, params, deadline)
+        time.sleep(0.05)
+        for proc in list(live):
+            q, h, kind, params, deadline = live[proc]
+            got = None
+            try:
+                got = q.get_nowait()
+            except Exception:
+                pass
+            if got is not None:
+                proc.join()
+                del live[proc]
+                status, payload = got
+                if status == 'ok':
+                    emit(h, kind, params, payload)
+                else:
+                    n_failures += 1
+                    logger.error('entry %s failed:\n%s', h, payload)
+            elif not proc.is_alive():
+                proc.join()
+                del live[proc]
+                n_failures += 1
+                logger.error('entry %s died (exit %s)', h,
+                             proc.exitcode)
+            elif deadline is not None and time.time() > deadline:
+                proc.terminate()
+                proc.join()
+                del live[proc]
+                n_failures += 1
+                logger.error('entry %s timed out after %.0fs', h,
+                             entry_timeout)
+    return n_failures
+
+
+def _run_entries_per_device(todo, seed, out_dir, save_stl, devices,
+                            emit):
+    """Device round-robin DP: one worker thread per jax device, each
+    pinning its entries with ``jax.default_device`` — independent fits
+    run concurrently across chips (SURVEY §2 census DP row)."""
+    import queue as _queue
+    import threading
+    import jax
+
+    devs = jax.devices()[:devices]
+    work = _queue.Queue()
+    for item in todo:
+        work.put(item)
+    lock = threading.Lock()
+    n_failures = [0]
+
+    def worker(dev):
+        while True:
+            try:
+                h, kind, params = work.get_nowait()
+            except _queue.Empty:
+                return
+            try:
+                with jax.default_device(dev):
+                    metrics = _run_one_entry(kind, params, seed,
+                                             out_dir, save_stl)
+                with lock:
+                    emit(h, kind, params, metrics)
+            except Exception:
+                with lock:
+                    n_failures[0] += 1
+                logger.error('entry %s failed on %s:\n%s', h, dev,
+                             traceback.format_exc())
+
+    threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+               for d in devs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return n_failures[0]
+
+
 def evaluate(test_yaml, out_dir='eval_out', run_spr=False, seed=0,
-             save_stl=False):
+             save_stl=False, n_workers=1, entry_timeout=None,
+             devices=None):
     """Run the full sweep described by a test YAML (reference
     evaluate(), evaluation.py:156-204).  Graceful restart: entries with
     metrics already present in <out_dir>/metrics.jsonl are skipped
-    (evaluation_utils_old.py:919-955 contract)."""
+    (evaluation_utils_old.py:919-955 contract).
+
+    Sweep-level parallelism (the reference fans out over a PYME cluster
+    queue / mp.Pool; SURVEY §2 census DP row):
+
+    - ``n_workers > 1`` — spawned-process workers, each with its own
+      jax runtime; ``entry_timeout`` (seconds) kills hung entries.
+    - ``devices = N`` — N worker threads, one per jax device, entries
+      pinned with ``jax.default_device`` (multi-chip hosts).
+    """
     import yaml
+
+    if n_workers > 1 and devices:
+        raise ValueError('pick one of n_workers / devices')
 
     if isinstance(test_yaml, str) and os.path.exists(test_yaml):
         with open(test_yaml) as fh:
@@ -218,33 +350,44 @@ def evaluate(test_yaml, out_dir='eval_out', run_spr=False, seed=0,
     if run_spr:
         entries += [('spr', p) for p in spr_dicts]
 
+    todo = []
+    for kind, params in entries:
+        h = _param_hash({'kind': kind, **params})
+        if h in done:
+            logger.info('skipping completed %s entry %s', kind, h)
+        else:
+            todo.append((h, kind, params))
+
     results = []
-    n_failures = 0
     with open(metrics_path, 'a') as fh:
-        for kind, params in entries:
-            h = _param_hash({'kind': kind, **params})
-            if h in done:
-                logger.info('skipping completed %s entry %s', kind, h)
-                continue
-            try:
-                if kind == 'shrinkwrap':
-                    metrics, _ = run_shrinkwrap_entry(
-                        params, out_dir=out_dir, save_stl=save_stl,
-                        rng=seed)
-                else:
-                    metrics, _ = run_spr_entry(params, rng=seed)
-                rec = {'kind': kind, 'param_hash': h,
-                       'params': {k: str(v) for k, v in params.items()},
-                       **metrics}
-                results.append(rec)
-                fh.write(json.dumps(rec) + '\n')
-                fh.flush()
-            except Exception:
-                # sweep-level failure tolerance
-                # (evaluation_utils_old.py:702-716)
-                n_failures += 1
-                logger.error('entry %s failed:\n%s', h,
-                             traceback.format_exc())
+        def emit(h, kind, params, metrics):
+            rec = {'kind': kind, 'param_hash': h,
+                   'params': {k: str(v) for k, v in params.items()},
+                   **metrics}
+            results.append(rec)
+            fh.write(json.dumps(rec) + '\n')
+            fh.flush()
+
+        if n_workers > 1 or entry_timeout:
+            n_failures = _run_entries_isolated(
+                todo, seed, out_dir, save_stl, max(n_workers, 1),
+                entry_timeout, emit)
+        elif devices:
+            n_failures = _run_entries_per_device(
+                todo, seed, out_dir, save_stl, devices, emit)
+        else:
+            n_failures = 0
+            for h, kind, params in todo:
+                try:
+                    emit(h, kind, params,
+                         _run_one_entry(kind, params, seed, out_dir,
+                                        save_stl))
+                except Exception:
+                    # sweep-level failure tolerance
+                    # (evaluation_utils_old.py:702-716)
+                    n_failures += 1
+                    logger.error('entry %s failed:\n%s', h,
+                                 traceback.format_exc())
     logger.info('sweep complete: %d results, %d failures',
                 len(results), n_failures)
     return results
@@ -262,10 +405,17 @@ def main(argv=None):
                         help='also run screened-Poisson baseline')
     parser.add_argument('--stl', action='store_true',
                         help='save fitted meshes as STL')
+    parser.add_argument('--workers', type=int, default=1,
+                        help='isolated worker processes (sweep DP)')
+    parser.add_argument('--timeout', type=float, default=None,
+                        help='per-entry timeout in seconds')
+    parser.add_argument('--devices', type=int, default=None,
+                        help='device round-robin worker threads')
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     evaluate(args.yaml, out_dir=args.out, run_spr=args.spr,
-             save_stl=args.stl)
+             save_stl=args.stl, n_workers=args.workers,
+             entry_timeout=args.timeout, devices=args.devices)
 
 
 if __name__ == '__main__':

@@ -253,7 +253,8 @@ class MembraneMesh(TriangleMesh):
     def rms_point_sc(self):
         """|A^T(|res| replicated)| per vertex (pyx:1611-1623)."""
         d = self._diag()
-        res = np.asarray(d.res)
+        # diag rows can exceed N when the cloud was padded for sharding
+        res = np.asarray(d.res)[:self._points.shape[0]]
         rn = np.sqrt((res * res).sum(1))[:, None] * np.ones(3)[None, :]
         ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
         pts = jnp.asarray(self._points.astype(np.float32))
@@ -406,12 +407,21 @@ class MembraneMesh(TriangleMesh):
         # (for the blocked path) sort the cloud once for block locality
         method = self.corr_method
         approx_n_faces = 2 * self.vertices.shape[0]
+        dmesh = getattr(self, 'device_mesh', None)
+        if dmesh is not None and not hasattr(dmesh, 'devices'):
+            from ..parallel.sharding import make_device_mesh
+            dmesh = make_device_mesh(int(dmesh))
+            self.device_mesh = dmesh
         if method == 'auto':
             import jax
             big = N * approx_n_faces > 2e9
             on_tpu = jax.default_backend() == 'tpu'
             method = (('windowed_pallas' if on_tpu else 'windowed')
                       if big else 'brute')
+        if dmesh is not None and method == 'windowed_pallas':
+            # Mosaic custom calls don't SPMD-partition; the pure-XLA
+            # windowed path shards cleanly over the points axis
+            method = 'windowed'
         if method in ('blocked', 'windowed', 'windowed_pallas'):
             from ..ops.correspondence import fit_point_order
             order = fit_point_order(points)
@@ -420,10 +430,18 @@ class MembraneMesh(TriangleMesh):
             res_weights = res_weights[order]
             self._points = points       # diagnostics follow this order
 
-        pts_j = jnp.asarray(points)
-        sig_j = jnp.asarray(sigma_inv)
-        w_j = jnp.asarray(res_weights)
-        pmask = jnp.ones(N, bool)
+        if dmesh is not None:
+            # localization axis sharded over the device mesh; vertex
+            # state is placed replicated below and GSPMD inserts the
+            # psums for the A^T scatter-adds (SURVEY §2 census: TP row)
+            from ..parallel.sharding import shard_points
+            pts_j, sig_j, w_j, pmask = shard_points(
+                dmesh, points, sigma_inv, res_weights)
+        else:
+            pts_j = jnp.asarray(points)
+            sig_j = jnp.asarray(sigma_inv)
+            w_j = jnp.asarray(res_weights)
+            pmask = jnp.ones(N, bool)
 
         from ..utils.tracing import FitTrace
         import time as _time
@@ -478,14 +496,25 @@ class MembraneMesh(TriangleMesh):
                     ma.positions.shape[0])
                 if sched is not None:
                     fold_starts, fold_uncov = sched
-            f_new, diag = cg_block(
+            positions, faces, f_mask, v_mask, nbr_v, face_nbrs = (
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+                ma.face_nbrs)
+            if dmesh is not None:
+                from ..parallel.sharding import replicate
+                positions, faces, f_mask, v_mask, nbr_v, face_nbrs = \
+                    replicate(dmesh, positions, faces, f_mask, v_mask,
+                              nbr_v, face_nbrs)
+                if fold_starts is not None:
+                    fold_starts, fold_uncov = replicate(
+                        dmesh, fold_starts, fold_uncov)
+            f_new, diag = cg_block(
+                positions, faces, f_mask, v_mask, nbr_v,
                 pts_j, sig_j, w_j, pmask,
                 lam0, shrink_lam, num_iters=n_it,
                 use_shrink=use_shrink, face_chunk=self.face_chunk,
                 corr_method=method,
                 cell_size=float(2.0 * self._mean_edge_length),
-                face_nbrs=ma.face_nbrs,
+                face_nbrs=face_nbrs,
                 fold_starts=fold_starts, fold_uncov=fold_uncov)
             f_new.block_until_ready()
             self._last_diag = diag

@@ -27,10 +27,22 @@ from ..solver.shrinkwrap import cg_block
 
 
 def make_device_mesh(n_devices=None, devices=None):
-    """1-D device mesh over the ``points`` axis."""
+    """1-D device mesh over the ``points`` axis.
+
+    Raises when fewer than ``n_devices`` devices exist instead of
+    silently truncating — a fit that quietly runs on 1 device is a
+    misconfiguration the caller needs to see (e.g. XLA_FLAGS set after
+    jax was already imported by sitecustomize)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'requested a {n_devices}-device mesh but only '
+                f'{len(devices)} jax device(s) exist '
+                f'({devices[0].platform}); for a virtual CPU mesh set '
+                f"jax.config.update('jax_num_cpu_devices', n) before "
+                'any backend use')
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=('points',))
 
@@ -65,6 +77,20 @@ def shard_points(mesh, points, sigma_inv, weights):
 def replicate(mesh, *arrays):
     sh = NamedSharding(mesh, P())
     return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+
+
+def sharded_fit(mesh_model, points, sigma, n_devices=None, **kwargs):
+    """Run a FULL shrinkwrap fit with the localization cloud sharded
+    over a device mesh: every CG block executes SPMD (replicated mesh
+    state, sharded points, GSPMD-inserted psums) while the host
+    topology passes between blocks are unchanged.
+
+    The reference has no intra-fit parallelism at all (SURVEY §2); this
+    is the TP row of the parallelism census applied to the whole
+    ``opt_conjugate_gradient`` driver, not just one block.
+    """
+    mesh_model.device_mesh = make_device_mesh(n_devices)
+    return mesh_model.shrink_wrap(points, sigma, **kwargs)
 
 
 def sharded_cg_block(mesh, mesh_arrays, points, sigma_inv, weights,

@@ -57,6 +57,42 @@ def test_evaluate_runs_and_restarts(tmp_path):
     assert rec['kind'] == 'shrinkwrap'
 
 
+def test_evaluate_device_round_robin(tmp_path):
+    """Sweep DP over jax devices: 2 entries on 2 device threads produce
+    the same metrics set as the serial sweep."""
+    d = dict(MICRO_SWEEP)
+    d['shrinkwrapping'] = dict(d['shrinkwrapping'],
+                               curvature_weight=[4.0, 8.0])
+
+    serial = evaluate(d, out_dir=str(tmp_path / 'serial'), seed=3)
+    par = evaluate(d, out_dir=str(tmp_path / 'par'), seed=3, devices=2)
+    assert len(par) == len(serial) == 2
+    key = lambda r: r['params']['curvature_weight']
+    for a, b in zip(sorted(serial, key=key), sorted(par, key=key)):
+        assert a['param_hash'] == b['param_hash']
+        assert abs(a['mse_rms'] - b['mse_rms']) < 2.0
+
+
+def test_evaluate_entry_timeout_kills_hung_entry(tmp_path):
+    """Per-entry isolation: a timeout terminates the worker process and
+    the sweep records a failure instead of hanging (round-1 weak #8)."""
+    out = str(tmp_path / 'sweep')
+    results = evaluate(MICRO_SWEEP, out_dir=out, seed=3, n_workers=1,
+                       entry_timeout=0.5)
+    assert results == []                  # killed before completing
+    assert not os.path.exists(os.path.join(out, 'metrics.jsonl')) or \
+        open(os.path.join(out, 'metrics.jsonl')).read() == ''
+
+
+@pytest.mark.slow
+def test_evaluate_process_workers(tmp_path):
+    """Spawned-process sweep DP completes the micro grid."""
+    results = evaluate(MICRO_SWEEP, out_dir=str(tmp_path / 'sweep'),
+                       seed=3, n_workers=2, entry_timeout=600)
+    assert len(results) == 1
+    assert results[0]['mse_rms'] < 20.0
+
+
 def test_image_shrinkwrap_recipe():
     """ImageShrinkwrapMembrane: voxel image -> weighted pseudo-points."""
     from ch_shrinkwrap_tpu.recipes.surface_fitting import \

@@ -46,6 +46,42 @@ def test_sharded_block_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_sharded_full_fit_matches_single_device():
+    """The WHOLE fit driver (blocks + host topology passes) under an
+    8-device points sharding converges like the single-device fit."""
+    from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+    from ch_shrinkwrap_tpu.parallel.sharding import sharded_fit
+
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(4000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50 + rng.normal(scale=3, size=(4000, 3))).astype(np.float32)
+    v, f = icosphere(2, radius=65.0)
+
+    def make():
+        m = MembraneMesh(v.copy(), f.copy(), kc=1.0, step_size=5.0,
+                         remesh_frequency=3, delaunay_remesh_frequency=0,
+                         neck_first_iter=-1)
+        return m
+
+    m_single = make()
+    m_single.shrink_wrap(pts, 3.0, max_iter=6, minimum_edge_length=8.0)
+    r_single = np.linalg.norm(m_single.vertices, axis=1)
+
+    m_shard = make()
+    sharded_fit(m_shard, pts, 3.0, n_devices=8, max_iter=6,
+                minimum_edge_length=8.0)
+    r_shard = np.linalg.norm(m_shard.vertices, axis=1)
+
+    # both recover the sphere; reduction-order noise + remesh decisions
+    # keep this a statistical (not bitwise) contract
+    assert abs(r_shard.mean() - 50.0) < 2.5
+    assert abs(r_shard.mean() - r_single.mean()) < 1.0
+    assert m_shard.euler_characteristic == 2
+    assert m_shard.is_manifold
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
