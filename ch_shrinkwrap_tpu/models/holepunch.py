@@ -43,23 +43,38 @@ def pair_candidate_faces(mesh, candidates):
     spec): among candidates with normal dot < -0.5, minimize the
     lateral (mean-normal-orthogonal) centroid offset.  Many-to-one.
 
+    Row-chunked so the working set stays O(chunk*C) instead of the
+    (C, C, 3) dense temporaries that choke when ``eps`` flags thousands
+    of faces (the reference C kernel streams the same O(C^2) loop,
+    membrane_mesh_utils.c:1301-1379).
+
     Returns (kept_candidates, pair_index_into_kept)."""
     centers = mesh.vertices[mesh.faces[candidates]].mean(1)
     normals = mesh.face_normals[candidates]
 
-    shift = centers[None, :, :] - centers[:, None, :]       # (C, C, 3)
-    n_hat = 0.5 * (normals[None, :, :] + normals[:, None, :])
-    nn = np.maximum((n_hat * n_hat).sum(2), 1e-12)
-    lateral = shift - n_hat * ((n_hat * shift).sum(2) / nn)[..., None]
-    abs_shift = (lateral * lateral).sum(2) + 0.25 * (
-        (n_hat * shift).sum(2) ** 2 / nn)   # small tiebreak on distance
-
-    nd = (normals[None, :, :] * normals[:, None, :]).sum(2)
-    factor = -0.5
-    ndlt = nd < factor
-    min_mask = np.any(ndlt, axis=1)
-    penal = np.where(ndlt, abs_shift, np.inf)
-    min_inds = np.argmin(penal, axis=1)
+    C = len(candidates)
+    min_mask = np.zeros(C, dtype=bool)
+    min_inds = np.zeros(C, dtype=np.int64)
+    centers = centers.astype(np.float32)
+    normals = normals.astype(np.float32)
+    # ~5e5 pair cells per chunk keeps every (B, C, 3) f32 temporary a
+    # few MB (cache-resident); larger chunks measured 30x slower from
+    # allocator thrash at C ~ 5k
+    chunk = max(1, int(5e5 // max(C, 1)))
+    for s in range(0, C, chunk):
+        e = min(s + chunk, C)
+        shift = centers[None, :, :] - centers[s:e, None, :]  # (B, C, 3)
+        n_hat = 0.5 * (normals[None, :, :] + normals[s:e, None, :])
+        nn = np.maximum((n_hat * n_hat).sum(2), 1e-12)
+        along = (n_hat * shift).sum(2) / nn
+        lateral = shift - n_hat * along[..., None]
+        abs_shift = (lateral * lateral).sum(2) + 0.25 * (
+            along ** 2 * nn)   # small tiebreak on distance
+        nd = normals[s:e] @ normals.T
+        ndlt = nd < -0.5
+        min_mask[s:e] = np.any(ndlt, axis=1)
+        penal = np.where(ndlt, abs_shift, np.inf)
+        min_inds[s:e] = np.argmin(penal, axis=1)
 
     kept = np.flatnonzero(min_mask)
     # min_inds index the ORIGINAL candidate array; downstream passes work
@@ -94,27 +109,35 @@ def empty_prism_candidate_faces(mesh, points, candidates, candidate_pair,
 
     hp0, hp1, hp2 = hp(v01), hp(v12), hp(v20)
 
-    for i in range(len(candidates)):
+    # batch the neighborhood queries for every pair up front (one
+    # parallel tree pass instead of per-pair Python round-trips)
+    C = len(candidates)
+    pair_r = np.linalg.norm(centers - centers[candidate_pair], axis=1) + eps
+    balls_i = tree.query_ball_point(centers, pair_r, workers=-1)
+    balls_j = tree.query_ball_point(centers[candidate_pair], pair_r,
+                                    workers=-1)
+
+    # greedy order-dependent matching (reference semantics, pyx:946-1016)
+    for i in range(C):
         j = candidate_pair[i]
         if kept[i] or disallowed[i] or kept[j] or disallowed[j]:
             continue
-        fci, fcj = centers[i], centers[j]
-        r = np.sqrt(((fci - fcj) ** 2).sum()) + eps
-        p = tree.query_ball_point([fci, fcj], r)
-        p = np.array([y for x in p for y in x], dtype=np.int64)
+        p = np.fromiter(set(balls_i[i]) | set(balls_j[i]), dtype=np.int64)
         if len(p) == 0:
             kept[i] = True
             disallowed[candidates == candidates[j]] = True
             continue
         pp = points[p]
 
-        def below(hpv, idx, anchor):
-            return (hpv[idx][None, :] * (pp - anchor[None, :])).sum(1) < eps
-
-        empty = (below(hp0, i, fv_pos[i, 1]) & below(hp1, i, fv_pos[i, 2])
-                 & below(hp2, i, fv_pos[i, 0])
-                 & below(hp0, j, fv_pos[j, 1]) & below(hp1, j, fv_pos[j, 2])
-                 & below(hp2, j, fv_pos[j, 0])).sum() == 0
+        # all six half-plane tests in one shot: (6, P) < eps, a point
+        # inside the prism is below every plane
+        planes = np.stack([hp0[i], hp1[i], hp2[i],
+                           hp0[j], hp1[j], hp2[j]])            # (6, 3)
+        anchors = np.stack([fv_pos[i, 1], fv_pos[i, 2], fv_pos[i, 0],
+                            fv_pos[j, 1], fv_pos[j, 2], fv_pos[j, 0]])
+        below = np.einsum('kd,pkd->pk', planes,
+                          pp[:, None, :] - anchors[None, :, :]) < eps
+        empty = not below.all(axis=1).any()
         kept[i] |= empty
         disallowed[candidates == candidates[j]] |= empty
 
@@ -221,17 +244,24 @@ def zipper_rings(positions, ring0, ring1):
 
 def punch_pair(mesh, component_cands, paired_component_cands):
     """Delete the two planar patches and join their boundary rings with
-    a tunnel (counterpart of _holepunch_punch_hole2, pyx:731-814)."""
+    a tunnel (counterpart of _holepunch_punch_hole2, pyx:731-814).
+
+    Returns the old-face-index -> new-face-index remap array on
+    success (so the caller can keep punching other component pairs from
+    the same analysis pass; dropped faces map to -1), or None."""
+    if (np.asarray(component_cands) < 0).any() or \
+            (np.asarray(paired_component_cands) < 0).any():
+        return None    # a face of this patch was consumed by surgery
     faces0 = mesh.faces[component_cands]
     faces1 = mesh.faces[paired_component_cands]
     # opposing sheets must be vertex-disjoint — zipping rings that share
     # vertices would create non-manifold junctions
     if np.intersect1d(faces0.ravel(), faces1.ravel()).size:
-        return False
+        return None
     ring0 = component_boundary(mesh, faces0)
     ring1 = component_boundary(mesh, faces1)
     if ring0 is None or ring1 is None:
-        return False
+        return None
 
     drop = np.zeros(mesh.faces.shape[0], dtype=bool)
     drop[component_cands] = True
@@ -253,18 +283,24 @@ def punch_pair(mesh, component_cands, paired_component_cands):
     rkey = de[:, 1] << 32 | de[:, 0]
     uniq, counts = np.unique(dkey, return_counts=True)
     if (counts > 1).any():
-        return False
+        return None
     # every directed edge must have its reverse (closed surface)
     if not np.isin(rkey, uniq, assume_unique=False).all():
-        return False
+        return None
 
+    remap = np.full(len(drop), -1, dtype=np.int64)
+    remap[~drop] = np.arange(int((~drop).sum()))
     mesh._compact(new_faces)
-    return True
+    return remap
 
 
 def update_topology(mesh, candidates, candidate_pairs, component, euler):
     """Punch a tunnel between chi=1 components paired across components
-    (pyx:1082-1126).  Returns number of holes punched."""
+    (pyx:1082-1126).  All surviving component pairs of ONE analysis
+    pass are punched (reference semantics — its halfedge surgery keeps
+    indices valid; here each surgery returns a face-index remap that is
+    applied to the outstanding candidates).  Returns number punched."""
+    candidates = np.array(candidates, dtype=np.int64, copy=True)
     unique_components = np.unique(component)
     used = np.zeros(len(unique_components), dtype=bool)
     n_punched = 0
@@ -272,23 +308,22 @@ def update_topology(mesh, candidates, candidate_pairs, component, euler):
         if used[i]:
             continue
         comp_idx = component == c
-        comp_cands = candidates[comp_idx]
         if euler[i] == 1:
             comp_cand_pairs = candidate_pairs[comp_idx]
             for pair_idx in comp_cand_pairs:
                 if component[pair_idx] == c:
                     continue
                 pci = np.argmax(unique_components == component[pair_idx])
-                if used[pci]:
+                if used[pci] or euler[pci] != 1:
                     continue
-                paired_cands = candidates[component == component[pair_idx]]
-                if punch_pair(mesh, comp_cands, paired_cands):
+                paired_idx = component == component[pair_idx]
+                remap = punch_pair(mesh, candidates[comp_idx],
+                                   candidates[paired_idx])
+                if remap is not None:
                     n_punched += 1
                     used[i] = True
                     used[pci] = True
-                    # indices into mesh.faces are stale after surgery
-                    return n_punched + update_topology_after_refresh(
-                        mesh)
+                    candidates = remap[candidates]  # dropped -> -1
                 break
         elif euler[i] != 0:
             logger.info('Component %s has Euler characteristic %s; '
@@ -297,34 +332,26 @@ def update_topology(mesh, candidates, candidate_pairs, component, euler):
     return n_punched
 
 
-def update_topology_after_refresh(mesh):
-    """After one punch the face indexing changed; single punch per call
-    keeps the batch passes simple (punch events are rare)."""
-    return 0
-
-
 def punch_holes(mesh, pts, eps=10.0):
-    """Full pipeline (pyx:1163-1199).  Punches at most a few holes per
-    call; re-runs candidate analysis after each surgery."""
+    """Full pipeline (pyx:1163-1199): ONE candidate analysis pass per
+    call, punching every surviving chi=1 component pair (reference
+    semantics — re-running the analysis after surgery would flag the
+    fresh tunnel walls, which have no nearby points by construction,
+    and cascade into over-punching)."""
     pts = np.asarray(pts, dtype=np.float64)
     total = 0
-    for _round in range(8):        # safety bound on punches per call
-        hc = find_candidate_faces(mesh, pts, eps=eps)
-        if len(hc) < 1:
-            break
+    hc = find_candidate_faces(mesh, pts, eps=eps)
+    if len(hc) >= 1:
         cands, pairs = pair_candidate_faces(mesh, hc)
-        if len(cands) < 1:
-            break
-        empty_cands, empty_pairs = empty_prism_candidate_faces(
-            mesh, pts, cands, pairs, eps=eps)
-        if len(empty_cands) < 1:
-            break
-        component = connect_candidates(mesh, empty_cands)
-        chi = component_euler_characteristic(mesh, empty_cands, component)
-        n = update_topology(mesh, empty_cands, empty_pairs, component, chi)
-        total += n
-        if n == 0:
-            break
+        if len(cands) >= 1:
+            empty_cands, empty_pairs = empty_prism_candidate_faces(
+                mesh, pts, cands, pairs, eps=eps)
+            if len(empty_cands) >= 1:
+                component = connect_candidates(mesh, empty_cands)
+                chi = component_euler_characteristic(
+                    mesh, empty_cands, component)
+                total = update_topology(mesh, empty_cands, empty_pairs,
+                                        component, chi)
     if total:
         logger.info('Punched %d holes', total)
     return total

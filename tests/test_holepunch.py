@@ -68,6 +68,38 @@ def test_pair_candidate_faces_remaps_into_kept_space():
     assert (nd < -0.5).all()
 
 
+def test_punch_many_holes_grid():
+    """Many-holes hardening: a fitted flat spheroid over a double sheet
+    with 4 carved hole pairs punches several tunnels in ONE analysis
+    pass (chunked pairing + batched prism + post-surgery index remap).
+    Single-pass semantics also guard against the tunnel-wall cascade:
+    re-analysing after surgery would flag the fresh tunnel walls and
+    over-punch without bound."""
+    rng = np.random.default_rng(5)
+    rx, ry = 60.0, 10.0
+    d = rng.normal(size=(60000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    surf = d * np.array([rx, ry, rx])
+    hole_centers = [(-30.0, 0.0), (30.0, 0.0), (0.0, -30.0), (0.0, 30.0)]
+    keep = np.ones(len(surf), bool)
+    for cx, cz in hole_centers:
+        keep &= ((surf[:, 0] - cx) ** 2
+                 + (surf[:, 2] - cz) ** 2) > 16.0 ** 2
+    pts = surf[keep].astype(np.float32)
+
+    v, f = icosphere(3, radius=1.0)
+    v = v * np.array([70.0, 16.0, 70.0], np.float32)
+    mesh = MembraneMesh(v, f, step_size=4.0, kc=1.0, remesh_frequency=5,
+                        delaunay_remesh_frequency=0, neck_first_iter=-1)
+    mesh.shrink_wrap(pts, 3.0, max_iter=15, minimum_edge_length=6.0)
+
+    n = mesh.punch_holes(pts, eps=8.0)
+    assert n >= 3                        # most of the grid opens
+    assert n <= 10                       # and no runaway cascade
+    assert mesh.euler_characteristic == 2 - 2 * n
+    assert mesh.is_manifold
+
+
 def test_punch_noop_on_supported_mesh():
     """A mesh well covered by points must not be punched."""
     rng = np.random.default_rng(1)
