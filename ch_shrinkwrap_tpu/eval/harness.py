@@ -143,6 +143,18 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
         'euler': int(mesh.euler_characteristic),
         'manifold': bool(mesh.is_manifold),
     }
+    # accuracy against the analytic SDF oracle (the noisy cloud used
+    # for mse above carries noise_fraction background localizations;
+    # the oracle is the unambiguous ground truth)
+    try:
+        from ..sim import shape as shape_mod
+        from .metrics import mesh_metrics_vs_shape
+        shp = getattr(shape_mod, params['shape_name'])(
+            **(params.get('shape_params') or {}))
+        metrics.update(mesh_metrics_vs_shape(mesh, shp, rng=rng))
+    except Exception:
+        logger.warning('oracle metrics failed for %s',
+                       params['shape_name'], exc_info=True)
     if out_dir and save_stl:
         os.makedirs(out_dir, exist_ok=True)
         mesh.to_stl(os.path.join(out_dir,

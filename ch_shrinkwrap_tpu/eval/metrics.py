@@ -67,14 +67,122 @@ def average_squared_distance(points0, points1) -> Tuple[float, float]:
 
 
 def construct_ordered_pairs(points0, points1, normals0=None, normals1=None):
-    """Berger-style bidirectional correspondences (Phi: 0->1, Psi: 1->0)
-    (evaluation_utils_old.py:266-388 simplified to NN correspondences)."""
+    """Simplified bidirectional NN correspondences (Phi: 0->1,
+    Psi: 1->0).  For the faithful Berger et al. construction with
+    normal-line projections and the Fig.-10 special case, use
+    :func:`construct_ordered_pairs_berger`."""
     from scipy.spatial import cKDTree
     t0 = cKDTree(points0)
     t1 = cKDTree(points1)
     d01, phi = t1.query(points0, k=1, workers=-1)
     d10, psi = t0.query(points1, k=1, workers=-1)
     return phi, psi, d01, d10
+
+
+def construct_ordered_pairs_berger(o, m, no, nm, dx_max=1.0, k=10,
+                                   special_case=True):
+    """Berger et al. ordered correspondences between point sets ``o``
+    (omega, ground truth) and ``m`` (mesh samples) with normals
+    (section 6 of Berger et al.; reference implementation
+    /root/reference/ch_shrinkwrap/evaluation_utils_old.py:266-388).
+
+    A pair is accepted when the nearest neighbor lies close to the
+    normal line of the querying point: |n . (q_nn - q)| must exceed the
+    NN distance shrunk by the sampling tolerance, dist - dx_max^2 /
+    (2 dist).  Points failing the test fall back to scanning their k
+    nearest candidates and pairing the first candidate on the normal
+    line with ITS nearest partner (the Fig.-10 special case).
+
+    Returns (ox, oa, mx, ma): m[ox] ~ Phi(o[oa]) and o[ma] ~ Psi(m[mx]).
+    """
+    from scipy.spatial import cKDTree
+    o = np.asarray(o, np.float64)
+    m = np.asarray(m, np.float64)
+    otree = cKDTree(o)
+    mtree = cKDTree(m)
+
+    om, oi = otree.query(m, 1, workers=-1)   # nearest o for each m
+    mo, mi = mtree.query(o, 1, workers=-1)   # nearest m for each o
+
+    # projection of the NN offset onto the query normal, against the
+    # distance shrunk by the sampling tolerance
+    mdot = (nm * (o[oi] - m)).sum(1)
+    odot = (no * (m[mi] - o)).sum(1)
+    m_ok = np.abs(mdot) > om - dx_max * dx_max / (2 * np.maximum(om, 1e-12))
+    o_ok = np.abs(odot) > mo - dx_max * dx_max / (2 * np.maximum(mo, 1e-12))
+
+    # accepted direct pairs, deduplicated on the image index
+    o_idx = np.flatnonzero(o_ok)
+    m_idx = np.flatnonzero(m_ok)
+    ox, first = np.unique(mi[o_idx], return_index=True)
+    oa = o_idx[first]
+    ma, first = np.unique(oi[m_idx], return_index=True)
+    mx = m_idx[first]
+
+    if special_case and (len(o_idx) < len(o) or len(m_idx) < len(m)):
+        def rescue(fail_pts, fail_nrm, target_tree, target_pts,
+                   source_tree):
+            """k-NN scan for points failing the direct test: first
+            candidate on the normal line, paired with its own nearest
+            point in the source set."""
+            if len(fail_pts) == 0:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            dists, cand = target_tree.query(fail_pts, k, workers=-1)
+            dots = (fail_nrm[:, None, :]
+                    * (target_pts[cand] - fail_pts[:, None, :])).sum(2)
+            # the reference shrinks by dx^2/(2d + 1e6) here — i.e. the
+            # tolerance is effectively disabled for the rescue scan; we
+            # reproduce that (quirk kept: it only loosens acceptance)
+            ok = np.abs(dots) > dists - dx_max * dx_max / (2 * dists + 1e6)
+            any_ok = ok.any(axis=1)
+            chosen = cand[np.arange(len(cand)), np.argmax(ok, axis=1)]
+            chosen = chosen[any_ok]
+            _, partner = source_tree.query(target_pts[chosen], 1,
+                                           workers=-1)
+            return chosen, partner
+
+        # o-points without a direct pair -> extra (mx, ma) pairs
+        # (chosen candidate in m, its nearest partner in o)
+        mx2, ma2 = rescue(o[~o_ok], no[~o_ok], mtree, m, otree)
+        # m-points without a direct pair -> extra (ox, oa) pairs
+        # (chosen candidate in o, its nearest partner in m)
+        oa2_chosen, ox2_partner = rescue(m[~m_ok], nm[~m_ok], otree, o,
+                                         mtree)
+
+        # dedup on the PARTNER index, filter on membership of the
+        # chosen index in the direct pairs (reference :371-388)
+        ma2u, first = np.unique(ma2, return_index=True)
+        mx2u = mx2[first]
+        ox2u, first = np.unique(ox2_partner, return_index=True)
+        oa2u = oa2_chosen[first]
+
+        keep = ~np.isin(mx2u, mx)
+        mx = np.hstack([mx, mx2u[keep]])
+        ma = np.hstack([ma, ma2u[keep]])
+        keep = ~np.isin(oa2u, oa)
+        ox = np.hstack([ox, ox2u[keep]])
+        oa = np.hstack([oa, oa2u[keep]])
+
+    return ox, oa, mx, ma
+
+
+def berger_mean_and_hausdorff(o, m, ox, oa, mx, ma):
+    """(mean, Hausdorff) over Berger ordered pairs
+    (evaluation_utils_old.py:390-397)."""
+    dist_o = np.linalg.norm(o[oa] - m[ox], axis=1)
+    dist_m = np.linalg.norm(o[ma] - m[mx], axis=1)
+    mean = 0.5 * (dist_o.mean() + dist_m.mean())
+    hausdorff = max(dist_o.max(), dist_m.max())
+    return float(mean), float(hausdorff)
+
+
+def berger_smoothness(no, nm, ox, oa, mx, ma):
+    """Normal-angle (mean, Hausdorff) over Berger ordered pairs
+    (evaluation_utils_old.py:399-406)."""
+    a_o = np.arccos(np.clip(np.abs((no[oa] * nm[ox]).sum(1)), -1, 1))
+    a_m = np.arccos(np.clip(np.abs((no[ma] * nm[mx]).sum(1)), -1, 1))
+    return (float(0.5 * (a_o.mean() + a_m.mean())),
+            float(max(a_o.max(), a_m.max())))
 
 
 def mean_and_hausdorff_distance(points0, points1):
@@ -144,4 +252,17 @@ def compute_mesh_metrics(mesh, truth_points, truth_normals=None,
             pts, truth_points, nrm, truth_normals)
         out['smoothness_mean'] = float(smooth_mean)
         out['smoothness_hausdorff'] = float(smooth_haus)
+        # faithful Berger ordered-pair versions of the same metrics
+        try:
+            ox, oa, mx, ma = construct_ordered_pairs_berger(
+                truth_points, pts, truth_normals, nrm, dx_max=dx_min)
+            bm, bh = berger_mean_and_hausdorff(truth_points, pts,
+                                               ox, oa, mx, ma)
+            out['berger_mean_distance'] = bm
+            out['berger_hausdorff'] = bh
+            sm, sh = berger_smoothness(truth_normals, nrm, ox, oa, mx, ma)
+            out['berger_smoothness_mean'] = sm
+            out['berger_smoothness_hausdorff'] = sh
+        except Exception:
+            pass
     return out

@@ -57,12 +57,18 @@ def split_pass(vertices, faces, threshold):
     n_split = int(split.sum())
     if n_split == 0:
         return vertices, faces, 0
-
-    V = vertices.shape[0]
-    mid_id = np.full(len(edges), -1, np.int64)
-    mid_id[split] = V + np.arange(n_split)
     midpoints = 0.5 * (vertices[edges[split, 0]] + vertices[edges[split, 1]])
-    new_vertices = np.vstack([vertices, midpoints.astype(np.float32)])
+    return _apply_edge_splits(vertices, faces, slot, split, midpoints)
+
+
+def _apply_edge_splits(vertices, faces, slot, split, split_points):
+    """Re-triangulate every face by its 3-bit split pattern, inserting
+    ``split_points`` (one row per True in ``split``) on the split edges."""
+    n_split = int(split.sum())
+    V = vertices.shape[0]
+    mid_id = np.full(len(split), -1, np.int64)
+    mid_id[split] = V + np.arange(n_split)
+    new_vertices = np.vstack([vertices, split_points.astype(np.float32)])
 
     m = mid_id[slot]                  # (F, 3) midpoint ids or -1
     bits = ((m[:, 0] >= 0).astype(np.int8)
@@ -91,6 +97,65 @@ def split_pass(vertices, faces, threshold):
 
     new_faces = np.vstack(out).astype(np.int32)
     return new_vertices, new_faces, n_split
+
+
+def skeleton_split_pass(vertices, faces, max_triangle_angle=1.9198622):
+    """Angle-driven projection split (the skeleton remesher's split,
+    /root/reference/ch_shrinkwrap/_skeleton_mesh.pyx:29-332, as a batch
+    pass): an interior edge whose BOTH opposite angles exceed
+    ``max_triangle_angle`` is split at the perpendicular projection of
+    the larger-angle apex onto the edge (not the midpoint — MCF
+    contraction makes triangles arbitrarily obtuse, and the projection
+    point is what restores their aspect).
+    """
+    if faces.size == 0:
+        return vertices, faces, 0
+    edges, slot = unique_edges(faces)
+    lengths = edge_lengths(vertices, edges)
+
+    # angle opposite each face-edge occurrence: edge k of face f runs
+    # faces[f,k] -> faces[f,(k+1)%3], apex is faces[f,(k+2)%3]
+    p0 = vertices[faces]                       # (F, 3, 3)
+    apex = np.roll(faces, -2, axis=1)          # (F, 3) apex of edge k
+    a = p0 - vertices[apex]                    # apex -> faces[f,k]
+    b = vertices[np.roll(faces, -1, axis=1)] - vertices[apex]
+    num = (a * b).sum(2)
+    den = np.sqrt((a * a).sum(2) * (b * b).sum(2))
+    cosang = np.where(den > 0, num / np.maximum(den, 1e-30), 1.0)
+    ang = np.arccos(np.clip(cosang, -1.0, 1.0))  # (F, 3)
+
+    E = len(edges)
+    flat_slot = slot.ravel()
+    flat_ang = ang.ravel()
+    min_ang = np.full(E, np.inf)
+    max_ang = np.full(E, -np.inf)
+    np.minimum.at(min_ang, flat_slot, flat_ang)
+    np.maximum.at(max_ang, flat_slot, flat_ang)
+    n_incident = np.bincount(flat_slot, minlength=E)
+
+    split = ((n_incident == 2) & (min_ang > max_triangle_angle)
+             & (lengths > 1e-6))
+    n_split = int(split.sum())
+    if n_split == 0:
+        return vertices, faces, 0
+
+    # apex of the larger-angle side per edge (first max occurrence)
+    order = np.lexsort((-flat_ang, flat_slot))
+    first = np.zeros(E, np.int64)
+    s_sorted = flat_slot[order]
+    _, idx0 = np.unique(s_sorted, return_index=True)
+    first[s_sorted[idx0]] = order[idx0]
+    apex_v = apex.ravel()[first[split]]
+
+    u = vertices[edges[split, 0]].astype(np.float64)
+    w = vertices[edges[split, 1]].astype(np.float64)
+    t = (((vertices[apex_v] - u) * (w - u)).sum(1)
+         / np.maximum(((w - u) ** 2).sum(1), 1e-30))
+    # an obtuse apex angle puts the foot strictly inside the edge; the
+    # clip only guards degenerate float cases
+    t = np.clip(t, 0.05, 0.95)[:, None]
+    pts = u + t * (w - u)
+    return _apply_edge_splits(vertices, faces, slot, split, pts)
 
 
 def _independent_edge_set(edges, priority, n_vertices):

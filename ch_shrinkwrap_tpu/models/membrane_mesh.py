@@ -584,10 +584,18 @@ class MembraneMesh(TriangleMesh):
                     step_size=self.step_size, **kwargs)
         return getattr(self, 'opt_{}'.format(method))(**opts)
 
-    def opt_skeleton(self, points, sigma, max_iter=10, **kwargs):
-        from .skeleton_mesh import opt_skeleton
-        return opt_skeleton(self, points, sigma, max_iter=max_iter,
-                            **kwargs)
+    def opt_skeleton(self, points, sigma, max_iter=10, step_size=None,
+                     **kwargs):
+        """Skeletonize via a SkeletonMesh view of this mesh, writing
+        the collapsed topology back (shrink_wrap(method='skeleton') on
+        a plain MembraneMesh, parity with SkeletonMesh.shrink_wrap)."""
+        from .skeleton_mesh import SkeletonMesh
+        sk = SkeletonMesh(self.vertices.copy(), self.faces.copy())
+        sk.opt_skeleton(points=points, sigma=sigma, max_iter=max_iter,
+                        **kwargs)
+        self.set_topology(sk.vertices, sk.faces)
+        self._initialize_curvature_vectors()
+        return self
 
     def residual_histogram(self, points=None, sigma=None, bins=None):
         """Signed distance-to-surface histogram with the chi-

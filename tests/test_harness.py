@@ -93,6 +93,36 @@ def test_evaluate_process_workers(tmp_path):
     assert results[0]['mse_rms'] < 20.0
 
 
+def test_berger_ordered_pairs_sphere():
+    """The faithful Berger Phi/Psi construction agrees with the
+    simplified NN metrics on a clean fixture and pairs every point on
+    the normal line; the special case rescues off-line points."""
+    from ch_shrinkwrap_tpu.eval.metrics import (
+        construct_ordered_pairs_berger, berger_mean_and_hausdorff,
+        mean_and_hausdorff_distance)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(4000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    o = (d * 50.0)                       # truth sphere
+    no = d.copy()
+    d2 = rng.normal(size=(4000, 3))
+    d2 /= np.linalg.norm(d2, axis=1)[:, None]
+    m = d2 * 51.0                        # offset sphere (1 nm off)
+    nm = d2.copy()
+
+    ox, oa, mx, ma = construct_ordered_pairs_berger(o, m, no, nm,
+                                                    dx_max=3.0)
+    assert len(ox) == len(oa) and len(mx) == len(ma)
+    assert len(ox) > 1000 and len(mx) > 1000
+    mean_b, haus_b = berger_mean_and_hausdorff(o, m, ox, oa, mx, ma)
+    mean_nn, haus_nn = mean_and_hausdorff_distance(m, o)
+    # both see the ~1 nm shell offset
+    assert abs(mean_b - mean_nn) < 1.0
+    assert 0.5 < mean_b < 3.5
+    assert haus_b < 4 * max(haus_nn, 1.0)
+
+
 def test_image_shrinkwrap_recipe():
     """ImageShrinkwrapMembrane: voxel image -> weighted pseudo-points."""
     from ch_shrinkwrap_tpu.recipes.surface_fitting import \

@@ -28,6 +28,94 @@ def test_skeleton_collapses_to_axis():
     assert v[:, 0].max() - v[:, 0].min() > 40.0
 
 
+def test_skeleton_remesh_method_centerline():
+    """Skeleton-specific remesher (projection split + guarded
+    collapse): the capsule collapses to a tight centerline segment."""
+    mesh = capsule_mesh()
+    mesh.opt_skeleton(max_iter=14, lam=[40.0], target_edge_length=4.0,
+                      area_variation_factor=1e-6,
+                      remesh_method='skeleton')
+    v = mesh.vertices
+    r_perp = np.sqrt(v[:, 1] ** 2 + v[:, 2] ** 2)
+    # centerline contract: tighter than the generic-remesh test above
+    assert np.median(r_perp) < 2.5
+    assert np.percentile(r_perp, 90) < 5.0
+    assert v[:, 0].max() - v[:, 0].min() > 40.0
+
+
+def test_skeleton_torus_collapses_to_ring():
+    """A torus skeletonizes to its core circle (ring radius R, y ~ 0)
+    under the skeleton remesher; also covers the inward-winding repair
+    (the fixture is built inward-wound on purpose)."""
+    R, r = 40.0, 10.0
+    nu, nv = 48, 24
+    rng = np.random.default_rng(1)
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vg = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    uu, vv = np.meshgrid(u, vg, indexing='ij')
+    uu = uu + rng.uniform(-0.02, 0.02, uu.shape)
+    vv = vv + rng.uniform(-0.05, 0.05, vv.shape)
+    X = (R + r * np.cos(vv)) * np.cos(uu)
+    Y = r * np.sin(vv)
+    Z = (R + r * np.cos(vv)) * np.sin(uu)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d2 = i * nv + (j + 1) % nv
+            faces += [[a, b, c], [a, c, d2]]
+    mesh = SkeletonMesh(
+        np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1).astype(np.float32),
+        np.array(faces, np.int32))            # inward-wound as built
+    assert mesh.volume() < 0
+    mesh.opt_skeleton(max_iter=20, lam=[40.0], target_edge_length=5.0,
+                      area_variation_factor=1e-6,
+                      remesh_method='skeleton')
+    rad = np.sqrt(mesh.vertices[:, 0] ** 2 + mesh.vertices[:, 2] ** 2)
+    assert abs(np.median(rad) - R) < 1.0
+    assert np.median(np.abs(mesh.vertices[:, 1])) < 1.0
+
+
+def test_skeleton_split_pass_projection():
+    """The angle-driven split places new vertices at the perpendicular
+    foot of the obtuse apex (skeleton_edge_split, pyx:82-96)."""
+    from ch_shrinkwrap_tpu.mesh.remesh import skeleton_split_pass
+    # two very obtuse triangles sharing the long edge (0,0,0)-(10,0,0)
+    v = np.array([[0, 0, 0], [10, 0, 0], [6.0, 0.5, 0],
+                  [4.0, -0.5, 0]], np.float32)
+    f = np.array([[0, 1, 2], [1, 0, 3]], np.int32)
+    v2, f2, n = skeleton_split_pass(v, f, max_triangle_angle=1.9198622)
+    assert n == 1
+    assert len(v2) == 5
+    assert len(f2) == 4
+    # the split vertex is the projection of one apex onto the edge:
+    # x = 6 (apex 2, the larger angle) and y = z = 0
+    new = v2[4]
+    assert abs(new[1]) < 1e-6 and abs(new[2]) < 1e-6
+    assert abs(new[0] - 6.0) < 1e-5 or abs(new[0] - 4.0) < 1e-5
+    # orientation preserved: all faces wind the same way
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    de = np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]], f2[:, [2, 0]]])
+    key = de[:, 0].astype(np.int64) << 32 | de[:, 1]
+    assert len(np.unique(key)) == len(key)   # no duplicated directed edge
+
+
+def test_skeleton_via_membrane_mesh_entry():
+    """shrink_wrap(method='skeleton') on a plain MembraneMesh works
+    (regression: the delegation imported a nonexistent symbol)."""
+    from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+    v, f = icosphere(2, radius=1.0)
+    v = v * np.array([30.0, 8.0, 8.0], np.float32)
+    mesh = MembraneMesh(v, f)
+    mesh.shrink_wrap(None, None, method='skeleton', max_iter=6,
+                     lam=[40.0], target_edge_length=4.0,
+                     area_variation_factor=1e-6)
+    r_perp = np.sqrt(mesh.vertices[:, 1] ** 2 + mesh.vertices[:, 2] ** 2)
+    assert np.median(r_perp) < 4.0
+
+
 def test_orient_simps_and_surface():
     import scipy.spatial
     rng = np.random.default_rng(0)
