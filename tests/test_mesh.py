@@ -176,6 +176,27 @@ def test_remesh_coarsen():
     assert abs(mesh._mean_edge_length - target) / target < 0.35
 
 
+def test_native_remesh_growth_calibration():
+    """The native engine's growth remesh lands ON the nominal target
+    (collapse result-guard; the historical 0.70 fudge compensated a
+    split/collapse churn that no longer exists) and needs no
+    overflow-retry (capacity pre-sized from the edge-length ratio)."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+    mesh = sphere_mesh(50.0, 4)
+    v, f = mesh.vertices, mesh.faces
+    target = mesh._mean_edge_length / 2.2
+    out = native.remesh(v, f, target=target, n_passes=5, l=0.5, n_relax=0)
+    assert out is not None
+    m2 = TriangleMesh(*out)
+    assert m2.is_manifold
+    assert m2.euler_characteristic == 2
+    assert abs(m2._mean_edge_length - target) / target < 0.15
+    # growth factor ~ (edge ratio)^2
+    assert len(out[0]) > 3.5 * len(v)
+
+
 def test_stl_roundtrip(tmp_path):
     mesh = sphere_mesh(10.0, 2)
     path = str(tmp_path / "sphere.stl")
