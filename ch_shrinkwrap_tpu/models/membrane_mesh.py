@@ -487,15 +487,42 @@ class MembraneMesh(TriangleMesh):
                                     quantum=self.pad_quantum,
                                     hilbert_faces=False)
             fold_starts = fold_uncov = None
-            if (method == 'windowed_pallas'
-                    and ma.positions.shape[0] > 300_000):
-                # XLA's faces->verts segment_sum collapses once its
-                # output table leaves cache (BASELINE.md scaling)
-                sched = meshdata.fold_schedule(
-                    np.asarray(ma.faces), self.faces.shape[0],
-                    ma.positions.shape[0])
-                if sched is not None:
-                    fold_starts, fold_uncov = sched
+            vg_starts = vg_uncov = ng_starts = ng_uncov = None
+            if ma.positions.shape[0] > 300_000:
+                # beyond ~300k padded vertices XLA's vertex-table
+                # scatter AND gathers leave cache (BASELINE.md
+                # scaling); route them through host-verified window
+                # schedules
+                if method == 'windowed_pallas':
+                    sched = meshdata.fold_schedule(
+                        np.asarray(ma.faces), self.faces.shape[0],
+                        ma.positions.shape[0])
+                    if sched is not None:
+                        fold_starts, fold_uncov = sched
+                # the banded windowed GATHER is available but OFF by
+                # default: measured at 656k verts / 1e6 pts it LOSES
+                # to XLA's cliff gather (2.99 -> 1.88 iters/s at 3
+                # bands, 2.22 at 1 band) — the per-block dynamic-slice
+                # window traffic and scan dispatch outweigh the cache
+                # win.  Kept (exact, tested) as the substrate for a
+                # future Mosaic gather kernel.
+                if getattr(self, 'use_windowed_gather', False):
+                    from ..solver.shrinkwrap import VTX_GATHER_BLOCK
+                    faces_np = np.asarray(ma.faces)
+                    Vp_now = ma.positions.shape[0]
+                    gs = meshdata.gather_schedule(
+                        faces_np.reshape(-1),
+                        np.repeat(np.asarray(ma.f_mask), 3), Vp_now,
+                        block_size=VTX_GATHER_BLOCK)
+                    if gs is not None:
+                        vg_starts, vg_uncov = gs
+                    nbr_np = np.asarray(ma.nbr_v)
+                    gs2 = meshdata.gather_schedule(
+                        np.clip(nbr_np, 0, None).reshape(-1),
+                        (nbr_np >= 0).reshape(-1), Vp_now,
+                        block_size=16384)
+                    if gs2 is not None:
+                        ng_starts, ng_uncov = gs2
             positions, faces, f_mask, v_mask, nbr_v, face_nbrs = (
                 ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                 ma.face_nbrs)
@@ -507,6 +534,12 @@ class MembraneMesh(TriangleMesh):
                 if fold_starts is not None:
                     fold_starts, fold_uncov = replicate(
                         dmesh, fold_starts, fold_uncov)
+                if vg_starts is not None:
+                    vg_starts, vg_uncov = replicate(
+                        dmesh, vg_starts, vg_uncov)
+                if ng_starts is not None:
+                    ng_starts, ng_uncov = replicate(
+                        dmesh, ng_starts, ng_uncov)
             f_new, diag = cg_block(
                 positions, faces, f_mask, v_mask, nbr_v,
                 pts_j, sig_j, w_j, pmask,
@@ -515,7 +548,9 @@ class MembraneMesh(TriangleMesh):
                 corr_method=method,
                 cell_size=float(2.0 * self._mean_edge_length),
                 face_nbrs=face_nbrs,
-                fold_starts=fold_starts, fold_uncov=fold_uncov)
+                fold_starts=fold_starts, fold_uncov=fold_uncov,
+                vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,
+                ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov)
             f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]

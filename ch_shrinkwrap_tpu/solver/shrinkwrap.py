@@ -31,6 +31,12 @@ import jax.numpy as jnp
 from ..ops import correspondence as corr
 from ..ops import normals as _normals
 
+# block size for the faces-index windowed gathers (must match the
+# driver's gather_schedule call: 8192 flat rows = ~2730 Hilbert-
+# consecutive faces = ~1400 distinct vertices, comfortably inside the
+# 2048-row window; the default 16384 would overflow it)
+VTX_GATHER_BLOCK = 8192
+
 
 class SolverDiagnostics(NamedTuple):
     """Per-iteration traces (length = num_iters; frozen after halt)."""
@@ -43,12 +49,14 @@ class SolverDiagnostics(NamedTuple):
     d: jax.Array            # (N,) final point->face distances
 
 
-def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
+def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
+                gather_sched=None):
     """The curvature-aware smoothing prior `_ncc`
     (mesh_conj_grad.py:770-820): neighbor centroid plus an
     alpha * normal offset, with alpha derived from neighbor-normal
     geometry and gated by squared point influence."""
     Vp = f.shape[0]
+    K = nbr_v.shape[1]
     nmask = (nbr_v >= 0) & v_mask[:, None]
     ms = nmask.sum(-1)
     ms_safe = jnp.maximum(ms, 1)
@@ -60,7 +68,15 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask):
     # clean (8, 128) tiling of both the source and the gather output
     fn = jnp.concatenate(
         [f, vnormals, jnp.zeros((Vp, 2), f.dtype)], axis=1)  # (Vp, 8)
-    vg = fn[safe]                                    # (Vp, K, 8)
+    if gather_sched is not None:
+        # large-table path: banded window gather (XLA's gather falls
+        # off a cache cliff above ~300k source rows)
+        from ..ops.windowed_gather import windowed_gather
+        starts, uncov = gather_sched
+        vg = windowed_gather(fn, safe.reshape(-1), starts,
+                             uncov).reshape(Vp, K, 8)
+    else:
+        vg = fn[safe]                                # (Vp, K, 8)
     vpos = vg[..., 0:3]
     n_n = vg[..., 3:6]
     vc = (vpos * nmask[..., None]).sum(1) / ms_safe[:, None]
@@ -86,7 +102,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              use_shrink=False, face_chunk=2048, stop_eps=1e-6,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
              polish_iters=0, pallas_interpret=False,
-             fold_starts=None, fold_uncov=None):
+             fold_starts=None, fold_uncov=None,
+             vtx_gather_starts=None, vtx_gather_uncov=None,
+             ncc_gather_starts=None, ncc_gather_uncov=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -112,6 +130,11 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         side-scatter of the host-verified uncovered rows.  XLA's
         segment_sum wins below ~300k padded vertices (cache-resident
         output) and collapses above; the driver gates on that.
+    vtx_gather_starts/uncov, ncc_gather_starts/uncov : optional
+        banded window schedules (``meshdata.gather_schedule``) for the
+        vertex-table gathers (tri = f[faces] / S_tri) and the ncc
+        neighbor gather — the gather-side counterpart of the same
+        >300k-row cache cliff (ops.windowed_gather).
     """
     Vp = positions.shape[0]
     N = points.shape[0]
@@ -131,7 +154,14 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # one f[faces] gather shared by centers + face/vertex normals;
         # the vertex-normal scatter is deferred and fused into the A^T
         # scatter below (same faces.reshape(-1) index)
-        tri = f[faces]
+        if vtx_gather_starts is not None:
+            from ..ops.windowed_gather import windowed_gather
+            tri = windowed_gather(
+                f, faces.reshape(-1), vtx_gather_starts,
+                vtx_gather_uncov,
+                block_size=VTX_GATHER_BLOCK).reshape(-1, 3, 3)
+        else:
+            tri = f[faces]
         centers = tri.mean(1)
         vn_corners = _normals.vertex_normal_corners(f, faces, f_mask,
                                                     tri=tri)
@@ -242,7 +272,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         vn = _normals.normalize_vertex_normals(out7[:, :3])
         S0_raw = out7[:, 3:6]
         point_influence = jnp.sqrt(3.0) * jnp.abs(out7[:, 6])
-        ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask)
+        ncc_sched = (None if ncc_gather_starts is None
+                     else (ncc_gather_starts, ncc_gather_uncov))
+        ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask,
+                          gather_sched=ncc_sched)
 
         vmask3 = v_mask[:, None]
         S0 = S0_raw * vmask3
@@ -284,8 +317,15 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
         # batch dim are ~8x slower — scripts/probe_layout.py); the
         # corner sum runs on flat 2-D slices to avoid 4-D relayouts
-        S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
-                 .reshape(Fp, 9 * s_size))                 # (Fp, 9s)
+        if vtx_gather_starts is not None:
+            from ..ops.windowed_gather import windowed_gather
+            S_tri = windowed_gather(
+                S.reshape(Vp, 3 * s_size), faces.reshape(-1),
+                vtx_gather_starts, vtx_gather_uncov,
+                block_size=VTX_GATHER_BLOCK).reshape(Fp, 9 * s_size)
+        else:
+            S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
+                     .reshape(Fp, 9 * s_size))             # (Fp, 9s)
         ASr = S_tri[fi]                                    # (N, 9s)
         ks = 3 * s_size
         AS = sum(ASr[:, ks * j:ks * (j + 1)] * w[:, j:j + 1]

@@ -285,6 +285,75 @@ def test_cg_block_windowed_matches_brute_torus_noise():
     assert d01.mean() < 1.0
 
 
+def test_windowed_gather_exact_with_outliers():
+    """windowed_gather + gather_schedule reproduce src[idx] exactly on
+    locally-sorted indices with a 1% uniform outlier scatter (the case
+    that breaks gap-based banding) and honest don't-care rows."""
+    from ch_shrinkwrap_tpu.ops.meshdata import gather_schedule
+    from ch_shrinkwrap_tpu.ops.windowed_gather import windowed_gather
+
+    rng = np.random.default_rng(0)
+    Vp, K, C = 50_000, 20, 8
+    src = rng.normal(size=(Vp, C)).astype(np.float32)
+    base = np.arange(Vp)[:, None]
+    idx = np.clip(base + rng.integers(-300, 300, size=(Vp, K)), 0, Vp - 1)
+    wild = rng.random((Vp, K)) < 0.01
+    idx[wild] = rng.integers(0, Vp, wild.sum())
+    care = rng.random((Vp, K)) >= 0.1
+    idx_flat = idx.reshape(-1).astype(np.int32)
+
+    sched = gather_schedule(idx_flat, care.reshape(-1), Vp)
+    assert sched is not None
+    starts, uncov = sched
+    out = windowed_gather(jnp.asarray(src), jnp.asarray(idx_flat),
+                          starts, uncov)
+    err = np.abs(np.asarray(out) - src[idx_flat])[care.reshape(-1)]
+    assert err.max() == 0.0
+
+
+def test_cg_block_windowed_gather_exact():
+    """cg_block with the banded vertex/ncc gather schedules is
+    bit-identical to the plain-gather path."""
+    from ch_shrinkwrap_tpu.ops import meshdata
+    from ch_shrinkwrap_tpu.solver.shrinkwrap import (cg_block,
+                                                     VTX_GATHER_BLOCK)
+
+    rng = np.random.default_rng(0)
+    v, f = icosphere(4, radius=60.0)
+    m = TriangleMesh(v, f)
+    m.spatial_sort()
+    ma = meshdata.from_mesh(m, quantum=256, hilbert_faces=False)
+    Vp = ma.positions.shape[0]
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = jnp.asarray((d * 50 + rng.normal(scale=3, size=d.shape))
+                      .astype(np.float32))
+    sig = jnp.full((20000, 3), 1 / 3., jnp.float32)
+    w = sig / sig.mean()
+    pm = jnp.ones(20000, bool)
+
+    faces_np = np.asarray(ma.faces)
+    gs = meshdata.gather_schedule(
+        faces_np.reshape(-1), np.repeat(np.asarray(ma.f_mask), 3), Vp,
+        block_size=VTX_GATHER_BLOCK)
+    nbr_np = np.asarray(ma.nbr_v)
+    gs2 = meshdata.gather_schedule(
+        np.clip(nbr_np, 0, None).reshape(-1),
+        (nbr_np >= 0).reshape(-1), Vp, block_size=16384)
+    assert gs is not None and gs2 is not None
+
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            pts, sig, w, pm, jnp.float32(2.0), jnp.float32(0.0))
+    kw = dict(num_iters=3, face_chunk=512, face_nbrs=ma.face_nbrs)
+    f_plain, _ = cg_block(*args, **kw)
+    f_sched, _ = cg_block(*args, **kw,
+                          vtx_gather_starts=gs[0], vtx_gather_uncov=gs[1],
+                          ncc_gather_starts=gs2[0],
+                          ncc_gather_uncov=gs2[1])
+    np.testing.assert_array_equal(np.asarray(f_plain),
+                                  np.asarray(f_sched))
+
+
 def test_windowed_segment_sum_matches_segment_sum():
     """The scatter-free windowed A^T accumulator reproduces
     jax.ops.segment_sum exactly on real correspondence routing data
