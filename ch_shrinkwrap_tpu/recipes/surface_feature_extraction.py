@@ -31,6 +31,12 @@ class SkeletonizeMembrane(ModuleBase):
     mesoskeleton = Bool(False)
     area_variation_factor = Float(0.0001)
     max_triangle_angle = Float(110.0)
+    # rebuild extensions (models/skeleton_mesh.py): 'isotropic'
+    # matches the reference's shipped behavior, 'skeleton' enables the
+    # projection-split remesher; 'identity' is the stable Gauss-Newton
+    # medial linearization, 'reference' the faithful one
+    remesh_method = CStr('isotropic')
+    medial_linearization = CStr('identity')
 
     def execute(self, namespace):
         from ..models.skeleton_mesh import SkeletonMesh
@@ -45,7 +51,9 @@ class SkeletonizeMembrane(ModuleBase):
         mesh.shrink_wrap(None, None, method='skeleton',
                          lam=[self.medial_axis_weight],
                          area_variation_factor=self.area_variation_factor,
-                         max_triangle_angle=self.max_triangle_angle)
+                         max_triangle_angle=self.max_triangle_angle,
+                         remesh_method=self.remesh_method,
+                         medial_linearization=self.medial_linearization)
         namespace[self.output] = mesh
 
 
