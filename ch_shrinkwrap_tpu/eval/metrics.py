@@ -16,14 +16,23 @@ import numpy as np
 
 
 def points_from_mesh(mesh, dx_min: float = 5, p: float = 1.0,
-                     return_normals: bool = False, rng=None):
+                     return_normals: bool = False, rng=None,
+                     sampler: str = 'mc'):
     """Uniform point sampling of a mesh surface at pitch ``dx_min``.
 
-    The reference rasterizes an in-plane grid per triangle
-    (evaluation_utils.py:35-151, a Python loop over faces); here we
-    draw the statistically equivalent area-weighted uniform sample:
-    n = area * p / dx_min^2 points, barycentric-uniform per face.
+    ``sampler='mc'`` (default) draws the area-weighted uniform sample:
+    n = area * p / dx_min^2 points, barycentric-uniform per face — the
+    statistical equivalent of the reference rasterizer, and what the
+    sweep metrics use.  ``sampler='raster'`` reproduces the
+    reference's deterministic per-triangle in-plane lattice
+    (evaluation_utils.py:35-151) for committed metric comparisons
+    where sampler noise should be zero (only the optional ``p`` < 1
+    subsample draws randomness).
     """
+    if sampler == 'raster':
+        return points_from_mesh_rasterized(
+            mesh, dx_min=dx_min, p=p, return_normals=return_normals,
+            rng=rng)
     from ..utils.math import _rng
     rng = _rng(rng)
 
@@ -52,6 +61,98 @@ def points_from_mesh(mesh, dx_min: float = 5, p: float = 1.0,
     if return_normals:
         return pts, n_vec[face_idx]
     return pts
+
+
+def points_from_mesh_rasterized(mesh, dx_min: float = 5, p: float = 1.0,
+                                return_normals: bool = False, rng=None):
+    """Deterministic per-triangle lattice sampling (the reference's
+    points_from_mesh, evaluation_utils.py:35-151): each face is
+    rasterized on a dx_min-pitch grid in its own plane basis
+    (e0 = first edge direction, e1 = n x e0, grid anchored at the
+    face's bounding box like the reference), keeping lattice points
+    inside the triangle.  Vectorized over blocks of faces instead of
+    the reference's per-face Python loop; normals come from the
+    generating face directly (the reference re-derives them through a
+    nearest-centroid kdtree, which reassigns a point's own face in all
+    but degenerate cases)."""
+    from ..utils.math import _rng
+
+    v = np.asarray(mesh.vertices, np.float64)
+    f = np.asarray(mesh.faces)
+    tri = v[f]
+    n_vec = np.cross(tri[:, 2] - tri[:, 1], tri[:, 0] - tri[:, 1])
+    nn = np.linalg.norm(n_vec, axis=1)
+    ok = nn > 0
+    tri = tri[ok]
+    n_vec = n_vec[ok] / nn[ok, None]
+
+    # per-face plane basis
+    v0 = tri[:, 1] - tri[:, 0]
+    e0 = v0 / np.maximum(np.linalg.norm(v0, axis=1), 1e-30)[:, None]
+    e1 = np.cross(n_vec, e0)
+
+    # 2-D coordinates of the three vertices (relative to vertex 0)
+    def uv(k):
+        d = tri[:, k] - tri[:, 0]
+        return (d * e0).sum(1), (d * e1).sum(1)
+    x1, y1 = uv(1)
+    x2, y2 = uv(2)
+
+    xl = np.minimum(0, np.minimum(x1, x2))
+    xu = np.maximum(0, np.maximum(x1, x2))
+    yl = np.minimum(0, np.minimum(y1, y2))
+    yu = np.maximum(0, np.maximum(y1, y2))
+    # lattice anchored at (xl - dx/2, yl - dx/2) stepping dx, as in
+    # the reference's arange(xl - x0 - dx/2, xu - x0, dx)
+    nx = np.maximum(np.ceil((xu - xl) / dx_min + 0.5).astype(int), 1)
+    ny = np.maximum(np.ceil((yu - yl) / dx_min + 0.5).astype(int), 1)
+
+    out = []
+    out_fid = []
+    B = 1024
+    order = np.argsort(nx * ny, kind='stable')   # similar sizes batch
+    for s in range(0, len(tri), B):
+        sel = order[s:s + B]
+        mx, my = int(nx[sel].max()), int(ny[sel].max())
+        gx = np.arange(mx)[None, :]              # (1, mx)
+        gy = np.arange(my)[None, :]
+        X = xl[sel, None] - dx_min / 2 + dx_min * gx         # (B, mx)
+        Y = yl[sel, None] - dx_min / 2 + dx_min * gy
+        Xg = X[:, None, :]                       # (B, 1, mx)
+        Yg = Y[:, :, None]                       # (B, my, 1)
+        gvalid = (gx[:, None, :] < nx[sel][:, None, None]) \
+            & (gy[:, :, None] < ny[sel][:, None, None])
+
+        # inside-triangle via the three 2-D edge half-planes of
+        # ((0,0), (x1,y1), (x2,y2)) with consistent winding
+        def half(ax, ay, bx, by):
+            return ((bx - ax)[:, None, None] * (Yg - ay[:, None, None])
+                    - (by - ay)[:, None, None] * (Xg - ax[:, None, None]))
+        z = np.zeros(len(sel))
+        h0 = half(z, z, x1[sel], y1[sel])
+        h1 = half(x1[sel], y1[sel], x2[sel], y2[sel])
+        h2 = half(x2[sel], y2[sel], z, z)
+        wind = np.sign(x1[sel] * y2[sel] - x2[sel] * y1[sel]
+                       )[:, None, None]
+        inside = (wind * h0 >= 0) & (wind * h1 >= 0) & (wind * h2 >= 0)
+        m = inside & gvalid
+        bi, yi, xi = np.nonzero(m)
+        pts2 = (X[bi, xi][:, None] * e0[sel][bi]
+                + Y[bi, yi][:, None] * e1[sel][bi] + tri[sel][bi, 0])
+        out.append(pts2)
+        out_fid.append(sel[bi])
+    d = np.vstack(out)
+    fid = np.concatenate(out_fid)
+
+    if p < 1.0:
+        rng = _rng(rng)
+        keep = rng.choice(len(d), size=int(p * len(d)), replace=False)
+        d = d[keep]
+        fid = fid[keep]
+
+    if return_normals:
+        return d, n_vec[fid]
+    return d
 
 
 def average_squared_distance(points0, points1) -> Tuple[float, float]:

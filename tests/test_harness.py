@@ -93,6 +93,34 @@ def test_evaluate_process_workers(tmp_path):
     assert results[0]['mse_rms'] < 20.0
 
 
+def test_points_from_mesh_rasterized():
+    """The deterministic per-triangle lattice sampler (reference
+    evaluation_utils.py:35-151) matches the MC sampler statistically
+    and is exactly reproducible."""
+    from ch_shrinkwrap_tpu.eval.metrics import points_from_mesh
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+    v, f = icosphere(4, radius=50.0)
+    mesh = TriangleMesh(v, f)
+    pts, nrm = points_from_mesh(mesh, dx_min=2.0, sampler='raster',
+                                return_normals=True)
+    pts2 = points_from_mesh(mesh, dx_min=2.0, sampler='raster')
+    assert np.array_equal(pts, pts2)           # no sampler noise
+    r = np.linalg.norm(pts, axis=1)
+    assert abs(r.mean() - 50.0) < 0.2          # on the faceted sphere
+    assert r.std() < 0.1
+    # density ~ 1/dx^2 (lattice edge effects allow ~20% excess)
+    dens = len(pts) / mesh.area()
+    assert 0.8 / 4.0 < dens < 1.4 / 4.0
+    # normals are the generating faces': outward on a sphere
+    assert ((pts * nrm).sum(1) > 0).all()
+    # subsampling draws the only randomness
+    pts_p = points_from_mesh(mesh, dx_min=2.0, p=0.5, sampler='raster',
+                             rng=0)
+    assert abs(len(pts_p) - 0.5 * len(pts)) <= 1
+
+
 def test_berger_ordered_pairs_sphere():
     """The faithful Berger Phi/Psi construction agrees with the
     simplified NN metrics on a clean fixture and pairs every point on
