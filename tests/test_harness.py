@@ -86,9 +86,12 @@ def test_evaluate_entry_timeout_kills_hung_entry(tmp_path):
 
 @pytest.mark.slow
 def test_evaluate_process_workers(tmp_path):
-    """Spawned-process sweep DP completes the micro grid."""
+    """Spawned-process sweep DP completes the micro grid.  The entry
+    timeout is generous: a spawned worker pays a cold jax import +
+    compile (~7 min alone on this 1-core host, more under suite load);
+    the timeout KILL path has its own dedicated test above."""
     results = evaluate(MICRO_SWEEP, out_dir=str(tmp_path / 'sweep'),
-                       seed=3, n_workers=2, entry_timeout=600)
+                       seed=3, n_workers=2, entry_timeout=1800)
     assert len(results) == 1
     assert results[0]['mse_rms'] < 20.0
 
