@@ -211,36 +211,73 @@ def greedy_empty_simps(d, mesh, pts, eps=1.0, oriented=True):
     return np.flatnonzero(del_count > 3)
 
 
-def voronoi_poles(vor, point_normals):
-    """Amenta-Bern positive/negative Voronoi poles (reference
-    :398-450).  -1 marks a pole at infinity (convex hull cell)."""
+def voronoi_poles(vor, point_normals, dot_threshold=1.0):
+    """Amenta-Bern positive/negative Voronoi poles, vectorized over all
+    cells at once (no per-point Python loop; counterpart of the
+    reference's per-cell walk, delaunay_utils.py:398-450).  -1 marks a
+    pole at infinity (unbounded convex-hull cell) or an empty region.
+
+    Per cell: the positive pole is the Voronoi vertex farthest from the
+    generating point (or the point normal direction, for unbounded
+    cells); the negative pole is the farthest vertex v whose offset
+    dn = v - p satisfies ``dot(pole_dir, dn) < dot_threshold``.
+
+    ``dot_threshold`` resolves a reference quirk: its comment says
+    "negative dot product" but its code tests ``< 1`` on an
+    UNNORMALIZED dot (reference :446-447), admitting near-orthogonal
+    and slightly-forward vertices.  The default 1.0 keeps the reference
+    behavior (the skeleton path was tuned against it); pass 0.0 for the
+    strict Amenta-Bern construction — validated on a capsule medial
+    axis in tests/test_skeleton.py.
+
+    One deliberate fix vs the reference: it only detects the infinite
+    vertex when it sits at list position 0 of the region; scipy makes
+    no ordering guarantee, so we detect it at any position.
+    """
     sz = len(vor.point_region)
-    p_pos = np.zeros(sz, dtype=int)
-    p_neg = np.zeros(sz, dtype=int)
+    p_pos = np.full(sz, -1, dtype=int)
+    p_neg = np.full(sz, -1, dtype=int)
 
-    for i, reg in enumerate(vor.point_region):
-        cell_points = np.asarray(vor.regions[reg])
-        if len(cell_points) == 0:
-            p_pos[i] = -1
-            p_neg[i] = -1
-            continue
-        dn = vor.vertices[cell_points] - vor.points[i][None, :]
-        dist = np.linalg.norm(dn, axis=1)
+    regions = [vor.regions[r] for r in vor.point_region]
+    lens = np.array([len(r) for r in regions], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return p_pos, p_neg
+    owner = np.repeat(np.arange(sz), lens)
+    cells = np.fromiter((v for r in regions for v in r),
+                        dtype=np.int64, count=total)
 
-        if cell_points[0] == -1:
-            cell_points, dn, dist = cell_points[1:], dn[1:], dist[1:]
-            p_pos[i] = -1
-            pn = point_normals[i]
-            if len(cell_points) == 0:
-                p_neg[i] = -1
-                continue
-        else:
-            di = np.argmax(dist)
-            p_pos[i] = cell_points[di]
-            pn = dn[di, :]
+    inf_mask = cells == -1
+    dn = vor.vertices[np.where(inf_mask, 0, cells)] - vor.points[owner]
+    dist = np.where(inf_mask, -np.inf, np.linalg.norm(dn, axis=1))
 
-        s = (pn * dn).sum(1) < 1
-        p_neg[i] = cell_points[np.argmax(s * dist)]
+    has_inf = np.zeros(sz, dtype=bool)
+    has_inf[owner[inf_mask]] = True
+    n_finite = lens - np.bincount(owner[inf_mask], minlength=sz)
+
+    # entries of each cell are contiguous in any owner-primary lexsort,
+    # so each cell's maximum sits at its segment end; -pos_in_cell as
+    # the tie key reproduces np.argmax's first-on-ties choice
+    starts = np.cumsum(lens) - lens
+    ends = np.cumsum(lens) - 1
+    pos_in_cell = np.arange(total) - starts[owner]
+    sel_ends = np.clip(ends, 0, None)
+
+    far = np.lexsort((-pos_in_cell, dist, owner))[sel_ends]
+    bounded = (lens > 0) & ~has_inf
+    p_pos[bounded] = cells[far[bounded]]
+
+    # pole direction: offset to the positive pole, or the point normal
+    # for unbounded cells (reference :430-440)
+    pole_dir = np.where(has_inf[:, None], point_normals, dn[far])
+
+    s = (pole_dir[owner] * dn).sum(1) < dot_threshold
+    # reference argmax(s * dist): farthest qualifying vertex, falling
+    # back to the first finite vertex when none qualifies (score 0)
+    score = np.where(inf_mask, -np.inf, np.where(s, dist, 0.0))
+    best = np.lexsort((-pos_in_cell, score, owner))[sel_ends]
+    has_fin = (lens > 0) & (n_finite > 0)
+    p_neg[has_fin] = cells[best[has_fin]]
     return p_pos, p_neg
 
 

@@ -282,7 +282,11 @@ def _run_entries_per_device(todo, seed, out_dir, save_stl, devices,
     import threading
     import jax
 
-    devs = jax.devices()[:devices]
+    devs = jax.devices()
+    if len(devs) < devices:
+        raise ValueError('devices=%d requested but only %d jax '
+                         'devices present' % (devices, len(devs)))
+    devs = devs[:devices]
     work = _queue.Queue()
     for item in todo:
         work.put(item)
@@ -334,8 +338,12 @@ def evaluate(test_yaml, out_dir='eval_out', run_spr=False, seed=0,
     """
     import yaml
 
-    if n_workers > 1 and devices:
-        raise ValueError('pick one of n_workers / devices')
+    if (n_workers > 1 or entry_timeout) and devices:
+        # entry_timeout implies the spawned-process path, which would
+        # silently win over (and ignore) the devices round-robin
+        raise ValueError('pick one of n_workers/entry_timeout '
+                         '(process isolation) or devices '
+                         '(thread-per-device)')
 
     if isinstance(test_yaml, str) and os.path.exists(test_yaml):
         with open(test_yaml) as fh:

@@ -228,13 +228,23 @@ def construct_ordered_pairs_berger(o, m, no, nm, dx_max=1.0, k=10,
             point in the source set."""
             if len(fail_pts) == 0:
                 return (np.zeros(0, np.int64), np.zeros(0, np.int64))
-            dists, cand = target_tree.query(fail_pts, k, workers=-1)
+            # clamp k to the target-set size: scipy pads missing
+            # neighbors with index n / infinite distance, which would
+            # make target_pts[cand] raise on tiny point sets
+            kq = min(k, len(target_pts))
+            dists, cand = target_tree.query(fail_pts, kq, workers=-1)
+            if kq == 1:
+                dists = dists[:, None]
+                cand = cand[:, None]
+            valid = np.isfinite(dists)
+            cand = np.clip(cand, 0, len(target_pts) - 1)
             dots = (fail_nrm[:, None, :]
                     * (target_pts[cand] - fail_pts[:, None, :])).sum(2)
             # the reference shrinks by dx^2/(2d + 1e6) here — i.e. the
             # tolerance is effectively disabled for the rescue scan; we
             # reproduce that (quirk kept: it only loosens acceptance)
-            ok = np.abs(dots) > dists - dx_max * dx_max / (2 * dists + 1e6)
+            ok = valid & (np.abs(dots)
+                          > dists - dx_max * dx_max / (2 * dists + 1e6))
             any_ok = ok.any(axis=1)
             chosen = cand[np.arange(len(cand)), np.argmax(ok, axis=1)]
             chosen = chosen[any_ok]
@@ -279,9 +289,11 @@ def berger_mean_and_hausdorff(o, m, ox, oa, mx, ma):
 
 def berger_smoothness(no, nm, ox, oa, mx, ma):
     """Normal-angle (mean, Hausdorff) over Berger ordered pairs
-    (evaluation_utils_old.py:399-406)."""
-    a_o = np.arccos(np.clip(np.abs((no[oa] * nm[ox]).sum(1)), -1, 1))
-    a_m = np.arccos(np.clip(np.abs((no[ma] * nm[mx]).sum(1)), -1, 1))
+    (evaluation_utils_old.py:399-406).  Signed dot, as in the
+    reference: antiparallel normals read as angle ~pi (an orientation
+    flip), not as smooth.  We add only the arccos domain clip."""
+    a_o = np.arccos(np.clip((no[oa] * nm[ox]).sum(1), -1, 1))
+    a_m = np.arccos(np.clip((no[ma] * nm[mx]).sum(1), -1, 1))
     return (float(0.5 * (a_o.mean() + a_m.mean())),
             float(max(a_o.max(), a_m.max())))
 
@@ -315,7 +327,6 @@ def mesh_metrics_vs_shape(mesh, shape, dx_min=5.0, p=1.0, rng=None):
     pts, nrm = points_from_mesh(mesh, dx_min=dx_min, p=p,
                                 return_normals=True, rng=rng)
     sdf_d = shape.sdf(pts.T)
-    mse0, mse1 = None, None
     out = {
         'sdf_rms': float(np.sqrt((sdf_d ** 2).mean())),
         'sdf_mean_abs': float(np.abs(sdf_d).mean()),

@@ -323,7 +323,14 @@ def update_topology(mesh, candidates, candidate_pairs, component, euler):
                     n_punched += 1
                     used[i] = True
                     used[pci] = True
-                    candidates = remap[candidates]  # dropped -> -1
+                    # dropped faces -> -1; stale -1 markers from an
+                    # earlier punch in this pass must stay -1 (plain
+                    # remap[candidates] would wrap -1 to remap[-1], a
+                    # valid new face id whenever the last old face
+                    # survived)
+                    candidates = np.where(
+                        candidates < 0, -1,
+                        remap[np.clip(candidates, 0, None)])
                 break
         elif euler[i] != 0:
             logger.info('Component %s has Euler characteristic %s; '

@@ -151,3 +151,67 @@ def test_voronoi_poles_inside_sphere():
     assert len(poles) > 0
     assert np.linalg.norm(poles, axis=1).max() < 10.0
     assert np.median(np.linalg.norm(poles, axis=1)) < 3.0
+
+
+def _voronoi_poles_loop(vor, point_normals, dot_threshold=1.0):
+    """Per-cell loop oracle for the vectorized voronoi_poles (same
+    semantics: infinite vertex detected at any region position)."""
+    sz = len(vor.point_region)
+    p_pos = np.full(sz, -1, dtype=int)
+    p_neg = np.full(sz, -1, dtype=int)
+    for i, reg in enumerate(vor.point_region):
+        cell = np.asarray(vor.regions[reg], dtype=int)
+        if len(cell) == 0:
+            continue
+        fin = cell != -1
+        unbounded = not fin.all()
+        cell = cell[fin]
+        if len(cell) == 0:
+            continue
+        dn = vor.vertices[cell] - vor.points[i][None, :]
+        dist = np.linalg.norm(dn, axis=1)
+        if unbounded:
+            pn = point_normals[i]
+        else:
+            di = np.argmax(dist)
+            p_pos[i] = cell[di]
+            pn = dn[di]
+        s = (pn * dn).sum(1) < dot_threshold
+        p_neg[i] = cell[np.argmax(s * dist)]
+    return p_pos, p_neg
+
+
+@pytest.mark.parametrize('thresh', [1.0, 0.0])
+def test_voronoi_poles_matches_loop_oracle(thresh):
+    import scipy.spatial
+    rng = np.random.default_rng(3)
+    pts = np.vstack([rng.normal(size=(200, 3)) * 5.0,
+                     rng.uniform(-1, 1, size=(50, 3))])
+    vor = scipy.spatial.Voronoi(pts)
+    normals = rng.normal(size=(len(pts), 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pp_v, pn_v = du.voronoi_poles(vor, normals, dot_threshold=thresh)
+    pp_l, pn_l = _voronoi_poles_loop(vor, normals,
+                                     dot_threshold=thresh)
+    np.testing.assert_array_equal(pp_v, pp_l)
+    np.testing.assert_array_equal(pn_v, pn_l)
+
+
+def test_voronoi_poles_capsule_medial_axis_strict():
+    """With the strict Amenta-Bern threshold (dot < 0) the negative
+    poles of a capsule surface lie near its medial-axis segment
+    (the x axis between the cap centres)."""
+    import scipy.spatial
+    v, f = icosphere(3, radius=1.0)
+    v = v * np.array([40.0, 10.0, 10.0], np.float32)
+    mesh = TriangleMesh(v, f)
+    vor = scipy.spatial.Voronoi(mesh.vertices.astype(np.float64))
+    _, pneg = du.voronoi_poles(vor, mesh.vertex_normals,
+                               dot_threshold=0.0)
+    poles = vor.vertices[pneg[pneg != -1]]
+    poles = du.clean_neg_voronoi_poles(mesh, poles)
+    assert len(poles) > 0
+    r_perp = np.sqrt(poles[:, 1] ** 2 + poles[:, 2] ** 2)
+    # interior poles hug the axis relative to the 10 nm tube radius
+    assert np.median(r_perp) < 2.5
+    assert np.abs(poles[:, 0]).max() <= 40.0
