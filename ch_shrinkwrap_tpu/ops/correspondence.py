@@ -468,44 +468,32 @@ class WindowedMeta(NamedTuple):
 
 
 @partial(jax.jit,
-         static_argnames=('block_size', 'window', 'block_chunk',
-                          'n_subsample', 'use_pallas', 'pallas_interpret',
-                          'return_meta', 'n_anchors'))
-def nearest_face_windowed(points, centers, f_mask, block_size=256,
-                          window=2048, block_chunk=8, n_subsample=1024,
-                          use_pallas=False, pallas_interpret=False,
-                          return_meta=False, n_anchors=3):
-    """Nearest face via contiguous Hilbert windows — the production
-    TPU path.
+         static_argnames=('block_size', 'window', 'n_subsample',
+                          'n_anchors'))
+def windowed_anchor_starts(points, centers, f_mask, block_size=256,
+                           window=2048, n_subsample=1024, n_anchors=3):
+    """Anchor-window starts for ``nearest_face_windowed``: per point
+    block, ``n_anchors`` index-diverse 128-aligned window starts into
+    the Hilbert-sorted face array.
 
-    Requires BOTH sides spatially sorted: points by ``fit_point_order``
-    and faces by ``hilbert_order`` of their centers (meshdata.from_mesh
-    does this).  Each point block then reads one contiguous ``window``
-    of the face array around its centroid's anchor face — a pure
-    ``dynamic_slice``, no large gathers (XLA TPU gathers of (block,
-    cand) index tables are both compile- and runtime-pathological).
-    The anchor comes from a hashed-subsample search per block centroid;
-    the same subsample acts as the far-point fallback, and the
-    face-adjacency polish pass snaps the remaining boundary cases.
+    Split out so the solver can hoist it OUT of the per-iteration scan:
+    points never move during a fit and faces drift by nanometers per CG
+    iteration while a window spans ~2048 Hilbert-consecutive faces, so
+    anchors chosen from the block-entry face centers stay valid for the
+    whole remesh block (the in-loop subsample fallback still re-checks
+    every iteration with fresh centers).  Returns (nb, A) i32 starts.
     """
     N = points.shape[0]
     Fp = centers.shape[0]
-    # tiny meshes: a window can't exceed the face array (the Pallas
-    # branch DMAs from a 128-lane-aligned table, so clamp to that)
-    if use_pallas:
-        window = min(window, -(-Fp // 128) * 128)
-    else:
-        window = min(window, Fp)
+    window = min(window, Fp)
     nblocks = -(-N // block_size)
     Npad = nblocks * block_size
 
     p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
     if Npad != N:
         p = p.at[N:].set(points[N - 1])
-    blocks = p.reshape(nblocks, block_size, 3)
-    bcent = jnp.median(blocks, axis=1)                   # (nb, 3)
+    bcent = jnp.median(p.reshape(nblocks, block_size, 3), axis=1)
 
-    # hashed subsample for anchors + fallback
     sub_ids = _subsample_ids(Fp, n_subsample)
     sub_c = centers[sub_ids]
     sub_m = f_mask[sub_ids]
@@ -542,6 +530,59 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
         anchors.append(pool[jnp.arange(pool.shape[0]), pick])
     anchors = jnp.stack(anchors, axis=1)                 # (nb, A)
     starts = jnp.clip(anchors - w_half, 0, max(Fp - window, 0))
+    return starts.astype(jnp.int32)
+
+
+@partial(jax.jit,
+         static_argnames=('block_size', 'window', 'block_chunk',
+                          'n_subsample', 'use_pallas', 'pallas_interpret',
+                          'return_meta', 'n_anchors'))
+def nearest_face_windowed(points, centers, f_mask, block_size=256,
+                          window=2048, block_chunk=8, n_subsample=1024,
+                          use_pallas=False, pallas_interpret=False,
+                          return_meta=False, n_anchors=3, starts=None):
+    """Nearest face via contiguous Hilbert windows — the production
+    TPU path.
+
+    Requires BOTH sides spatially sorted: points by ``fit_point_order``
+    and faces by ``hilbert_order`` of their centers (meshdata.from_mesh
+    does this).  Each point block then reads one contiguous ``window``
+    of the face array around its centroid's anchor face — a pure
+    ``dynamic_slice``, no large gathers (XLA TPU gathers of (block,
+    cand) index tables are both compile- and runtime-pathological).
+    The anchor comes from a hashed-subsample search per block centroid
+    (or a precomputed ``starts`` (nb, A) table — see
+    ``windowed_anchor_starts``); the same subsample acts as the
+    far-point fallback, and the face-adjacency polish pass snaps the
+    remaining boundary cases.
+    """
+    N = points.shape[0]
+    Fp = centers.shape[0]
+    # tiny meshes: a window can't exceed the face array (the Pallas
+    # branch DMAs from a 128-lane-aligned table, so clamp to that)
+    if use_pallas:
+        window = min(window, -(-Fp // 128) * 128)
+    else:
+        window = min(window, Fp)
+    nblocks = -(-N // block_size)
+    Npad = nblocks * block_size
+
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    if Npad != N:
+        p = p.at[N:].set(points[N - 1])
+    blocks = p.reshape(nblocks, block_size, 3)
+
+    # hashed subsample for the fallback (and anchors when not given)
+    sub_ids = _subsample_ids(Fp, n_subsample)
+    sub_c = centers[sub_ids]
+    sub_m = f_mask[sub_ids]
+    sub_c2 = jnp.where(sub_m, (sub_c * sub_c).sum(-1), BIG)
+
+    if starts is None:
+        starts = windowed_anchor_starts(
+            points, centers, f_mask, block_size=block_size,
+            window=window, n_subsample=n_subsample,
+            n_anchors=n_anchors)
 
     n_bchunks = -(-nblocks // block_chunk)
     nb_pad = n_bchunks * block_chunk

@@ -148,6 +148,19 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
 
     ones_pts = jnp.ones((N, 3), jnp.float32) * pmask3
 
+    # anchor-window selection hoisted OUT of the scan: points are
+    # fixed and faces drift by nanometers per iteration while a
+    # window spans ~2048 Hilbert-consecutive faces, so block-entry
+    # anchors stay valid for the whole remesh block (the subsample
+    # fallback still re-checks every iteration with fresh centers).
+    # Saves the per-iteration median/top_k/greedy small-op tail
+    # (~25 ms/iter at 1e6 pts — BASELINE.md per-op table).
+    corr_starts = None
+    if corr_method in ('windowed', 'windowed_pallas'):
+        centers0 = positions[faces].mean(1)
+        corr_starts = corr.windowed_anchor_starts(points, centers0,
+                                                  f_mask)
+
     def iteration(carry, it):
         f, S_last, tests_hist, halted, _prev_diag = carry
 
@@ -176,11 +189,14 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         elif corr_method == 'windowed':
             # expects fit_point_order-sorted points AND hilbert-sorted
             # faces (meshdata.from_mesh does the latter)
-            dmean, fi = corr.nearest_face_windowed(points, centers, f_mask)
+            dmean, fi = corr.nearest_face_windowed(points, centers,
+                                                   f_mask,
+                                                   starts=corr_starts)
         elif corr_method == 'windowed_pallas':
             dmean, fi, corr_meta = corr.nearest_face_windowed(
                 points, centers, f_mask, use_pallas=True,
-                return_meta=True, pallas_interpret=pallas_interpret)
+                return_meta=True, pallas_interpret=pallas_interpret,
+                starts=corr_starts)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
