@@ -63,32 +63,25 @@ def main():
     # once the table leaves cache (~300k padded verts); switch to the
     # kernel fold + banded window gathers (same gating as the driver)
     fold_starts = fold_uncov = None
-    vg_starts = vg_uncov = ng_starts = ng_uncov = None
+    ring_tri = ring_ncc = None
     if ma.positions.shape[0] > 300_000:
         sched = meshdata.fold_schedule(np.asarray(ma.faces),
                                        mesh.faces.shape[0],
                                        ma.positions.shape[0])
         if sched is not None:
             fold_starts, fold_uncov = sched
-        if os.environ.get('BENCH_WINDOWED_GATHER') == '1':   # measured slower; see NOTES
-            from ch_shrinkwrap_tpu.solver.shrinkwrap import \
-                VTX_GATHER_BLOCK
+        if os.environ.get('BENCH_RING_GATHER', '1') == '1':
+            from ch_shrinkwrap_tpu.ops.pallas_gather import \
+                ring_gather_schedule
             Vp_now = ma.positions.shape[0]
             faces_np = np.asarray(ma.faces)
-            n_bands = int(os.environ.get('BENCH_GATHER_BANDS', 3))
-            gs = meshdata.gather_schedule(
+            ring_tri = ring_gather_schedule(
                 faces_np.reshape(-1),
-                np.repeat(np.asarray(ma.f_mask), 3), Vp_now,
-                block_size=VTX_GATHER_BLOCK, n_bands=n_bands)
-            if gs is not None:
-                vg_starts, vg_uncov = gs
+                np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
             nbr_np = np.asarray(ma.nbr_v)
-            gs2 = meshdata.gather_schedule(
+            ring_ncc = ring_gather_schedule(
                 np.clip(nbr_np, 0, None).reshape(-1),
-                (nbr_np >= 0).reshape(-1), Vp_now, block_size=16384,
-                n_bands=n_bands)
-            if gs2 is not None:
-                ng_starts, ng_uncov = gs2
+                (nbr_np >= 0).reshape(-1), Vp_now)
 
     pts_j = jnp.asarray(pts)
     sig_j = jnp.asarray(sigma_inv)
@@ -101,10 +94,7 @@ def main():
                         num_iters=rf, corr_method='windowed_pallas',
                         face_nbrs=ma.face_nbrs,
                         fold_starts=fold_starts, fold_uncov=fold_uncov,
-                        vtx_gather_starts=vg_starts,
-                        vtx_gather_uncov=vg_uncov,
-                        ncc_gather_starts=ng_starts,
-                        ncc_gather_uncov=ng_uncov)
+                        ring_tri=ring_tri, ring_ncc=ring_ncc)
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

@@ -488,6 +488,7 @@ class MembraneMesh(TriangleMesh):
                                     hilbert_faces=False)
             fold_starts = fold_uncov = None
             vg_starts = vg_uncov = ng_starts = ng_uncov = None
+            ring_tri = ring_ncc = None
             if ma.positions.shape[0] > 300_000:
                 # beyond ~300k padded vertices XLA's vertex-table
                 # scatter AND gathers leave cache (BASELINE.md
@@ -499,14 +500,24 @@ class MembraneMesh(TriangleMesh):
                         ma.positions.shape[0])
                     if sched is not None:
                         fold_starts, fold_uncov = sched
-                # the banded windowed GATHER is available but OFF by
-                # default: measured at 656k verts / 1e6 pts it LOSES
-                # to XLA's cliff gather (2.99 -> 1.88 iters/s at 3
-                # bands, 2.22 at 1 band) — the per-block dynamic-slice
-                # window traffic and scan dispatch outweigh the cache
-                # win.  Kept (exact, tested) as the substrate for a
-                # future Mosaic gather kernel.
-                if getattr(self, 'use_windowed_gather', False):
+                # sliding-ring Mosaic gather for the faces-index and
+                # ncc neighbor gathers (ops.pallas_gather; 4-5x XLA's
+                # cliff gather at 656k verts).  The pure-XLA banded
+                # variant (use_windowed_gather / ops.windowed_gather)
+                # is kept for reference but measured SLOWER than both.
+                if (getattr(self, 'use_ring_gather', True)
+                        and dmesh is None):
+                    from ..ops.pallas_gather import ring_gather_schedule
+                    faces_np = np.asarray(ma.faces)
+                    Vp_now = ma.positions.shape[0]
+                    ring_tri = ring_gather_schedule(
+                        faces_np.reshape(-1),
+                        np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
+                    nbr_np = np.asarray(ma.nbr_v)
+                    ring_ncc = ring_gather_schedule(
+                        np.clip(nbr_np, 0, None).reshape(-1),
+                        (nbr_np >= 0).reshape(-1), Vp_now)
+                elif getattr(self, 'use_windowed_gather', False):
                     from ..solver.shrinkwrap import VTX_GATHER_BLOCK
                     faces_np = np.asarray(ma.faces)
                     Vp_now = ma.positions.shape[0]
@@ -550,7 +561,8 @@ class MembraneMesh(TriangleMesh):
                 face_nbrs=face_nbrs,
                 fold_starts=fold_starts, fold_uncov=fold_uncov,
                 vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,
-                ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov)
+                ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov,
+                ring_tri=ring_tri, ring_ncc=ring_ncc)
             f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]

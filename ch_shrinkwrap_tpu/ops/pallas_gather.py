@@ -1,0 +1,373 @@
+"""Pallas TPU kernel: sliding-ring windowed row gather.
+
+XLA-TPU row gathers are fast while the source table is VMEM-resident
+and collapse into latency-bound row streaming beyond ~300k rows
+(measured: the ncc neighbor gather 5.9 -> 65 ms and the S-direction
+gathers ~8 -> 54 ms going from 164k to 656k padded vertices,
+BASELINE.md).  The round-2 pure-XLA banded formulation
+(ops.windowed_gather: scan + dynamic_slice windows) re-reads every
+window from HBM per block and LOST (2.99 -> 1.88 iters/s).  This
+kernel keeps the windows resident and sidesteps XLA's pathological
+scatter for the tail:
+
+- both the vertex table and the index array are Hilbert-ordered
+  (TriangleMesh.spatial_sort / meshdata.from_mesh), so each 128-row
+  index chunk reads a narrow band of the table (best-mass 128-aligned
+  window, measured 96-98% row coverage at 656k verts) and the bands
+  creep monotonically;
+- a circular VMEM ring of (csub, RING_LANES) holds the table band,
+  rows as LANES, advanced by host-scheduled DMA descriptors split at
+  the wrap point — each table row is DMA'd into VMEM once per call;
+- each 128-row chunk gathers through ``jnp.take_along_axis`` along
+  lanes (Mosaic ``tpu.dynamic_gather``, a hardware in-register
+  shuffle; the sublane axis only supports single-vreg sources, so the
+  table is kept transposed with columns as sublanes), one 128-lane
+  segment at a time over the chunk's span, merged by select;
+- rows the chunk window cannot cover (a few-% tail at Hilbert curve
+  jumps) are PATCHED, not scattered: the host rewrites their (static)
+  indices to a patch region appended after the table, the wrapper
+  gathers their values into that region per call (a small gather —
+  cheap; XLA's scatter at this scale runs ~10M rows/s and would eat
+  the whole win), and the kernel reads them through a second, small
+  sliding ring whose windows are per-step contiguous by construction.
+  Only patch rows evicted by ring-capacity edge cases fall back to an
+  XLA scatter fixup (normally zero; the wrapper skips the op then).
+
+Output is written in transposed (csub, R) layout (rows as lanes, the
+shape the kernel computes in); the wrapper transposes back.  Exact:
+pure data movement, no arithmetic on the values.
+
+Counterpart of the reference's directly-indexed C loops over the
+vertex array (/root/reference/ch_shrinkwrap/conj_grad_utils.c:249-370,
+membrane_mesh_utils.c:985-1121), which never face this problem at
+reference scales.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_SUB = 16                 # max table columns
+RING_LANES = 16384         # main ring capacity in table rows (pow 2)
+RING_SEGS = RING_LANES // 128
+PATCH_LANES = 4096         # patch ring capacity (pow 2)
+PATCH_SEGS = PATCH_LANES // 128
+PATCH_CHUNK_SEGS = 2       # segments scanned per chunk in the patch
+CHUNKS_PER_STEP = 16       # 128-row chunks per grid step (= 2048 rows)
+STEP_ROWS = CHUNKS_PER_STEP * 128
+
+
+def _c_sub(c):
+    """Sublane count for a C-column table: the f32 sublane quantum (8)
+    or the full 16 — narrower tables halve ring and output traffic."""
+    return 8 if c <= 8 else C_SUB
+
+
+class RingGatherSchedule(NamedTuple):
+    """Host-built static schedule for ``ring_gather`` (indices are
+    static per remesh block; table values may change per call).
+    Registered as a pytree with the integers as static aux data so it
+    can be passed straight through jitted callers."""
+    bases: jax.Array       # (nsteps*CPS,) i32 chunk window bases
+    pbases: jax.Array      # (nsteps*CPS,) i32 chunk patch bases
+    dmas: jax.Array        # (nsteps*8,) i32 per-step descriptors:
+                           # [s0,l0,s1,l1, p0,pl0,p1,pl1] (segments;
+                           # patch sources offset into the patch area)
+    idx: jax.Array         # (Rp_chunks, 128) i32 patched indices
+    targets: jax.Array     # (P_pad,) i32 table rows feeding the patch
+    uncov: Optional[jax.Array]  # (U_pad,) i32 fallback rows or None
+    n_steps: int
+    n_patch: int           # patch region lanes (128-multiple)
+    span: int
+    n_rows: int
+
+
+jax.tree_util.register_pytree_node(
+    RingGatherSchedule,
+    lambda s: ((s.bases, s.pbases, s.dmas, s.idx, s.targets, s.uncov),
+               (s.n_steps, s.n_patch, s.span, s.n_rows)),
+    lambda aux, ch: RingGatherSchedule(*ch, *aux))
+
+
+def _gather_kernel(bases_ref,      # (nsteps*CPS,) prefetch
+                   pbases_ref,     # (nsteps*CPS,) prefetch
+                   dmas_ref,       # (nsteps*8,) prefetch
+                   idx_ref,        # (CPS, 128) i32 block (pipelined)
+                   src_ref,        # (csub, Vp_al + n_patch) HBM
+                   out_ref,        # (csub, STEP_ROWS) block (pipelined)
+                   ring,           # (csub, RING_LANES) VMEM scratch
+                   pring,          # (csub, PATCH_LANES) VMEM scratch
+                   sems,           # (4,) DMA semaphores
+                   *, span, n_steps, csub, patch_lane0):
+    i = pl.program_id(0)
+    n_seg = span // 128
+    p0seg = patch_lane0 // 128
+
+    def dmas(t, slot):
+        """The four (possibly idempotent) ring-fill descriptors of
+        step t.  Lengths are in 128-lane segments; zero-length copies
+        are encoded by the host as 1-segment re-copies."""
+        out = []
+        for k, (dst, dsegs, sbase) in enumerate((
+                (ring, RING_SEGS, 0), (pring, PATCH_SEGS, p0seg))):
+            for j in range(2):
+                s = dmas_ref[8 * t + 4 * k + 2 * j]
+                ln = dmas_ref[8 * t + 4 * k + 2 * j + 1]
+                r = s % dsegs
+                out.append(pltpu.make_async_copy(
+                    src_ref.at[:, pl.ds((sbase + s) * 128, ln * 128)],
+                    dst.at[:, pl.ds(r * 128, ln * 128)],
+                    sems.at[2 * slot + k]))
+        return out
+
+    @pl.when(i == 0)
+    def _first():
+        for c in dmas(0, 0):
+            c.start()
+
+    for c in dmas(i, i % 2):
+        c.wait()
+
+    @pl.when(i + 1 < n_steps)
+    def _next():
+        for c in dmas(i + 1, (i + 1) % 2):
+            c.start()
+
+    for c in range(CHUNKS_PER_STEP):
+        base = bases_ref[i * CHUNKS_PER_STEP + c]
+        pbase = pbases_ref[i * CHUNKS_PER_STEP + c]
+        idxv = idx_ref[c:c + 1, :]                        # (1, 128) i32
+        iv = jnp.broadcast_to(idxv, (csub, 128))
+        off = iv - base
+        acc = jnp.zeros((csub, 128), jnp.float32)
+        for s in range(n_seg):
+            seg = (base // 128 + s) % RING_SEGS
+            xs = ring[:, pl.ds(seg * 128, 128)]           # (csub, 128)
+            loc = jnp.clip(off - s * 128, 0, 127)
+            g = jnp.take_along_axis(xs, loc, axis=1)
+            sel = (off >= s * 128) & (off < (s + 1) * 128)
+            acc = jnp.where(sel, g, acc)
+        # patch rows: indices rewritten to patch_lane0 + patch pos
+        poff = iv - (patch_lane0 + pbase)
+        for s in range(PATCH_CHUNK_SEGS):
+            seg = (pbase // 128 + s) % PATCH_SEGS
+            xs = pring[:, pl.ds(seg * 128, 128)]
+            loc = jnp.clip(poff - s * 128, 0, 127)
+            g = jnp.take_along_axis(xs, loc, axis=1)
+            sel = (poff >= s * 128) & (poff < (s + 1) * 128)
+            acc = jnp.where(sel, g, acc)
+        out_ref[:, pl.ds(c * 128, 128)] = acc
+
+
+def _best_mass_base(tc, cc, span, n_rows):
+    """Per-chunk best-mass 128-aligned window base: densest
+    ``span``-wide window over the chunk's cared targets (sliding
+    count over the sorted targets; argmax first-on-ties)."""
+    nc = tc.shape[0]
+    ts = np.sort(np.where(cc, tc, np.int64(1) << 40), axis=1)
+    eff = span - 128
+    # vectorized per-row searchsorted: shift each row into its own
+    # disjoint value range so one global sorted search answers all
+    # rows at once (a python loop over ~1e5 chunks costs minutes)
+    rowoff = (np.arange(nc, dtype=np.int64) << 42)[:, None]
+    flat = (ts + rowoff).ravel()
+    hi = (np.searchsorted(flat, (ts + eff + rowoff).ravel(),
+                          side='right').reshape(nc, -1)
+          - np.arange(nc, dtype=np.int64)[:, None] * ts.shape[1])
+    cnt = hi - np.arange(tc.shape[1])[None, :]
+    bestj = np.argmax(np.where(ts < (np.int64(1) << 40), cnt, -1),
+                      axis=1)
+    base = (ts[np.arange(nc), bestj] // 128) * 128
+    base = np.where(base >= n_rows, 0, base)
+    # clip against the 128-ALIGNED table end (the DMA source is lane-
+    # padded): clipping to the raw row count would misalign the base
+    n_al = -(-n_rows // 128) * 128
+    return np.clip(base, 0, max(n_al - span, 0))
+
+
+def _step_dma_descs(step_hi, ring_segs):
+    """Per-step ring-advance descriptors [lo, len, lo2, len2] from the
+    running per-step head (in segments); splits at the ring wrap and
+    encodes empty copies as idempotent 1-segment re-copies."""
+    n_steps = len(step_hi)
+    out = np.zeros((n_steps, 4), np.int64)
+    prev = max(int(step_hi[0]) - ring_segs, 0)
+    for s in range(n_steps):
+        lo, hi_s = prev, int(step_hi[s])
+        lo = max(lo, hi_s - ring_segs)
+        ln = hi_s - lo
+        if ln <= 0:
+            lo, ln = max(hi_s - 1, 0), min(1, max(hi_s, 1))
+        r_lo = lo % ring_segs
+        first = min(ln, ring_segs - r_lo)
+        out[s] = (lo, first, lo + first, ln - first)
+        if ln - first == 0:
+            out[s, 2] = max(lo + first - 1, 0)
+            out[s, 3] = min(1, lo + first)
+        prev = hi_s
+    return out
+
+
+def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
+                         max_patch_frac=1 / 8):
+    """Host-side schedule for ``ring_gather``.  Returns a
+    ``RingGatherSchedule`` or None when the patch tail exceeds
+    ``max_patch_frac`` (caller falls back to the XLA gather)."""
+    t = np.asarray(idx_flat, np.int64)
+    care = np.asarray(care_mask, bool)
+    R = t.shape[0]
+    n_steps = -(-R // STEP_ROWS)
+    Rp = n_steps * STEP_ROWS
+    if Rp != R:
+        t = np.pad(t, (0, Rp - R))
+        care = np.pad(care, (0, Rp - R))
+    nc = Rp // 128
+    cps = CHUNKS_PER_STEP
+    tc = t.reshape(nc, 128)
+    cc = care.reshape(nc, 128)
+    Vp_al = -(-n_src_rows // 128) * 128
+
+    base = _best_mass_base(tc, cc, span, n_src_rows)
+    off = tc - base[:, None]
+    cov = (off >= 0) & (off < span)
+
+    # main-ring residency: the NEXT step's ring-fill DMA is prefetched
+    # while this step computes, so a chunk may only read segments that
+    # survive that prefetch — check against the next step's head.
+    seg_hi = (base + span) // 128                # exclusive
+    head = np.maximum.accumulate(seg_hi)
+    step_hi = head.reshape(n_steps, cps)[:, -1]
+    next_head = np.concatenate([step_hi[1:], step_hi[-1:]])
+    resident = (base // 128) >= (np.repeat(next_head, cps) - RING_SEGS)
+    cov &= resident[:, None]
+
+    # every cared uncovered row becomes a patch row: its value is
+    # staged (by the wrapper, per call) into the patch region in row
+    # order, so per-chunk patch windows are contiguous by construction
+    patch_rows = ~cov & cc
+    n_patch_rows = int(patch_rows.sum())
+    if n_patch_rows > max(1, int(R * max_patch_frac)):
+        return None
+
+    ppos = np.cumsum(patch_rows.reshape(-1)) - 1  # patch pos per row
+    ppos = ppos.reshape(nc, 128)
+    first_p = np.where(patch_rows.any(1),
+                       np.argmax(patch_rows, axis=1), 0)
+    chunk_p0 = ppos[np.arange(nc), first_p]       # first patch pos
+    pbase = np.where(patch_rows.any(1), (chunk_p0 // 128) * 128, 0)
+
+    # patch-ring residency (same prefetch rule); chunks straddling a
+    # capacity edge drop their patch rows to the XLA fallback
+    p_seg_hi = (pbase + PATCH_CHUNK_SEGS * 128) // 128
+    p_head = np.maximum.accumulate(np.where(patch_rows.any(1),
+                                            p_seg_hi, 0))
+    p_step_hi = p_head.reshape(n_steps, cps)[:, -1]
+    p_next = np.concatenate([p_step_hi[1:], p_step_hi[-1:]])
+    p_res = (pbase // 128) >= (np.repeat(p_next, cps) - PATCH_SEGS)
+    # a chunk's patch rows must also FIT its 2-segment window
+    p_fit = (ppos - pbase[:, None]) < PATCH_CHUNK_SEGS * 128
+    patch_ok = patch_rows & p_res[:, None] & p_fit
+    uncov_rows = patch_rows & ~patch_ok
+
+    # extra PATCH_CHUNK_SEGS segments of slack: a chunk's 2-segment
+    # patch window (and its ring-fill DMA) may overhang the last
+    # staged patch row — keep those reads in-bounds
+    n_patch = (max(128, -(-n_patch_rows // 128) * 128)
+               + PATCH_CHUNK_SEGS * 128)
+    patch_lane0 = Vp_al
+
+    # rewrite patched indices into the patch region
+    t_patched = np.where(patch_ok, patch_lane0 + ppos, tc)
+    # targets feeding the patch region, in patch order
+    targets = np.zeros(n_patch, np.int64)
+    targets[ppos[patch_rows]] = tc[patch_rows]
+
+    uncov_ids = np.flatnonzero(uncov_rows.reshape(-1)[:R])
+    if len(uncov_ids):
+        u_pad = -(-len(uncov_ids) // 1024) * 1024
+        uncov = np.full(u_pad, -1, np.int32)
+        uncov[:len(uncov_ids)] = uncov_ids
+        uncov = jnp.asarray(uncov)
+    else:
+        uncov = None
+
+    main_dmas = _step_dma_descs(step_hi, RING_SEGS)
+    patch_dmas = _step_dma_descs(np.maximum(p_step_hi, 1), PATCH_SEGS)
+    dmas = np.concatenate([main_dmas, patch_dmas], axis=1)
+
+    return RingGatherSchedule(
+        bases=jnp.asarray(base.astype(np.int32)),
+        pbases=jnp.asarray(pbase.astype(np.int32)),
+        dmas=jnp.asarray(dmas.reshape(-1).astype(np.int32)),
+        idx=jnp.asarray(t_patched.astype(np.int32)),
+        targets=jnp.asarray(targets.astype(np.int32)),
+        uncov=uncov, n_steps=n_steps, n_patch=n_patch, span=span,
+        n_rows=R)
+
+
+@partial(jax.jit, static_argnames=('n_steps', 'n_patch', 'span',
+                                   'n_rows', 'interpret'))
+def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
+                      n_steps, n_patch, span, n_rows, interpret):
+    R = n_rows
+    Vp, C = src.shape
+    csub = _c_sub(C)
+    Vp_al = -(-Vp // 128) * 128
+    Rp = n_steps * STEP_ROWS
+
+    # staged source: transposed table + per-call patch values
+    patch_vals = src[targets]                          # (n_patch, C)
+    src_t = jnp.zeros((csub, Vp_al + n_patch), jnp.float32)
+    src_t = src_t.at[:C, :Vp].set(src.T.astype(jnp.float32))
+    src_t = src_t.at[:C, Vp_al:].set(patch_vals.T.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((CHUNKS_PER_STEP, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((csub, STEP_ROWS), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((csub, RING_LANES), jnp.float32),
+            pltpu.VMEM((csub, PATCH_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out_t = pl.pallas_call(
+        partial(_gather_kernel, span=span, n_steps=n_steps,
+                csub=csub, patch_lane0=Vp_al),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((csub, Rp), jnp.float32),
+        interpret=interpret,
+    )(bases, pbases, dmas, idx, src_t)
+
+    res = out_t[:C, :R].T.astype(src.dtype)
+
+    if uncov is not None:
+        # exact fixup of patch-capacity evictions (normally absent)
+        tgt = jnp.where(uncov >= 0, uncov, R)
+        flat = idx.reshape(-1)
+        uval = src[flat[jnp.clip(uncov, 0, Rp - 1)]]
+        res = res.at[tgt].set(uval, mode='drop')
+    return res
+
+
+def ring_gather(src, sched, interpret=False):
+    """``src[idx_flat]`` for a (Vp, C<=16) f32 table via the
+    sliding-ring kernel; ``sched`` from ``ring_gather_schedule`` built
+    on the same (static) index array."""
+    return _ring_gather_impl(src, sched.bases, sched.pbases,
+                             sched.dmas, sched.idx, sched.targets,
+                             sched.uncov, sched.n_steps,
+                             sched.n_patch, sched.span, sched.n_rows,
+                             interpret)

@@ -50,7 +50,7 @@ class SolverDiagnostics(NamedTuple):
 
 
 def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
-                gather_sched=None):
+                gather_sched=None, ring_sched=None):
     """The curvature-aware smoothing prior `_ncc`
     (mesh_conj_grad.py:770-820): neighbor centroid plus an
     alpha * normal offset, with alpha derived from neighbor-normal
@@ -68,9 +68,14 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
     # clean (8, 128) tiling of both the source and the gather output
     fn = jnp.concatenate(
         [f, vnormals, jnp.zeros((Vp, 2), f.dtype)], axis=1)  # (Vp, 8)
-    if gather_sched is not None:
-        # large-table path: banded window gather (XLA's gather falls
-        # off a cache cliff above ~300k source rows)
+    if ring_sched is not None:
+        # large-table path: sliding-ring Mosaic gather (XLA's gather
+        # falls off a cache cliff above ~300k source rows)
+        from ..ops.pallas_gather import ring_gather
+        vg = ring_gather(fn, ring_sched).reshape(Vp, K, 8)
+    elif gather_sched is not None:
+        # legacy pure-XLA banded window gather (kept; measured slower
+        # than both — see ops/windowed_gather.py)
         from ..ops.windowed_gather import windowed_gather
         starts, uncov = gather_sched
         vg = windowed_gather(fn, safe.reshape(-1), starts,
@@ -104,7 +109,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              polish_iters=0, pallas_interpret=False,
              fold_starts=None, fold_uncov=None,
              vtx_gather_starts=None, vtx_gather_uncov=None,
-             ncc_gather_starts=None, ncc_gather_uncov=None):
+             ncc_gather_starts=None, ncc_gather_uncov=None,
+             ring_tri=None, ring_ncc=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -134,7 +140,13 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         banded window schedules (``meshdata.gather_schedule``) for the
         vertex-table gathers (tri = f[faces] / S_tri) and the ncc
         neighbor gather — the gather-side counterpart of the same
-        >300k-row cache cliff (ops.windowed_gather).
+        >300k-row cache cliff (ops.windowed_gather; kept, but measured
+        slower than both XLA and the ring kernel).
+    ring_tri, ring_ncc : optional ``RingGatherSchedule``s
+        (``ops.pallas_gather.ring_gather_schedule``) routing the
+        faces-index gathers (tri / S_tri) and the ncc neighbor gather
+        through the sliding-ring Mosaic kernel — the production
+        large-table path (4-5x XLA's cliff gather at 656k verts).
     """
     Vp = positions.shape[0]
     N = points.shape[0]
@@ -167,7 +179,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # one f[faces] gather shared by centers + face/vertex normals;
         # the vertex-normal scatter is deferred and fused into the A^T
         # scatter below (same faces.reshape(-1) index)
-        if vtx_gather_starts is not None:
+        if ring_tri is not None:
+            from ..ops.pallas_gather import ring_gather
+            tri = ring_gather(f, ring_tri).reshape(-1, 3, 3)
+        elif vtx_gather_starts is not None:
             from ..ops.windowed_gather import windowed_gather
             tri = windowed_gather(
                 f, faces.reshape(-1), vtx_gather_starts,
@@ -291,7 +306,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         ncc_sched = (None if ncc_gather_starts is None
                      else (ncc_gather_starts, ncc_gather_uncov))
         ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask,
-                          gather_sched=ncc_sched)
+                          gather_sched=ncc_sched, ring_sched=ring_ncc)
 
         vmask3 = v_mask[:, None]
         S0 = S0_raw * vmask3
@@ -333,7 +348,11 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
         # batch dim are ~8x slower — scripts/probe_layout.py); the
         # corner sum runs on flat 2-D slices to avoid 4-D relayouts
-        if vtx_gather_starts is not None:
+        if ring_tri is not None:
+            from ..ops.pallas_gather import ring_gather
+            S_tri = ring_gather(S.reshape(Vp, 3 * s_size),
+                                ring_tri).reshape(Fp, 9 * s_size)
+        elif vtx_gather_starts is not None:
             from ..ops.windowed_gather import windowed_gather
             S_tri = windowed_gather(
                 S.reshape(Vp, 3 * s_size), faces.reshape(-1),

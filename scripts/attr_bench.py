@@ -41,8 +41,9 @@ def timeit(name, fn, *args, n=5):
 def main():
     rng = np.random.default_rng(0)
     R, sigma, N = 500.0, 5.0, 1_000_000
+    n_sub = int(os.environ.get('ATTR_ICO_SUB', 7))
     print("building problem...", flush=True)
-    v, f = icosphere(7, radius=R)
+    v, f = icosphere(n_sub, radius=R)
     ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=1024)
     d = rng.normal(size=(N, 3))
     d /= np.linalg.norm(d, axis=1)[:, None]
