@@ -63,13 +63,8 @@ def main():
     # once the table leaves cache (~300k padded verts); switch to the
     # kernel fold + banded window gathers (same gating as the driver)
     fold_starts = fold_uncov = None
-    ring_tri = ring_ncc = None
+    ring_tri = ring_ncc = ring_fold = None
     if ma.positions.shape[0] > 300_000:
-        sched = meshdata.fold_schedule(np.asarray(ma.faces),
-                                       mesh.faces.shape[0],
-                                       ma.positions.shape[0])
-        if sched is not None:
-            fold_starts, fold_uncov = sched
         if os.environ.get('BENCH_RING_GATHER', '1') == '1':
             from ch_shrinkwrap_tpu.ops.pallas_gather import \
                 ring_gather_schedule
@@ -82,6 +77,21 @@ def main():
             ring_ncc = ring_gather_schedule(
                 np.clip(nbr_np, 0, None).reshape(-1),
                 (nbr_np >= 0).reshape(-1), Vp_now)
+            inc, ov_r, ov_v = meshdata.incidence_table(
+                faces_np, np.asarray(ma.f_mask), Vp_now)
+            f_sched = ring_gather_schedule(
+                np.clip(inc, 0, None).reshape(-1),
+                (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
+            if f_sched is not None:
+                ring_fold = (f_sched, jnp.asarray(inc >= 0),
+                             jnp.asarray(ov_r) if len(ov_r) else None,
+                             jnp.asarray(ov_v) if len(ov_r) else None)
+        if ring_fold is None:
+            sched = meshdata.fold_schedule(np.asarray(ma.faces),
+                                           mesh.faces.shape[0],
+                                           ma.positions.shape[0])
+            if sched is not None:
+                fold_starts, fold_uncov = sched
 
     pts_j = jnp.asarray(pts)
     sig_j = jnp.asarray(sigma_inv)
@@ -94,7 +104,13 @@ def main():
                         num_iters=rf, corr_method='windowed_pallas',
                         face_nbrs=ma.face_nbrs,
                         fold_starts=fold_starts, fold_uncov=fold_uncov,
-                        ring_tri=ring_tri, ring_ncc=ring_ncc)
+                        ring_tri=ring_tri, ring_ncc=ring_ncc,
+                        ring_fold=ring_fold,
+                        # pays off only once the (N, 9s) AS gather is
+                        # on the >300k cliff; below it the extra w2
+                        # kernel pass costs more than the gather
+                        face_hcgc=(ring_tri is not None
+                                   and bool(np.all(weights > 0))))
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

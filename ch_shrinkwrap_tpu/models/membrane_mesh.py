@@ -430,6 +430,11 @@ class MembraneMesh(TriangleMesh):
             res_weights = res_weights[order]
             self._points = points       # diagnostics follow this order
 
+        # face-side normal equations need strictly positive weights on
+        # every coordinate (zero-weight coords require the per-point
+        # el_mask in the N-row path) — one host check per fit
+        uniform_weights = bool(np.all(res_weights > 0))
+
         if dmesh is not None:
             # localization axis sharded over the device mesh; vertex
             # state is placed replicated below and GSPMD inserts the
@@ -488,25 +493,21 @@ class MembraneMesh(TriangleMesh):
                                     hilbert_faces=False)
             fold_starts = fold_uncov = None
             vg_starts = vg_uncov = ng_starts = ng_uncov = None
-            ring_tri = ring_ncc = None
+            ring_tri = ring_ncc = ring_fold = None
             if ma.positions.shape[0] > 300_000:
                 # beyond ~300k padded vertices XLA's vertex-table
                 # scatter AND gathers leave cache (BASELINE.md
                 # scaling); route them through host-verified window
-                # schedules
-                if method == 'windowed_pallas':
-                    sched = meshdata.fold_schedule(
-                        np.asarray(ma.faces), self.faces.shape[0],
-                        ma.positions.shape[0])
-                    if sched is not None:
-                        fold_starts, fold_uncov = sched
-                # sliding-ring Mosaic gather for the faces-index and
-                # ncc neighbor gathers (ops.pallas_gather; 4-5x XLA's
-                # cliff gather at 656k verts).  The pure-XLA banded
-                # variant (use_windowed_gather / ops.windowed_gather)
-                # is kept for reference but measured SLOWER than both.
-                if (getattr(self, 'use_ring_gather', True)
-                        and dmesh is None):
+                # schedules.  Production: the sliding-ring Mosaic
+                # gather kernel (ops.pallas_gather; 4-5x XLA's cliff
+                # gather at 656k verts) for the faces-index / ncc
+                # gathers AND — inverted through a static incidence
+                # table — for the faces->verts fold.  The pure-XLA
+                # banded variant (use_windowed_gather) is kept for
+                # reference but measured SLOWER than both.
+                use_ring = (getattr(self, 'use_ring_gather', True)
+                            and dmesh is None)
+                if use_ring:
                     from ..ops.pallas_gather import ring_gather_schedule
                     faces_np = np.asarray(ma.faces)
                     Vp_now = ma.positions.shape[0]
@@ -517,7 +518,24 @@ class MembraneMesh(TriangleMesh):
                     ring_ncc = ring_gather_schedule(
                         np.clip(nbr_np, 0, None).reshape(-1),
                         (nbr_np >= 0).reshape(-1), Vp_now)
-                elif getattr(self, 'use_windowed_gather', False):
+                    inc, ov_r, ov_v = meshdata.incidence_table(
+                        faces_np, np.asarray(ma.f_mask), Vp_now)
+                    f_sched = ring_gather_schedule(
+                        np.clip(inc, 0, None).reshape(-1),
+                        (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
+                    if f_sched is not None:
+                        ring_fold = (
+                            f_sched, jnp.asarray(inc >= 0),
+                            jnp.asarray(ov_r) if len(ov_r) else None,
+                            jnp.asarray(ov_v) if len(ov_r) else None)
+                if ring_fold is None and method == 'windowed_pallas':
+                    sched = meshdata.fold_schedule(
+                        np.asarray(ma.faces), self.faces.shape[0],
+                        ma.positions.shape[0])
+                    if sched is not None:
+                        fold_starts, fold_uncov = sched
+                if (not use_ring
+                        and getattr(self, 'use_windowed_gather', False)):
                     from ..solver.shrinkwrap import VTX_GATHER_BLOCK
                     faces_np = np.asarray(ma.faces)
                     Vp_now = ma.positions.shape[0]
@@ -562,7 +580,14 @@ class MembraneMesh(TriangleMesh):
                 fold_starts=fold_starts, fold_uncov=fold_uncov,
                 vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,
                 ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov,
-                ring_tri=ring_tri, ring_ncc=ring_ncc)
+                ring_tri=ring_tri, ring_ncc=ring_ncc,
+                ring_fold=ring_fold,
+                # pays off only once the (N, 9s) AS gather is on the
+                # >300k cliff; below it the extra w2 kernel pass costs
+                # more than the gather it replaces
+                face_hcgc=(method == 'windowed_pallas'
+                           and ring_tri is not None
+                           and uniform_weights))
             f_new.block_until_ready()
             self._last_diag = diag
             V = self.vertices.shape[0]

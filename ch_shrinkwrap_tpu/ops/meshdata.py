@@ -274,3 +274,31 @@ def fold_schedule(faces_padded: np.ndarray, n_faces: int, n_vertices: int,
     uidx = np.full(u_pad, -1, np.int32)
     uidx[:len(uncov)] = uncov
     return (jnp.asarray(starts.astype(np.int32)), jnp.asarray(uidx))
+
+
+def incidence_table(faces: np.ndarray, f_mask: np.ndarray,
+                    n_vertices: int, K: int = 8):
+    """(Vp, K) table of flat row ids r (into faces.reshape(-1)) with
+    ``faces.reshape(-1)[r] == v`` — the gather-side INVERSE of the
+    faces -> vertices fold, so the solver's A^T second stage can run
+    as a (ring) gather + masked sum instead of a scatter.
+
+    Returns (inc (Vp, K) i32 -1-padded, ov_rows (O,) i32,
+    ov_verts (O,) i32) where the overflow lists carry the incident
+    rows of vertices with valence > K (rare transients after remesh;
+    added by one tiny exact scatter-add).
+    """
+    flat = faces.reshape(-1).astype(np.int64)
+    valid = np.repeat(np.asarray(f_mask, bool), 3)
+    rows = np.flatnonzero(valid)
+    src = flat[rows]
+    order = np.argsort(src, kind='stable')
+    ssrc = src[order]
+    starts = np.searchsorted(ssrc, np.arange(n_vertices))
+    rank = np.arange(len(ssrc)) - starts[ssrc]
+    inc = np.full((n_vertices, K), -1, np.int32)
+    ok = rank < K
+    inc[ssrc[ok], rank[ok]] = rows[order[ok]]
+    ov = ~ok
+    return (inc, rows[order[ov]].astype(np.int32),
+            ssrc[ov].astype(np.int32))

@@ -124,7 +124,7 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
             base_ref[0] = s0 // 128
 
         raw = vscr[slot]                         # (rows, B)
-        if factored:
+        if factored == 'ah':
             # rows [w0 w1 w2 | res0 res1 res2 | fid js]: build the 12
             # per-corner products w_j * [res, 1] in-kernel (saves the
             # XLA-side (N, 12) materialization + repack; the ones
@@ -133,10 +133,25 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
                     for j in range(3) for c in range(3)]
             rows += [raw[j:j + 1] for j in range(3)]
             valT = jnp.concatenate(
-                rows + [jnp.zeros((c_cols - 12, B), jnp.float32)],
+                rows + [jnp.zeros((c_cols - len(rows), B),
+                                  jnp.float32)],
                 axis=0)                          # (C, B)
             fid = raw[6, :].astype(jnp.int32)    # exact for < 2^24
             js = raw[7, :].astype(jnp.int32)
+        elif factored == 'w2':
+            # rows [w0 w1 w2 | fid js]: the 6 unique w_j * w_j'
+            # products — summed per face they let the solver contract
+            # the subspace normal equations face-side and drop the
+            # (N, 9s) AS gather (cg_block face_hcgc path)
+            rows = [raw[j:j + 1] * raw[jp:jp + 1]
+                    for (j, jp) in ((0, 0), (1, 1), (2, 2),
+                                    (0, 1), (0, 2), (1, 2))]
+            valT = jnp.concatenate(
+                rows + [jnp.zeros((c_cols - len(rows), B),
+                                  jnp.float32)],
+                axis=0)                          # (C, B)
+            fid = raw[3, :].astype(jnp.int32)
+            js = raw[4, :].astype(jnp.int32)
         else:
             valT = raw
             fid = raw[FID_COL, :].astype(jnp.int32)
@@ -213,13 +228,13 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
 
 def _call_scatter(blocks, starts_al, sub_ids, num_segments,
                   block_size, window, factored, interpret,
-                  discard_sub=False):
+                  discard_sub=False, cp=16):
     """Shared driver: sorts (block, anchor) steps and invokes the
     sliding-ring kernel.  ``blocks`` is (Cp, nb+1, B) with the last
     block all-zero (pad-step target)."""
     nbp, rows, Bsz = blocks.shape
     nb = nbp - 1
-    Cp = 16
+    Cp = cp
     A = starts_al.shape[1]
     nsub = sub_ids.shape[0]
     Fp_al = -(-num_segments // 128) * 128
@@ -331,7 +346,7 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
         [jnp.transpose(valsp.reshape(nb, Bsz, Cp), (0, 2, 1)),
          jnp.zeros((1, Cp, Bsz), jnp.float32)])          # (nb+1,Cp,B)
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                        Bsz, window, False, interpret,
+                        Bsz, window, None, interpret,
                         discard_sub=discard_sub)
     return out[:, :C]
 
@@ -372,5 +387,41 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
 
     starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                        Bsz, window, True, interpret)
+                        Bsz, window, 'ah', interpret)
     return out[:, :12]
+
+
+@partial(jax.jit,
+         static_argnames=('num_segments', 'block_size', 'window',
+                          'interpret'))
+def windowed_w2_pallas(w, fid, js, starts, sub_ids, num_segments,
+                       block_size=256, window=2048, interpret=False):
+    """Per-face sums of the 6 unique correspondence-weight products
+    ``segment_sum(w_j * w_j', fid)`` with the products formed
+    in-kernel — the W2 operand of the solver's face-side subspace
+    normal equations (cg_block face_hcgc).  Output columns:
+    [w0w0 w1w1 w2w2 w0w1 w0w2 w1w2]."""
+    N = w.shape[0]
+    nb = starts.shape[0]
+    Bsz = block_size
+    Fp_al = -(-num_segments // 128) * 128
+    W = min(window, Fp_al)
+    Npad = nb * Bsz
+
+    def blockify(x2, rows):
+        xp = jnp.zeros((Npad, rows), jnp.float32).at[:N].set(x2)
+        return jnp.transpose(xp.reshape(nb, Bsz, rows), (0, 2, 1))
+
+    blocks = jnp.concatenate([
+        blockify(w, 3),
+        blockify(fid.astype(jnp.float32)[:, None], 1),
+        blockify(js.astype(jnp.float32)[:, None], 1),
+        jnp.zeros((nb, 3, Bsz), jnp.float32),  # 8-row HBM tiling pad
+    ], axis=1)                                           # (nb, 8, B)
+    blocks = jnp.concatenate(
+        [blocks, jnp.zeros((1, 8, Bsz), jnp.float32)])   # (nb+1,8,B)
+
+    starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
+    out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
+                        Bsz, window, 'w2', interpret)
+    return out[:, :6]

@@ -100,7 +100,7 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
 @partial(jax.jit,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
                           'corr_method', 'polish_iters',
-                          'pallas_interpret'))
+                          'pallas_interpret', 'face_hcgc'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
@@ -110,7 +110,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              fold_starts=None, fold_uncov=None,
              vtx_gather_starts=None, vtx_gather_uncov=None,
              ncc_gather_starts=None, ncc_gather_uncov=None,
-             ring_tri=None, ring_ncc=None):
+             ring_tri=None, ring_ncc=None, ring_fold=None,
+             face_hcgc=False):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -147,7 +148,23 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         faces-index gathers (tri / S_tri) and the ncc neighbor gather
         through the sliding-ring Mosaic kernel — the production
         large-table path (4-5x XLA's cliff gather at 656k verts).
+    ring_fold : optional (sched, inc_mask, ov_rows, ov_verts) from the
+        driver (``meshdata.incidence_table`` + ring schedule over it):
+        runs the faces->verts fold as ring-GATHER of each vertex's
+        incident (face, corner) rows + masked sum — the scatter-free
+        inverse of the fold, replacing both XLA's cliff segment_sum
+        AND the windowed scatter kernel (59 ms/iter at 656k).
+        ``ov_rows/ov_verts`` carry valence>K overflow rows (rare)
+        through one tiny exact scatter-add; None when empty.
+    face_hcgc : contract the subspace normal equations face-side
+        (eliminates the (N, 9s) AS gather).  Only valid with
+        corr_method='windowed_pallas' AND when every unmasked point
+        has strictly positive weights in all coordinates (the caller
+        checks; zero-weight coordinates need the per-point el_mask).
     """
+    if face_hcgc and corr_method != 'windowed_pallas':
+        raise ValueError('face_hcgc requires corr_method='
+                         "'windowed_pallas'")
     Vp = positions.shape[0]
     N = points.shape[0]
     n_smooth = 2 if use_shrink else 1
@@ -251,6 +268,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # reference's A^T 1 scatters ones into 3 identical coordinate
         # columns — one column + sqrt(3) at readout is the same
         # number; scatter cost grows ~3.3 ms/column at this scale)
+        W2 = None
         if corr_method == 'windowed_pallas':
             # scatter-free: route rows through their block's sorted
             # windows in the sliding-ring Pallas kernel (XLA scatter
@@ -268,6 +286,15 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # the segment_sum branch (static permutation, free)
             perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
             face_acc = acc[:, jnp.array(perm)]
+            if face_hcgc:
+                # second pass: per-face sums of the 6 unique
+                # w_j * w_j' products (a widened 18-col single pass
+                # was measured 3x slower — Cp=32 stalls the kernel)
+                from ..ops.pallas_scatter import windowed_w2_pallas
+                W2 = windowed_w2_pallas(
+                    w, fi, corr_meta.js, corr_meta.starts,
+                    corr_meta.sub_ids, num_segments=Fp,
+                    interpret=pallas_interpret)              # (Fp, 6)
         else:
             ah_in = jnp.concatenate([res, ones_pts[:, :1]],
                                     axis=1)                  # (N, 4)
@@ -279,11 +306,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         fused = jnp.concatenate(
             [vn_corners.reshape(Fp * 3, 3),
              face_acc.reshape(Fp * 3, 4)], axis=1)           # (Fp*3, 7)
-        # (a windowed-kernel fold was tried here and reverted: a
-        # Hilbert face order splits a vertex's incident faces across
-        # curve jumps, so per-block single windows cannot cover the
-        # faces->verts targets — the plain segment_sum stays)
-        if fold_starts is not None:
+        if ring_fold is not None:
+            # scatter-free fold: gather each vertex's incident rows
+            # (static incidence table, host-inverted) through the
+            # sliding-ring kernel and sum — beats both XLA's cliff
+            # segment_sum (235 ms) and the windowed scatter kernel
+            # (59 ms) at 656k verts
+            from ..ops.pallas_gather import ring_gather
+            f_sched, inc_mask, ov_rows, ov_verts = ring_fold
+            KI = inc_mask.shape[1]
+            vg7 = ring_gather(fused, f_sched).reshape(Vp, KI, 7)
+            out7 = (vg7 * inc_mask[..., None]).sum(1)      # (Vp, 7)
+            if ov_rows is not None:
+                out7 = out7.at[ov_verts].add(fused[ov_rows])
+        elif fold_starts is not None:
             # static 3-band window schedule (host-verified): the
             # sliding-ring kernel accumulates in-band rows; the ~1%
             # uncovered tail lands via a tiny exact scatter
@@ -361,15 +397,47 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         else:
             S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
                      .reshape(Fp, 9 * s_size))             # (Fp, 9s)
-        ASr = S_tri[fi]                                    # (N, 9s)
-        ks = 3 * s_size
-        AS = sum(ASr[:, ks * j:ks * (j + 1)] * w[:, j:j + 1]
-                 for j in range(3)).reshape(-1, 3, s_size)  # (N, 3, s)
-        ASm = AS * el_mask[..., None]
-        res_m = res * el_mask
+        if W2 is not None:
+            # face-side normal equations: AS[n,i,k] =
+            # sum_j w_nj S_tri[fi_n, j, i, k], so with
+            # E[f,j,i]   = sum_{n: fi=f} w_nj res_ni   (= A^T cols)
+            # W2[f,j,j'] = sum_{n: fi=f} w_nj w_nj'    (w2 kernel)
+            # the quadratic forms contract over FACES:
+            #   Gc[k]   = sum_f,j,i   S4[f,j,i,k] E[f,j,i]
+            #   Hc[k,l] = sum_f,a,b,i W2[f,a,b] S4[f,a,i,k] S4[f,b,i,l]
+            # eliminating the (N, 9s) AS gather (the 656k-vert
+            # profile's second-largest op) and the N-row einsums.
+            # Valid because res is zero exactly where el_mask is
+            # false (res = weights * (...) and el_mask = weights > 0)
+            # and the caller asserts el_mask has no per-coordinate
+            # structure beyond the point mask (face_hcgc flag).
+            # Contract corner pairs one at a time in the flat 2-D
+            # (Fp, 3s) layout — batched tiny (3x3 @ 3xs) einsums
+            # lower to a 21 ms/iter mess of relayouts at this scale.
+            ks = 3 * s_size
+            Sc = [S_tri[:, ks * a:ks * (a + 1)].reshape(Fp, 3, s_size)
+                  for a in range(3)]
+            E = acc[:, :9]                      # w_j * res_i, j-major
+            Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
+                                E[:, 3 * j:3 * j + 3])
+                     for j in range(3))
+            pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
+                        (0, 1): 3, (0, 2): 4, (1, 2): 5}
+            Hc = 0.0
+            for (a, b), col in pair_col.items():
+                Za = Sc[a] * W2[:, col][:, None, None]
+                Hab = jnp.einsum('fik,fil->kl', Za, Sc[b])
+                Hc = Hc + (Hab if a == b else Hab + Hab.T)
+        else:
+            ASr = S_tri[fi]                                # (N, 9s)
+            ks = 3 * s_size
+            AS = sum(ASr[:, ks * j:ks * (j + 1)] * w[:, j:j + 1]
+                     for j in range(3)).reshape(-1, 3, s_size)
+            ASm = AS * el_mask[..., None]                  # (N, 3, s)
+            res_m = res * el_mask
 
-        Hc = jnp.einsum('nik,nil->kl', ASm, ASm)
-        Gc = jnp.einsum('nik,ni->k', ASm, res_m)
+            Hc = jnp.einsum('nik,nil->kl', ASm, ASm)
+            Gc = jnp.einsum('nik,ni->k', ASm, res_m)
 
         H = Hc
         G = Gc

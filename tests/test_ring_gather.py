@@ -187,3 +187,42 @@ def test_ring_gather_kernel_on_tpu():
     from ch_shrinkwrap_tpu.ops.pallas_gather import ring_gather
     out = np.asarray(ring_gather(jnp.asarray(src), sched))
     np.testing.assert_array_equal(out[care], src[idx][care])
+
+
+def test_incidence_fold_equivalence():
+    """faces->verts fold via incidence ring-gather + masked sum must
+    equal the plain segment_sum (the solver's ring_fold path)."""
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v, f = icosphere(4, radius=100.0)
+    mesh = TriangleMesh(v, f)
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    faces = np.asarray(ma.faces)
+    fmask = np.asarray(ma.f_mask)
+    Vp = ma.positions.shape[0]
+    Fp = faces.shape[0]
+
+    rng = np.random.default_rng(0)
+    fused = (rng.normal(size=(Fp * 3, 7)).astype(np.float32)
+             * np.repeat(fmask, 3)[:, None])
+
+    inc, ov_r, ov_v = meshdata.incidence_table(faces, fmask, Vp, K=8)
+    # force some overflow coverage too
+    inc5, ov_r5, ov_v5 = meshdata.incidence_table(faces, fmask, Vp, K=5)
+    assert len(ov_r5) > 0
+
+    for K, (i_, orow, over) in [(8, (inc, ov_r, ov_v)),
+                                (5, (inc5, ov_r5, ov_v5))]:
+        sched = ring_gather_schedule(np.clip(i_, 0, None).reshape(-1),
+                                     (i_ >= 0).reshape(-1), Fp * 3)
+        assert sched is not None
+        vg = emulate_ring_gather(fused, sched).reshape(Vp, K, 7)
+        out = (vg * (i_ >= 0)[..., None]).sum(1)
+        if len(orow):
+            np.add.at(out, over, fused[orow])
+        ref = np.zeros((Vp, 7), np.float32)
+        np.add.at(ref, faces.reshape(-1), fused)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)

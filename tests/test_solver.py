@@ -408,3 +408,31 @@ def test_cg_block_windowed_pallas_matches_brute():
     assert abs(rb.mean() - rw.mean()) < 0.05
     assert np.abs(np.asarray(fb) - np.asarray(fw))[vm].max() < 0.5
 
+
+
+def test_cg_block_face_hcgc_matches_pointside():
+    """Face-side normal equations (W2/E contraction, the path that
+    eliminates the (N, 9s) AS gather) must reproduce the point-side
+    subspace solve."""
+    pts, sig = sphere_cloud(n=8000, seed=5)
+    pts = pts[corr.fit_point_order(pts)]
+    v, f = icosphere(3, radius=60.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    sigma_inv = jnp.asarray(1.0 / sig)
+    weights = sigma_inv / jnp.sqrt((sigma_inv ** 2).sum())
+    pmask = jnp.ones((len(pts),), bool)
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            jnp.asarray(pts), sigma_inv, weights, pmask, 10.0)
+    fp, dp = cg_block(*args, num_iters=6,
+                      corr_method='windowed_pallas',
+                      pallas_interpret=True)
+    ff, df = cg_block(*args, num_iters=6,
+                      corr_method='windowed_pallas',
+                      pallas_interpret=True, face_hcgc=True)
+    vm = np.asarray(ma.v_mask)
+    # same correspondence, same residuals — only the normal-equation
+    # contraction order differs; trajectories must agree tightly
+    assert np.abs(np.asarray(fp) - np.asarray(ff))[vm].max() < 0.05
+    rp = np.linalg.norm(np.asarray(fp)[vm], axis=1)
+    rf = np.linalg.norm(np.asarray(ff)[vm], axis=1)
+    assert abs(rp.mean() - rf.mean()) < 0.01
