@@ -85,6 +85,11 @@ def get_lib():
         i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p]
     lib.build_tables_native.restype = None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.best_mass_bases.argtypes = [
+        i32p, u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int32, i32p]
+    lib.best_mass_bases.restype = None
     _lib = lib
     return lib
 
@@ -149,3 +154,21 @@ def build_tables(faces, n_vertices, K=20):
     lib.build_tables_native(_i32p(f), nf, n_vertices, K,
                             _i32p(nbr_v), _i32p(nbr_f), _i32p(face_nbrs))
     return nbr_v, nbr_f, face_nbrs
+
+
+def best_mass_bases(idx, care, chunk, span, n_src):
+    """Native per-chunk best-mass window bases for the ring-gather
+    schedule; returns (nc,) int32 or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    care = np.ascontiguousarray(care, dtype=np.uint8)
+    nc = idx.shape[0] // chunk
+    out = np.empty(nc, np.int32)
+    lib.best_mass_bases(
+        _i32p(idx), care.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(idx.shape[0]), chunk, span,
+        ctypes.c_int32(int(n_src)), _i32p(out))
+    return out

@@ -534,4 +534,43 @@ void build_tables_native(const int32_t* faces, int nf, int nv, int K,
     }
 }
 
+
+// ---------------------------------------------------------------------
+// best-mass window bases for the sliding-ring gather schedule
+// (ops/pallas_gather.ring_gather_schedule): per 128-row index chunk,
+// the 128-aligned start of the densest `span`-wide window over the
+// chunk's cared targets.  The numpy formulation (per-chunk sort +
+// global searchsorted) costs ~12 s at 13M rows on this 1-core host;
+// this runs the same computation in one cache-resident pass.
+void best_mass_bases(const int32_t* idx, const uint8_t* care,
+                     int64_t n_rows, int chunk, int span,
+                     int32_t n_src, int32_t* bases_out) {
+    int64_t nc = n_rows / chunk;
+    std::vector<int32_t> buf(chunk);
+    int32_t n_al = ((n_src + 127) / 128) * 128;
+    int32_t maxbase = n_al - span > 0 ? n_al - span : 0;
+    int32_t eff = span - 128;
+    for (int64_t c = 0; c < nc; ++c) {
+        int m = 0;
+        const int32_t* row = idx + c * chunk;
+        const uint8_t* cr = care + c * chunk;
+        for (int j = 0; j < chunk; ++j)
+            if (cr[j]) buf[m++] = row[j];
+        if (m == 0) { bases_out[c] = 0; continue; }
+        std::sort(buf.begin(), buf.begin() + m);
+        // sliding count of targets in [buf[j], buf[j] + eff]
+        int best = 0, bestcnt = -1, hi = 0;
+        for (int j = 0; j < m; ++j) {
+            if (hi < j) hi = j;
+            while (hi < m && buf[hi] <= buf[j] + eff) ++hi;
+            if (hi - j > bestcnt) { bestcnt = hi - j; best = j; }
+        }
+        int32_t base = (buf[best] / 128) * 128;
+        if (base >= n_src) base = 0;
+        if (base > maxbase) base = maxbase;
+        if (base < 0) base = 0;
+        bases_out[c] = base;
+    }
+}
+
 }  // extern "C"

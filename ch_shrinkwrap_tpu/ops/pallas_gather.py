@@ -170,7 +170,14 @@ def _gather_kernel(bases_ref,      # (nsteps*CPS,) prefetch
 def _best_mass_base(tc, cc, span, n_rows):
     """Per-chunk best-mass 128-aligned window base: densest
     ``span``-wide window over the chunk's cared targets (sliding
-    count over the sorted targets; argmax first-on-ties)."""
+    count over the sorted targets; argmax first-on-ties).  Native C++
+    when available (the numpy formulation costs ~12 s at 13M rows on
+    a 1-core host; the native pass ~0.3 s)."""
+    from .. import native
+    nat = native.best_mass_bases(tc.reshape(-1), cc.reshape(-1),
+                                 tc.shape[1], span, n_rows)
+    if nat is not None:
+        return nat.astype(np.int64)
     nc = tc.shape[0]
     ts = np.sort(np.where(cc, tc, np.int64(1) << 40), axis=1)
     eff = span - 128
