@@ -28,6 +28,27 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Truth topology per closed test shape: (euler characteristic,
+# connected components), as computed by the reference's MeshProperties
+# contract (recipe_modules/surface_feature_extraction.py:144-167).
+# TwoToruses is one genus-2 surface (two tori smooth-unioned where
+# they meet at the origin: euler = 2 - 2g = -2).  Shapes whose
+# topology depends on parameters (DualCapsule separation, NToruses
+# chains, CSG) are omitted — the sweep YAML can state
+# expected_euler / expected_components inside shape parameters.
+EXPECTED_TOPOLOGY = {
+    'Sphere': (2, 1),
+    'Torus': (0, 1),
+    'TwoToruses': (-2, 1),
+    'Capsule': (2, 1),
+    'TaperedCapsule': (2, 1),
+    'TaperedEllipsoid': (2, 1),
+    'RoundCone': (2, 1),
+    'Box': (2, 1),
+    'Sheet': (2, 1),
+    'ThreeWayJunction': (2, 1),
+}
+
 
 def testing_parameters(test_d: dict) -> Tuple[list, list]:
     """Expand the sweep-config dict into flat shrinkwrap / screened-
@@ -104,8 +125,13 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
     from .metrics import points_from_mesh, average_squared_distance
 
     t_start = time.time()
+    shape_params = dict(params.get('shape_params') or {})
+    expected_euler = shape_params.pop('expected_euler',
+                                      params.get('expected_euler'))
+    expected_components = shape_params.pop(
+        'expected_components', params.get('expected_components'))
     points, normals, sigma = generate_smlm_pointcloud_from_shape(
-        params['shape_name'], params.get('shape_params') or {},
+        params['shape_name'], shape_params,
         density=params['density'], p=params['p'],
         psf_width=params['psf_width'],
         mean_photon_count=params['mean_photon_count'],
@@ -133,7 +159,8 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
                                                     5.0))
     duration = time.time() - t_start
 
-    mesh_pts = points_from_mesh(mesh, dx_min=5.0, p=1.0, rng=rng)
+    mesh_pts, mesh_nrm = points_from_mesh(mesh, dx_min=5.0, p=1.0,
+                                          return_normals=True, rng=rng)
     mse01, mse10 = average_squared_distance(points, mesh_pts)
     metrics = {
         'mse01': mse01, 'mse10': mse10,
@@ -142,18 +169,58 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
         'ntriangles': int(mesh.faces.shape[0]),
         'euler': int(mesh.euler_characteristic),
         'manifold': bool(mesh.is_manifold),
+        'components': int(mesh.connected_components()[1]),
     }
+    # topology correctness vs the shape's truth (MeshProperties
+    # contract, surface_feature_extraction.py:144-167): known-shape
+    # table, overridable per entry via expected_euler /
+    # expected_components in the sweep YAML shape parameters
+    if expected_euler is None:
+        exp = EXPECTED_TOPOLOGY.get(params['shape_name'])
+        if exp is not None:
+            expected_euler = exp[0]
+            if expected_components is None:
+                expected_components = exp[1]
+    if expected_euler is not None:
+        metrics['expected_euler'] = int(expected_euler)
+        ok = metrics['euler'] == int(expected_euler)
+        if expected_components is not None:
+            metrics['expected_components'] = int(expected_components)
+            ok = ok and metrics['components'] == int(expected_components)
+        metrics['topology_correct'] = bool(ok)
     # accuracy against the analytic SDF oracle (the noisy cloud used
     # for mse above carries noise_fraction background localizations;
     # the oracle is the unambiguous ground truth)
     try:
         from ..sim import shape as shape_mod
         from .metrics import mesh_metrics_vs_shape
-        shp = getattr(shape_mod, params['shape_name'])(
-            **(params.get('shape_params') or {}))
+        shp = getattr(shape_mod, params['shape_name'])(**shape_params)
         metrics.update(mesh_metrics_vs_shape(mesh, shp, rng=rng))
     except Exception:
         logger.warning('oracle metrics failed for %s',
+                       params['shape_name'], exc_info=True)
+    # faithful Berger ordered-pair panel against a CLEAN oracle
+    # sample (exact SDF normals; evaluation_utils_old.py:390-463)
+    try:
+        from .metrics import (construct_ordered_pairs_berger,
+                              berger_mean_and_hausdorff,
+                              berger_smoothness)
+        tp, tn, _ = generate_smlm_pointcloud_from_shape(
+            params['shape_name'], shape_params,
+            density=params['density'], p=params['p'], psf_width=None,
+            mean_photon_count=params['mean_photon_count'],
+            bg_photon_count=params['bg_photon_count'],
+            noise_fraction=0.0, rng=rng)
+        ox, oa, mx, ma = construct_ordered_pairs_berger(
+            tp, mesh_pts, tn, mesh_nrm, dx_max=5.0)
+        bm, bh = berger_mean_and_hausdorff(tp, mesh_pts, ox, oa, mx, ma)
+        sm, sh = berger_smoothness(tn, mesh_nrm, ox, oa, mx, ma)
+        metrics.update({'berger_mean_distance': float(bm),
+                        'berger_hausdorff': float(bh),
+                        'berger_smoothness_mean': float(sm),
+                        'berger_smoothness_hausdorff': float(sh)})
+    except Exception:
+        logger.warning('Berger metrics failed for %s',
                        params['shape_name'], exc_info=True)
     if out_dir and save_stl:
         os.makedirs(out_dir, exist_ok=True)

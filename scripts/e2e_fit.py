@@ -1,32 +1,79 @@
-import os, time
-import sys, os
-sys.path.insert(0, "/root/repo")
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jaxcache')
+"""End-to-end NanoWrap fit at the north-star scale.
+
+Default = the REAL north-star workload (BASELINE.json): 1e6
+localizations, 99 iterations, full default topology schedule
+(remesh_frequency=5, neck_first_iter=9, punching active), matching the
+reference driver loop (/root/reference/ch_shrinkwrap/_membrane_mesh.pyx
+:1427-1560).  The previous rounds' lighter 20-iteration no-surgery
+configuration is available via flags (--iters 20 --punch-frequency 0
+--neck-first-iter -1).
+
+Prints the per-phase trace and a final accuracy/topology line;
+BASELINE.md records the results (cold vs warm = same command twice,
+JAX_COMPILATION_CACHE_DIR persistent).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '2')
+
 import numpy as np
-import jax.numpy as jnp
-from ch_shrinkwrap_tpu.models import MembraneMesh
-from ch_shrinkwrap_tpu.mesh.marching import wrap_start
+
+ap = argparse.ArgumentParser()
+ap.add_argument('--iters', type=int, default=99)
+ap.add_argument('--n-points', type=int, default=1_000_000)
+ap.add_argument('--sigma', type=float, default=5.0)
+ap.add_argument('--radius', type=float, default=500.0)
+ap.add_argument('--curvature-weight', type=float, default=20.0)
+ap.add_argument('--remesh-frequency', type=int, default=5)
+ap.add_argument('--punch-frequency', type=int, default=13,
+                help='delaunay/punch cadence; 0 disables (the '
+                     'reference trait default is 0, the north-star '
+                     'workload runs with punching active)')
+ap.add_argument('--min-hole-radius', type=float, default=100.0)
+ap.add_argument('--neck-first-iter', type=int, default=9,
+                help='reference default 9; -1 disables neck removal')
+ap.add_argument('--minimum-edge-length', type=float, default=5.0)
+args = ap.parse_args()
 
 rng = np.random.default_rng(0)
-R, sigma, N = 500.0, 5.0, 1_000_000
-d = rng.normal(size=(N, 3)); d /= np.linalg.norm(d, axis=1)[:, None]
+R, sigma, N = args.radius, args.sigma, args.n_points
+d = rng.normal(size=(N, 3))
+d /= np.linalg.norm(d, axis=1)[:, None]
 pts = (d * R + rng.normal(scale=sigma, size=(N, 3))).astype(np.float32)
 sig = np.full((N, 3), sigma, np.float32)
 
+from ch_shrinkwrap_tpu.models import MembraneMesh
+from ch_shrinkwrap_tpu.mesh.marching import wrap_start
+
+t_all = time.time()
 t0 = time.time()
 surf = wrap_start(pts, offset=25.0, grid_n=48)
 t1 = time.time()
-print(f"wrap_start: {t1-t0:.1f}s  V={surf.vertices.shape[0]}", flush=True)
+print(f"wrap_start: {t1-t0:.1f}s  V={surf.vertices.shape[0]}",
+      flush=True)
 
-mesh = MembraneMesh(mesh=surf, kc=1.0, step_size=20.0,
-                    max_iter=20, remesh_frequency=5,
-                    delaunay_remesh_frequency=0, neck_first_iter=-1)
+mesh = MembraneMesh(
+    mesh=surf, kc=1.0, step_size=args.curvature_weight,
+    max_iter=args.iters, remesh_frequency=args.remesh_frequency,
+    delaunay_remesh_frequency=args.punch_frequency,
+    delaunay_eps=args.min_hole_radius,
+    neck_first_iter=args.neck_first_iter)
 t0 = time.time()
 mesh.shrink_wrap(pts, sig, method='conjugate_gradient',
-                 minimum_edge_length=5.0)
+                 minimum_edge_length=args.minimum_edge_length)
 t1 = time.time()
 r = np.linalg.norm(mesh.vertices, axis=1)
-print(f"fit: {t1-t0:.1f}s  V={mesh.vertices.shape[0]} "
+print(f"fit: {t1-t0:.1f}s  total(e2e): {t1-t_all:.1f}s  "
+      f"V={mesh.vertices.shape[0]} "
       f"R={r.mean():.2f}+/-{r.std():.2f}  "
       f"euler={mesh.euler_characteristic} manifold={mesh.is_manifold}",
       flush=True)

@@ -189,3 +189,69 @@ def test_image_shrinkwrap_recipe():
                         axis=1)
     # pulled from 55 toward the 30-38 nm shell
     assert rr.mean() < 48.0
+
+
+def test_berger_ordered_pairs_torus_with_background():
+    """Non-sphere Berger fixture: torus surface + 5% uniform
+    background outliers in the mesh-sample set.  The Berger panel
+    must agree with the simplified NN metrics on the mean to the
+    sampling tolerance, and the signed smoothness must see the
+    orientation-clean surface as smooth (mean angle well below the
+    ~pi/2 an orientation scramble would give)."""
+    from ch_shrinkwrap_tpu.eval.metrics import (
+        construct_ordered_pairs_berger, berger_mean_and_hausdorff,
+        berger_smoothness, mean_and_hausdorff_distance)
+    from ch_shrinkwrap_tpu.sim.shape import Torus
+    from ch_shrinkwrap_tpu.sim import sdf as _sdf
+
+    shp = Torus(radius=100.0, r=30.0)
+    rng = np.random.default_rng(1)
+    o = shp.points(density=0.002, p=1.0, psf_width=None,
+                   rng=rng).astype(np.float64)
+    no = _sdf.sdf_normals(o.T, shp.sdf).T.astype(np.float64)
+
+    # mesh sample: same surface jittered 1 nm along the normal, plus
+    # 5% uniform background (exercises the Fig.-10 rescue path)
+    m_surf = o + 1.0 * no
+    n_bg = len(o) // 20
+    bg = rng.uniform(-160, 160, size=(n_bg, 3))
+    m = np.vstack([m_surf, bg])
+    nm = np.vstack([no, rng.normal(size=(n_bg, 3))])
+    nm /= np.linalg.norm(nm, axis=1)[:, None]
+
+    ox, oa, mx, ma = construct_ordered_pairs_berger(o, m, no, nm,
+                                                    dx_max=5.0)
+    mean_b, haus_b = berger_mean_and_hausdorff(o, m, ox, oa, mx, ma)
+    mean_nn, _ = mean_and_hausdorff_distance(m, o)
+    # documented tolerance: the Berger mean tracks the NN mean within
+    # the sampling pitch (background inflates both the same way)
+    assert abs(mean_b - mean_nn) < 5.0
+    sm, sh = berger_smoothness(no, nm, ox, oa, mx, ma)
+    assert sm < 0.6          # radians; aligned normals read smooth
+    assert sh <= np.pi + 1e-6
+
+
+def test_entry_topology_and_berger_columns():
+    """A harness entry must emit expected-topology scoring and the
+    Berger columns (VERDICT round-2 items 4/6)."""
+    from ch_shrinkwrap_tpu.eval.harness import run_shrinkwrap_entry
+
+    params = dict(shape_name='Sphere',
+                  shape_params={'radius': 60.0},
+                  density=0.01, p=1.0, psf_width=10.0,
+                  mean_photon_count=5000, bg_photon_count=20.0,
+                  noise_fraction=0.0, threshold_density=None,
+                  n_points_min=50, max_iter=6, curvature_weight=10.0,
+                  remesh_frequency=3, punch_frequency=0,
+                  min_hole_radius=100.0, neck_first_iter=-1,
+                  neck_threshold_low=-1e-3, neck_threshold_high=1e-2,
+                  grid_n=24)
+    metrics, mesh = run_shrinkwrap_entry(params, rng=0)
+    assert metrics['expected_euler'] == 2
+    assert metrics['expected_components'] == 1
+    assert 'topology_correct' in metrics
+    assert metrics['components'] >= 1
+    assert 'berger_mean_distance' in metrics
+    assert 'berger_smoothness_mean' in metrics
+    if metrics['topology_correct']:
+        assert metrics['euler'] == 2
