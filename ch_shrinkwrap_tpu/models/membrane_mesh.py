@@ -112,8 +112,27 @@ class MembraneMesh(TriangleMesh):
         """Reference API parity (pyx:188): drop cached curvature."""
         self._curv_state = None
 
+    def _padded_meshdata(self):
+        """Device meshdata padded to power-of-two buckets: diagnostic
+        and curvature programs then recompile only when the mesh
+        crosses a bucket (~log2(growth) times per fit), not on every
+        1024-quantum size change (the remote compile service charges
+        tens of seconds per shape — a 99-iteration fit was measured
+        spending 1300 s recompiling the curvature kernel)."""
+        q = self.pad_quantum
+
+        def b(n):
+            c = q
+            while c < n:
+                c *= 2
+            return c
+
+        return meshdata.from_mesh(
+            self, v_cap=b(self.vertices.shape[0]),
+            f_cap=b(self.faces.shape[0]), quantum=q)
+
     def _populate_curvature_grad(self):
-        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        ma = self._padded_meshdata()
         st = _curv.curvature_grad(
             ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
             ma.nbr_f, kc=self.kc, kg=self.kg, c0=self.c0)
@@ -223,7 +242,7 @@ class MembraneMesh(TriangleMesh):
                 return pi[:V]
         if self._points is None:
             raise RuntimeError('no point cloud - run shrink_wrap first')
-        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        ma = self._padded_meshdata()
         pts = jnp.asarray(self._points.astype(np.float32))
         _, fi, centers = self._nearest_for_diagnostics(ma, pts)
         v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
@@ -256,7 +275,7 @@ class MembraneMesh(TriangleMesh):
         # diag rows can exceed N when the cloud was padded for sharding
         res = np.asarray(d.res)[:self._points.shape[0]]
         rn = np.sqrt((res * res).sum(1))[:, None] * np.ones(3)[None, :]
-        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        ma = self._padded_meshdata()
         pts = jnp.asarray(self._points.astype(np.float32))
         _, fi, centers = self._nearest_for_diagnostics(ma, pts)
         v_idx, w = _corr.correspondence_weights(ma.positions, ma.faces,
@@ -453,12 +472,17 @@ class MembraneMesh(TriangleMesh):
         if getattr(self, 'trace', None) is None:
             self.trace = FitTrace()
 
-        # Pre-size the device arrays for the WHOLE fit: the edge-length
-        # schedule predicts the final mesh resolution, so padding every
-        # block to that capacity keeps one static shape -> one XLA
-        # compile per fit (the windowed search cost depends on N and the
-        # window, not on the face-table padding).
-        if r:
+        # Device-array capacity policy.  'bucketed' (default): pad
+        # each block to the next power-of-two bucket above the CURRENT
+        # mesh (monotone) — early blocks of a growing fit then run at
+        # small static shapes (device ops, meshdata padding, and ring
+        # schedules all scale with the PADDED size, and the <=
+        # log2(growth) distinct shapes are all persistently cached).
+        # 'final': one shape for the whole fit, predicted from the
+        # edge-length schedule (the round-2 behavior — one compile per
+        # fit, but every block pays final-size host+device cost).
+        cap_mode = getattr(self, 'capacity_mode', 'bucketed')
+        if r and cap_mode == 'final':
             pred_final_len = max(float(initial_length + m
                                        * rf * np.ceil(max_iter / rf)),
                                  1e-3)
@@ -472,107 +496,164 @@ class MembraneMesh(TriangleMesh):
         else:
             v_cap = f_cap = None
 
+        def pow2_bucket(n):
+            q = self.pad_quantum
+            b = q
+            while b < n:
+                b *= 2
+            return b
+
         last_area = self.area()
+        # static compiled block length: blocks run to the next surgery
+        # boundary with the tail skipped at runtime (cg_block
+        # active_iters) — one compiled shape per capacity bucket
+        # instead of one per gcd-block length (the reference's
+        # rf = gcd(remesh, punch) collapses to 1-iteration blocks
+        # whenever both cadences are active, pyx:1430-1441; the
+        # SCHEDULE keeps those semantics, only the device batching
+        # differs)
+        ni_static = n_iter
+        if r:
+            ni_static = min(ni_static, self.remesh_frequency)
+        if dr:
+            ni_static = min(ni_static, self.delaunay_remesh_frequency)
+
         j = 0
+        topo_dirty = True
+        dev_state = None        # cached (ma, schedules...) per topology
+        f_dev = None            # device positions matching dev_state
         while j < n_iter:
-            n_it = int(min(n_iter - j, rf))
+            n_it = n_iter - j
+            if r:
+                n_it = min(n_it, self.remesh_frequency
+                           - (j % self.remesh_frequency))
+            if dr:
+                n_it = min(n_it, self.delaunay_remesh_frequency
+                           - (j % self.delaunay_remesh_frequency))
+            n_it = int(n_it)
 
             t0 = _time.time()
-            # index locality for the device gathers/scatters
-            self.spatial_sort()
-            if v_cap is not None and (self.vertices.shape[0] > v_cap
-                                      or self.faces.shape[0] > f_cap):
-                # remesh overshot the prediction; grow the bucket
-                v_cap = meshdata.round_up_bucket(
-                    int(1.3 * self.vertices.shape[0]), self.pad_quantum)
-                f_cap = meshdata.round_up_bucket(
-                    int(1.3 * self.faces.shape[0]), self.pad_quantum)
-            # spatial_sort already hilbert-ordered the faces
-            ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
-                                    quantum=self.pad_quantum,
-                                    hilbert_faces=False)
-            fold_starts = fold_uncov = None
-            vg_starts = vg_uncov = ng_starts = ng_uncov = None
-            ring_tri = ring_ncc = ring_fold = None
-            if ma.positions.shape[0] > 300_000:
-                # beyond ~300k padded vertices XLA's vertex-table
-                # scatter AND gathers leave cache (BASELINE.md
-                # scaling); route them through host-verified window
-                # schedules.  Production: the sliding-ring Mosaic
-                # gather kernel (ops.pallas_gather; 4-5x XLA's cliff
-                # gather at 656k verts) for the faces-index / ncc
-                # gathers AND — inverted through a static incidence
-                # table — for the faces->verts fold.  The pure-XLA
-                # banded variant (use_windowed_gather) is kept for
-                # reference but measured SLOWER than both.
-                use_ring = (getattr(self, 'use_ring_gather', True)
-                            and dmesh is None)
-                if use_ring:
-                    from ..ops.pallas_gather import ring_gather_schedule
-                    faces_np = np.asarray(ma.faces)
-                    Vp_now = ma.positions.shape[0]
-                    ring_tri = ring_gather_schedule(
-                        faces_np.reshape(-1),
-                        np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
-                    nbr_np = np.asarray(ma.nbr_v)
-                    ring_ncc = ring_gather_schedule(
-                        np.clip(nbr_np, 0, None).reshape(-1),
-                        (nbr_np >= 0).reshape(-1), Vp_now)
-                    inc, ov_r, ov_v = meshdata.incidence_table(
-                        faces_np, np.asarray(ma.f_mask), Vp_now)
-                    f_sched = ring_gather_schedule(
-                        np.clip(inc, 0, None).reshape(-1),
-                        (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
-                    if f_sched is not None:
-                        ring_fold = (
-                            f_sched, jnp.asarray(inc >= 0),
-                            jnp.asarray(ov_r) if len(ov_r) else None,
-                            jnp.asarray(ov_v) if len(ov_r) else None)
-                if ring_fold is None and method == 'windowed_pallas':
-                    sched = meshdata.fold_schedule(
-                        np.asarray(ma.faces), self.faces.shape[0],
-                        ma.positions.shape[0])
-                    if sched is not None:
-                        fold_starts, fold_uncov = sched
-                if (not use_ring
-                        and getattr(self, 'use_windowed_gather', False)):
-                    from ..solver.shrinkwrap import VTX_GATHER_BLOCK
-                    faces_np = np.asarray(ma.faces)
-                    Vp_now = ma.positions.shape[0]
-                    gs = meshdata.gather_schedule(
-                        faces_np.reshape(-1),
-                        np.repeat(np.asarray(ma.f_mask), 3), Vp_now,
-                        block_size=VTX_GATHER_BLOCK)
-                    if gs is not None:
-                        vg_starts, vg_uncov = gs
-                    nbr_np = np.asarray(ma.nbr_v)
-                    gs2 = meshdata.gather_schedule(
-                        np.clip(nbr_np, 0, None).reshape(-1),
-                        (nbr_np >= 0).reshape(-1), Vp_now,
-                        block_size=16384)
-                    if gs2 is not None:
-                        ng_starts, ng_uncov = gs2
-            positions, faces, f_mask, v_mask, nbr_v, face_nbrs = (
-                ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
-                ma.face_nbrs)
-            if dmesh is not None:
-                from ..parallel.sharding import replicate
-                positions, faces, f_mask, v_mask, nbr_v, face_nbrs = \
-                    replicate(dmesh, positions, faces, f_mask, v_mask,
-                              nbr_v, face_nbrs)
-                if fold_starts is not None:
-                    fold_starts, fold_uncov = replicate(
-                        dmesh, fold_starts, fold_uncov)
-                if vg_starts is not None:
-                    vg_starts, vg_uncov = replicate(
-                        dmesh, vg_starts, vg_uncov)
-                if ng_starts is not None:
-                    ng_starts, ng_uncov = replicate(
-                        dmesh, ng_starts, ng_uncov)
+            if not topo_dirty and dev_state is not None:
+                # topology unchanged since the last block: reuse the
+                # padded arrays and every host schedule; positions
+                # continue from the previous block's device output
+                (ma, positions, faces, f_mask, v_mask, nbr_v,
+                 face_nbrs, fold_starts, fold_uncov, vg_starts,
+                 vg_uncov, ng_starts, ng_uncov, ring_tri, ring_ncc,
+                 ring_fold) = dev_state
+                positions = f_dev
+            else:
+                # index locality for the device gathers/scatters
+                self.spatial_sort()
+                if r and cap_mode != 'final':
+                    # 15% headroom inside the bucket; monotone so a
+                    # block never re-pads smaller
+                    f_cap = max(f_cap or 0,
+                                pow2_bucket(int(1.15
+                                                * self.faces.shape[0])))
+                    v_cap = max(v_cap or 0,
+                                pow2_bucket(
+                                    int(1.15 * self.vertices.shape[0])
+                                    + 8))
+                if v_cap is not None and (self.vertices.shape[0] > v_cap
+                                          or self.faces.shape[0] > f_cap):
+                    # remesh overshot the prediction; grow the bucket
+                    v_cap = meshdata.round_up_bucket(
+                        int(1.3 * self.vertices.shape[0]),
+                        self.pad_quantum)
+                    f_cap = meshdata.round_up_bucket(
+                        int(1.3 * self.faces.shape[0]), self.pad_quantum)
+                # spatial_sort already hilbert-ordered the faces
+                ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
+                                        quantum=self.pad_quantum,
+                                        hilbert_faces=False)
+                fold_starts = fold_uncov = None
+                vg_starts = vg_uncov = ng_starts = ng_uncov = None
+                ring_tri = ring_ncc = ring_fold = None
+                if ma.positions.shape[0] > 300_000:
+                    # beyond ~300k padded vertices XLA's vertex-table
+                    # scatter AND gathers leave cache (BASELINE.md
+                    # scaling); route them through host-verified window
+                    # schedules.  Production: the sliding-ring Mosaic
+                    # gather kernel (ops.pallas_gather; 4-5x XLA's cliff
+                    # gather at 656k verts) for the faces-index / ncc
+                    # gathers AND — inverted through a static incidence
+                    # table — for the faces->verts fold.  The pure-XLA
+                    # banded variant (use_windowed_gather) is kept for
+                    # reference but measured SLOWER than both.
+                    use_ring = (getattr(self, 'use_ring_gather', True)
+                                and dmesh is None)
+                    if use_ring:
+                        from ..ops.pallas_gather import ring_gather_schedule
+                        faces_np = np.asarray(ma.faces)
+                        Vp_now = ma.positions.shape[0]
+                        ring_tri = ring_gather_schedule(
+                            faces_np.reshape(-1),
+                            np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
+                        nbr_np = np.asarray(ma.nbr_v)
+                        ring_ncc = ring_gather_schedule(
+                            np.clip(nbr_np, 0, None).reshape(-1),
+                            (nbr_np >= 0).reshape(-1), Vp_now)
+                        inc, ov_r, ov_v = meshdata.incidence_table(
+                            faces_np, np.asarray(ma.f_mask), Vp_now)
+                        f_sched = ring_gather_schedule(
+                            np.clip(inc, 0, None).reshape(-1),
+                            (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
+                        if f_sched is not None:
+                            ring_fold = (
+                                f_sched, jnp.asarray(inc >= 0),
+                                jnp.asarray(ov_r) if len(ov_r) else None,
+                                jnp.asarray(ov_v) if len(ov_r) else None)
+                    if ring_fold is None and method == 'windowed_pallas':
+                        sched = meshdata.fold_schedule(
+                            np.asarray(ma.faces), self.faces.shape[0],
+                            ma.positions.shape[0])
+                        if sched is not None:
+                            fold_starts, fold_uncov = sched
+                    if (not use_ring
+                            and getattr(self, 'use_windowed_gather', False)):
+                        from ..solver.shrinkwrap import VTX_GATHER_BLOCK
+                        faces_np = np.asarray(ma.faces)
+                        Vp_now = ma.positions.shape[0]
+                        gs = meshdata.gather_schedule(
+                            faces_np.reshape(-1),
+                            np.repeat(np.asarray(ma.f_mask), 3), Vp_now,
+                            block_size=VTX_GATHER_BLOCK)
+                        if gs is not None:
+                            vg_starts, vg_uncov = gs
+                        nbr_np = np.asarray(ma.nbr_v)
+                        gs2 = meshdata.gather_schedule(
+                            np.clip(nbr_np, 0, None).reshape(-1),
+                            (nbr_np >= 0).reshape(-1), Vp_now,
+                            block_size=16384)
+                        if gs2 is not None:
+                            ng_starts, ng_uncov = gs2
+                positions, faces, f_mask, v_mask, nbr_v, face_nbrs = (
+                    ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+                    ma.face_nbrs)
+                if dmesh is not None:
+                    from ..parallel.sharding import replicate
+                    positions, faces, f_mask, v_mask, nbr_v, face_nbrs = \
+                        replicate(dmesh, positions, faces, f_mask, v_mask,
+                                  nbr_v, face_nbrs)
+                    if fold_starts is not None:
+                        fold_starts, fold_uncov = replicate(
+                            dmesh, fold_starts, fold_uncov)
+                    if vg_starts is not None:
+                        vg_starts, vg_uncov = replicate(
+                            dmesh, vg_starts, vg_uncov)
+                    if ng_starts is not None:
+                        ng_starts, ng_uncov = replicate(
+                            dmesh, ng_starts, ng_uncov)
+                dev_state = (ma, positions, faces, f_mask, v_mask,
+                             nbr_v, face_nbrs, fold_starts, fold_uncov,
+                             vg_starts, vg_uncov, ng_starts, ng_uncov,
+                             ring_tri, ring_ncc, ring_fold)
             f_new, diag = cg_block(
                 positions, faces, f_mask, v_mask, nbr_v,
                 pts_j, sig_j, w_j, pmask,
-                lam0, shrink_lam, num_iters=n_it,
+                lam0, shrink_lam, num_iters=ni_static,
+                active_iters=n_it,
                 use_shrink=use_shrink, face_chunk=self.face_chunk,
                 corr_method=method,
                 cell_size=float(2.0 * self._mean_edge_length),
@@ -589,6 +670,8 @@ class MembraneMesh(TriangleMesh):
                            and ring_tri is not None
                            and uniform_weights))
             f_new.block_until_ready()
+            f_dev = f_new
+            topo_dirty = False
             self._last_diag = diag
             V = self.vertices.shape[0]
             new_pos = np.asarray(f_new)[:V]
@@ -603,12 +686,17 @@ class MembraneMesh(TriangleMesh):
             j += n_it
             self.trace.record('cg_block', j, _time.time() - t0, self,
                               diag=diag, n_iters=n_it)
+            logger.info('cg_block done j=%d/%d (%.1fs, V=%d, cap=%s)',
+                        j, n_iter, _time.time() - t0,
+                        self.vertices.shape[0], v_cap)
 
             if dr and ((j % self.delaunay_remesh_frequency) == 0):
                 t0 = _time.time()
                 n_punched = self.punch_holes(points, self.delaunay_eps)
                 self.trace.record('punch_holes', j, _time.time() - t0,
                                   self, n_punched=n_punched)
+                if n_punched:
+                    topo_dirty = True
 
             if r and ((j % self.remesh_frequency) == 0):
                 t0 = _time.time()
@@ -616,19 +704,28 @@ class MembraneMesh(TriangleMesh):
                     self.remove_necks(
                         getattr(self, 'neck_threshold_low', -1e-4),
                         getattr(self, 'neck_threshold_high', 1e-2))
+                    self.trace.record('remove_necks', j,
+                                      _time.time() - t0, self)
+                    t0 = _time.time()
                 self.remove_extra_short_edges()
+                self.trace.record('short_edges', j, _time.time() - t0,
+                                  self)
+                t0 = _time.time()
                 target_length = initial_length + m * (j + 1)
                 self.remesh(5, target_length, 0.5, n_relax=0)
                 self.trace.record('remesh', j, _time.time() - t0, self,
                                   target_length=float(target_length))
+                topo_dirty = True
                 logger.info(
                     'Shrinkwrapping iteration %d of %d - Remesh: target '
                     'mean length: %.2f resulting: %.2f (V=%d)',
                     j, n_iter, target_length, self._mean_edge_length,
                     self.vertices.shape[0])
 
-            area = self.area()
-            last_area = area
+            # (the reference computes an area-change statistic here but
+            # its convergence check is disabled, pyx:1551-1558 — the
+            # per-block recompute is dropped; ``last_area`` stays as
+            # the pre-fit value for parity)
 
         logger.info('Shrinkwrapping complete in %d iterations (%s)',
                     j, self.trace.summary())
@@ -693,7 +790,7 @@ class MembraneMesh(TriangleMesh):
     def distance_to_surface(self, points):
         """Signed distance of points to the mesh (negative inside),
         via nearest-face plane distance."""
-        ma = meshdata.from_mesh(self, quantum=self.pad_quantum)
+        ma = self._padded_meshdata()
         pts = jnp.asarray(np.asarray(points, dtype=np.float32))
         dmean, fi, centers = self._nearest_for_diagnostics(ma, pts)
         fn, _ = _norm.face_geometry(ma.positions, ma.faces, ma.f_mask)

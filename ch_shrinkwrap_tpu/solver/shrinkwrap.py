@@ -111,7 +111,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              vtx_gather_starts=None, vtx_gather_uncov=None,
              ncc_gather_starts=None, ncc_gather_uncov=None,
              ring_tri=None, ring_ncc=None, ring_fold=None,
-             face_hcgc=False):
+             face_hcgc=False, active_iters=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -161,6 +161,11 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         corr_method='windowed_pallas' AND when every unmasked point
         has strictly positive weights in all coordinates (the caller
         checks; zero-weight coordinates need the per-point el_mask).
+    active_iters : optional RUNTIME iteration count <= num_iters:
+        iterations beyond it are skipped through the frozen branch.
+        Lets the driver run variable-length blocks (to the next
+        remesh/punch boundary) against one compiled program instead
+        of one compile per distinct block length.
     """
     if face_hcgc and corr_method != 'windowed_pallas':
         raise ValueError('face_hcgc requires corr_method='
@@ -190,7 +195,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         corr_starts = corr.windowed_anchor_starts(points, centers0,
                                                   f_mask)
 
-    def iteration(carry, it):
+    ai = jnp.asarray(num_iters if active_iters is None
+                     else active_iters, jnp.int32)
+
+    def iteration_live(carry, it):
         f, S_last, tests_hist, halted, _prev_diag = carry
 
         # one f[faces] gather shared by centers + face/vertex normals;
@@ -480,6 +488,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                  (~halted_new).astype(jnp.int32))
         return (f_out, S_last_out, tests_new, halted_new,
                 (S, res, point_influence, dmean)), trace
+
+    def iteration(carry, it):
+        # frozen branch: once halted (orthogonality stop) or past
+        # ``active_iters`` (the driver runs variable-length blocks —
+        # to the next surgery boundary — against ONE compiled shape),
+        # skip the whole body instead of computing and discarding
+        halted = carry[3]
+        frozen_trace = (jnp.float32(jnp.nan), jnp.float32(0.0),
+                        jnp.int32(0))
+        return jax.lax.cond(
+            halted | (it >= ai),
+            lambda c: (c, frozen_trace),
+            lambda c: iteration_live(c, it),
+            carry)
 
     init_diag = (jnp.zeros((Vp, 3, s_size), jnp.float32),
                  jnp.zeros((N, 3), jnp.float32),

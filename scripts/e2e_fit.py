@@ -19,11 +19,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-os.environ.setdefault(
-    'JAX_COMPILATION_CACHE_DIR',
-    os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), '.jax_cache'))
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '2')
+# NOTE: this image pre-imports jax via sitecustomize, so env vars set
+# here are TOO LATE for jax's import-time config snapshot — without the
+# config.update a cold 99-iter fit recompiles every capacity bucket on
+# every run (measured: zero cache writes, ~650 s of 'warm' compiles)
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _CACHE)
+import jax
+jax.config.update('jax_compilation_cache_dir', _CACHE)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+import logging
+logging.basicConfig(level=logging.INFO,
+                    format='%(asctime)s %(name)s %(message)s')
 
 import numpy as np
 
@@ -41,6 +50,10 @@ ap.add_argument('--punch-frequency', type=int, default=13,
 ap.add_argument('--min-hole-radius', type=float, default=100.0)
 ap.add_argument('--neck-first-iter', type=int, default=9,
                 help='reference default 9; -1 disables neck removal')
+ap.add_argument('--neck-threshold-low', type=float, default=-1e-3,
+                help='recipe-trait default (surface_fitting.py:17-42); '
+                     'the pyx-internal default -1e-4 flags 10x more')
+ap.add_argument('--neck-threshold-high', type=float, default=1e-2)
 ap.add_argument('--minimum-edge-length', type=float, default=5.0)
 args = ap.parse_args()
 
@@ -66,7 +79,9 @@ mesh = MembraneMesh(
     max_iter=args.iters, remesh_frequency=args.remesh_frequency,
     delaunay_remesh_frequency=args.punch_frequency,
     delaunay_eps=args.min_hole_radius,
-    neck_first_iter=args.neck_first_iter)
+    neck_first_iter=args.neck_first_iter,
+    neck_threshold_low=args.neck_threshold_low,
+    neck_threshold_high=args.neck_threshold_high)
 t0 = time.time()
 mesh.shrink_wrap(pts, sig, method='conjugate_gradient',
                  minimum_edge_length=args.minimum_edge_length)

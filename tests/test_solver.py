@@ -436,3 +436,22 @@ def test_cg_block_face_hcgc_matches_pointside():
     rp = np.linalg.norm(np.asarray(fp)[vm], axis=1)
     rf = np.linalg.norm(np.asarray(ff)[vm], axis=1)
     assert abs(rp.mean() - rf.mean()) < 0.01
+
+
+def test_cg_block_active_iters_matches_shorter_block():
+    """active_iters=k under a longer compiled block must equal a
+    num_iters=k block exactly (the driver's variable-length blocks)."""
+    pts, sig = sphere_cloud(n=6000, seed=7)
+    v, f = icosphere(3, radius=60.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    sigma_inv = jnp.asarray(1.0 / sig)
+    weights = sigma_inv / jnp.sqrt((sigma_inv ** 2).sum())
+    pmask = jnp.ones((len(pts),), bool)
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            jnp.asarray(pts), sigma_inv, weights, pmask, 10.0)
+    f3, d3 = cg_block(*args, num_iters=3, corr_method='brute')
+    f63, d63 = cg_block(*args, num_iters=6, corr_method='brute',
+                        active_iters=3)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(f63),
+                               rtol=0, atol=1e-6)
+    assert int(d63.n_done) == 3
