@@ -64,7 +64,8 @@ def main():
     # kernel fold + banded window gathers (same gating as the driver)
     fold_starts = fold_uncov = None
     ring_tri = ring_ncc = ring_fold = None
-    if ma.positions.shape[0] > 300_000:
+    ring_at = int(os.environ.get('BENCH_RING_AT', 300_000))
+    if ma.positions.shape[0] > ring_at:
         if os.environ.get('BENCH_RING_GATHER', '1') == '1':
             from ch_shrinkwrap_tpu.ops.pallas_gather import \
                 ring_gather_schedule
@@ -109,8 +110,10 @@ def main():
                         # pays off only once the (N, 9s) AS gather is
                         # on the >300k cliff; below it the extra w2
                         # kernel pass costs more than the gather
-                        face_hcgc=(ring_tri is not None
-                                   and bool(np.all(weights > 0))))
+                        face_hcgc=(ma.positions.shape[0] > int(
+                            os.environ.get('BENCH_HCGC_AT', 300_000))
+                            and ring_tri is not None
+                            and bool(np.all(weights > 0))))
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)
