@@ -37,57 +37,83 @@ class HalfedgeTables:
     edges.
     """
 
-    __slots__ = ('vertex', 'src', 'face', 'twin', 'next', 'prev', 'length',
-                 'vertex_halfedge', 'nonmanifold_edges')
+    __slots__ = ('vertex', 'src', 'face', 'twin', 'next', 'prev',
+                 'vertex_halfedge', 'nonmanifold_edges',
+                 '_positions', '_length')
 
     def __init__(self, positions: np.ndarray, faces: np.ndarray):
         F = faces.shape[0]
         nhe = 3 * F
-        f_idx = np.repeat(np.arange(F, dtype=np.int32), 3)
-        k = np.tile(np.arange(3, dtype=np.int32), F)
 
-        self.src = faces.ravel().astype(np.int32)
-        self.vertex = faces[:, [1, 2, 0]].ravel().astype(np.int32)  # to-vertex
-        self.face = f_idx
-        self.next = (3 * f_idx + (k + 1) % 3).astype(np.int32)
-        self.prev = (3 * f_idx + (k + 2) % 3).astype(np.int32)
+        self.src = faces.ravel().astype(np.int32, copy=False)
+        self.vertex = faces[:, [1, 2, 0]].ravel()  # to-vertex
+        self.face = np.repeat(np.arange(F, dtype=np.int32), 3)
+        # halfedge 3f+k: next is 3f+(k+1)%3, prev is 3f+(k+2)%3
+        base = np.arange(nhe, dtype=np.int32)
+        nxt = base + 1
+        nxt[2::3] -= 3
+        prv = base - 1
+        prv[0::3] += 3
+        self.next = nxt
+        self.prev = prv
+        self._positions = positions
+        self._length = None
 
         V = positions.shape[0]
-        key = self.src.astype(np.int64) * V + self.vertex
-        tkey = self.vertex.astype(np.int64) * V + self.src
-        order = np.argsort(key, kind='stable')
-        skey = key[order]
-        pos = np.searchsorted(skey, tkey)
-        pos_c = np.clip(pos, 0, nhe - 1) if nhe else pos
-        cand = order[pos_c] if nhe else np.zeros(0, np.int32)
-        twin = np.where((pos < nhe) & (skey[pos_c] == tkey), cand, -1)
+        nat = None
+        if nhe >= 8192:  # small meshes: numpy is fine, skip the FFI hop
+            from ..native import halfedge_twins
+            nat = halfedge_twins(faces, V)
+        if nat is not None:
+            self.twin, self.nonmanifold_edges, self.vertex_halfedge = nat
+        else:
+            key = self.src.astype(np.int64) * V + self.vertex
+            tkey = self.vertex.astype(np.int64) * V + self.src
+            order = np.argsort(key, kind='stable')
+            skey = key[order]
+            pos = np.searchsorted(skey, tkey)
+            pos_c = np.clip(pos, 0, nhe - 1) if nhe else pos
+            cand = order[pos_c] if nhe else np.zeros(0, np.int32)
+            twin = np.where((pos < nhe) & (skey[pos_c] == tkey), cand, -1)
 
-        # Non-manifold: a directed edge that appears more than once makes
-        # twin matching ambiguous; disconnect all copies.
-        dup = np.zeros(nhe, dtype=bool)
-        if nhe:
-            same = skey[1:] == skey[:-1]
-            dup_sorted = np.zeros(nhe, dtype=bool)
-            dup_sorted[1:] |= same
-            dup_sorted[:-1] |= same
-            dup[order] = dup_sorted
-        dup_t = dup | (twin >= 0) & dup[np.clip(twin, 0, None)]
-        self.nonmanifold_edges = dup
-        twin = np.where(dup_t, -1, twin).astype(np.int32)
-        # a twin must point back; if not (one side dup-marked), sever
-        back = np.full(nhe, -1, np.int32)
-        has = twin >= 0
-        back[has] = twin[twin[has]]
-        twin = np.where(has & (back != np.arange(nhe, dtype=np.int32)), -1, twin)
-        self.twin = twin
+            # Non-manifold: a directed edge that appears more than once
+            # makes twin matching ambiguous; disconnect all copies.
+            dup = np.zeros(nhe, dtype=bool)
+            if nhe:
+                same = skey[1:] == skey[:-1]
+                dup_sorted = np.zeros(nhe, dtype=bool)
+                dup_sorted[1:] |= same
+                dup_sorted[:-1] |= same
+                dup[order] = dup_sorted
+            dup_t = dup | (twin >= 0) & dup[np.clip(twin, 0, None)]
+            self.nonmanifold_edges = dup
+            twin = np.where(dup_t, -1, twin).astype(np.int32)
+            # a twin must point back; if not (one side dup-marked), sever
+            back = np.full(nhe, -1, np.int32)
+            has = twin >= 0
+            back[has] = twin[twin[has]]
+            twin = np.where(has & (back != np.arange(nhe, dtype=np.int32)),
+                            -1, twin)
+            self.twin = twin
 
-        d = positions[self.vertex] - positions[self.src]
-        self.length = np.sqrt((d * d).sum(1)).astype(np.float32)
+            self.vertex_halfedge = np.full(V, -1, np.int32)
+            # last write wins -> the lowest outgoing halfedge id
+            self.vertex_halfedge[self.src[::-1]] = np.arange(
+                nhe - 1, -1, -1, dtype=np.int32)
 
-        self.vertex_halfedge = np.full(V, -1, np.int32)
-        # last write wins; any outgoing halfedge is fine
-        self.vertex_halfedge[self.src[::-1]] = np.arange(nhe - 1, -1, -1,
-                                                         dtype=np.int32)
+    @property
+    def length(self) -> np.ndarray:
+        """Per-halfedge edge length, computed lazily (repair and the
+        component passes never touch it; remesh decisions do)."""
+        if self._length is None:
+            p = self._positions
+            d = p[self.vertex] - p[self.src]
+            self._length = np.sqrt((d * d).sum(1)).astype(np.float32)
+        return self._length
+
+    @length.setter
+    def length(self, value):
+        self._length = value
 
 
 class TriangleMesh:
@@ -152,8 +178,8 @@ class TriangleMesh:
         self._face_areas_cache = None
         self._vertex_normals_cache = None
         if self._he is not None:
-            d = self._vertices[self._he.vertex] - self._vertices[self._he.src]
-            self._he.length = np.sqrt((d * d).sum(1)).astype(np.float32)
+            self._he._positions = self._vertices
+            self._he._length = None
 
     # ------------------------------------------------------------------
     # derived connectivity
@@ -435,7 +461,15 @@ class TriangleMesh:
             degen = ((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2])
                      | (f[:, 0] == f[:, 2]))
             key = np.sort(f, axis=1)
-            _, first_idx = np.unique(key, axis=0, return_index=True)
+            if self._vertices.shape[0] < (1 << 21):
+                # pack the sorted triple into one int64 (unique on a
+                # packed key is ~10x unique(axis=0) at 300k faces)
+                pkey = ((key[:, 0].astype(np.int64) << 42)
+                        | (key[:, 1].astype(np.int64) << 21)
+                        | key[:, 2].astype(np.int64))
+                _, first_idx = np.unique(pkey, return_index=True)
+            else:
+                _, first_idx = np.unique(key, axis=0, return_index=True)
             dup = np.ones(len(f), dtype=bool)
             dup[first_idx] = False
             # faces on non-manifold undirected edges (>2 incidences)

@@ -90,6 +90,9 @@ def get_lib():
         i32p, u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int32, i32p]
     lib.best_mass_bases.restype = None
+    lib.halfedge_twins_native.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int, i32p, u8p, i32p]
+    lib.halfedge_twins_native.restype = None
     _lib = lib
     return lib
 
@@ -154,6 +157,23 @@ def build_tables(faces, n_vertices, K=20):
     lib.build_tables_native(_i32p(f), nf, n_vertices, K,
                             _i32p(nbr_v), _i32p(nbr_f), _i32p(face_nbrs))
     return nbr_v, nbr_f, face_nbrs
+
+
+def halfedge_twins(faces, n_vertices):
+    """Native twin/dup/vertex_halfedge arrays for HalfedgeTables;
+    returns (twin, dup, vertex_halfedge) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    nf = len(f)
+    twin = np.empty(3 * nf, np.int32)
+    dup = np.empty(3 * nf, np.uint8)
+    vhe = np.empty(n_vertices, np.int32)
+    lib.halfedge_twins_native(
+        _i32p(f), nf, n_vertices, _i32p(twin),
+        dup.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i32p(vhe))
+    return twin, dup.astype(bool), vhe
 
 
 def best_mass_bases(idx, care, chunk, span, n_src):

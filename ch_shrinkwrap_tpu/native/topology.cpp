@@ -536,6 +536,68 @@ void build_tables_native(const int32_t* faces, int nf, int nv, int K,
 
 
 // ---------------------------------------------------------------------
+// Halfedge twin matching for HalfedgeTables (mesh/core.py): twin[h] is
+// the reverse-directed halfedge iff both directed edges are singletons
+// (equivalent to the numpy searchsorted + dup-severing + back-check
+// chain; multiple matches in either direction are non-manifold and
+// sever to -1).  dup_out marks directed edges appearing >1x
+// (nonmanifold_edges); vhe_out is the first outgoing halfedge per
+// vertex.  The numpy formulation costs ~1 s per rebuild at 163k verts
+// on this 1-core host (repair() rebuilds several times per call);
+// this is one counting-sort + small-bucket scans.
+void halfedge_twins_native(const int32_t* faces, int nf, int nv,
+                           int32_t* twin_out, uint8_t* dup_out,
+                           int32_t* vhe_out) {
+    const int64_t nhe = 3LL * nf;
+    std::vector<int32_t> cnt(nv + 1, 0);
+    for (int64_t h = 0; h < nhe; ++h) ++cnt[faces[h] + 1];
+    std::vector<int32_t> start(cnt.begin(), cnt.end());
+    for (int v = 0; v < nv; ++v) start[v + 1] += start[v];
+
+    std::vector<int32_t> he_dst(nhe), he_id(nhe);
+    std::vector<int32_t> cursor(start.begin(), start.end() - 1);
+    for (int f = 0; f < nf; ++f) {
+        for (int k = 0; k < 3; ++k) {
+            int64_t h = 3LL * f + k;
+            int src = faces[h];
+            int dst = faces[3LL * f + (k + 1) % 3];
+            int pos = cursor[src]++;
+            he_dst[pos] = dst;
+            he_id[pos] = (int32_t)h;
+        }
+    }
+
+    for (int v = 0; v < nv; ++v)
+        vhe_out[v] = start[v] < start[v + 1] ? he_id[start[v]] : -1;
+    // buckets are filled in ascending h, but the FIRST outgoing
+    // halfedge by id is what numpy's reversed write kept; he_id[start]
+    // is already the minimum since insertion order is h-ascending.
+
+    for (int v = 0; v < nv; ++v) {
+        for (int p = start[v]; p < start[v + 1]; ++p) {
+            int dst = he_dst[p];
+            int32_t h = he_id[p];
+            // own-direction duplicate count within bucket[v]
+            int n_dir = 0;
+            for (int q = start[v]; q < start[v + 1]; ++q)
+                if (he_dst[q] == dst) ++n_dir;
+            dup_out[h] = n_dir > 1;
+            // reverse matches in bucket[dst]
+            int n_rev = 0;
+            int32_t rev = -1;
+            for (int q = start[dst]; q < start[dst + 1]; ++q) {
+                if (he_dst[q] == v) {
+                    rev = he_id[q];
+                    ++n_rev;
+                }
+            }
+            twin_out[h] = (n_dir == 1 && n_rev == 1) ? rev : -1;
+        }
+    }
+}
+
+
+// ---------------------------------------------------------------------
 // best-mass window bases for the sliding-ring gather schedule
 // (ops/pallas_gather.ring_gather_schedule): per 128-row index chunk,
 // the 128-aligned start of the densest `span`-wide window over the

@@ -29,6 +29,41 @@ def test_build_halfedges_sphere():
     np.testing.assert_array_equal(he.src[he.twin], he.vertex)
 
 
+def test_native_halfedge_twins_match_numpy():
+    """The C++ twin builder must agree with the numpy fallback exactly,
+    including dup (non-manifold) severing and vertex_halfedge choice."""
+    from ch_shrinkwrap_tpu import native
+    from ch_shrinkwrap_tpu.mesh.core import HalfedgeTables
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+
+    def numpy_tables(v, f):
+        import unittest.mock as mock
+        with mock.patch('ch_shrinkwrap_tpu.native.halfedge_twins',
+                        lambda *a: None):
+            return HalfedgeTables(v, f)
+
+    cases = []
+    v, f = icosphere(4, radius=5.0)          # closed manifold, >8192 he
+    cases.append((v, f))
+    # boundary: chop the top half of the sphere's faces off
+    zc = v[f].mean(1)[:, 2]
+    cases.append((v, f[zc < 0]))
+    # non-manifold: three faces sharing one edge + a duplicate face
+    v2 = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                   [0, -1, 0]], np.float32)
+    f2 = np.array([[0, 1, 2], [0, 1, 3], [1, 0, 4], [0, 1, 2]], np.int32)
+    cases.append((v2, f2))
+    for v, f in cases:
+        nat = native.halfedge_twins(np.asarray(f, np.int32), len(v))
+        assert nat is not None
+        ref = numpy_tables(np.asarray(v, np.float32),
+                           np.asarray(f, np.int32))
+        np.testing.assert_array_equal(nat[0], ref.twin)
+        np.testing.assert_array_equal(nat[1], ref.nonmanifold_edges)
+        np.testing.assert_array_equal(nat[2], ref.vertex_halfedge)
+
+
 def test_euler_characteristic_sphere():
     mesh = sphere_mesh()
     assert mesh.euler_characteristic == 2
