@@ -418,8 +418,9 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
     """
     v, f = mesh.vertices, mesh.faces
     if target_edge_length <= 0:
-        edges, _ = unique_edges(f)
-        target_edge_length = float(np.mean(edge_lengths(v, edges)))
+        # halfedge-mean == unique-edge mean on closed meshes (each
+        # interior edge counted twice); avoids a full key sort here
+        target_edge_length = float(mesh._mean_edge_length)
 
     if use_native:
         from .. import native
