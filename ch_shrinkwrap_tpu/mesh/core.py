@@ -334,13 +334,20 @@ class TriangleMesh:
     def connected_components(self):
         """(labels_per_vertex, n_components) over the edge graph."""
         if self._vertex_components_cache is None:
-            from scipy.sparse import coo_matrix
-            from scipy.sparse.csgraph import connected_components
             V = self._vertices.shape[0]
-            he = self.halfedges
-            g = coo_matrix((np.ones(len(he.src), np.int8),
-                            (he.src, he.vertex)), shape=(V, V))
-            n, labels = connected_components(g, directed=False)
+            nat = None
+            if self._faces.shape[0] >= 4096:
+                from .. import native
+                nat = native.vertex_components(self._faces, V)
+            if nat is not None:
+                labels, n = nat
+            else:
+                from scipy.sparse import coo_matrix
+                from scipy.sparse.csgraph import connected_components
+                he = self.halfedges
+                g = coo_matrix((np.ones(len(he.src), np.int8),
+                                (he.src, he.vertex)), shape=(V, V))
+                n, labels = connected_components(g, directed=False)
             self._vertex_components_cache = (labels, n)
         return self._vertex_components_cache
 
@@ -457,31 +464,38 @@ class TriangleMesh:
             f = self._faces
             if f.size == 0:
                 return
-            # degenerate + duplicate faces
-            degen = ((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2])
-                     | (f[:, 0] == f[:, 2]))
-            key = np.sort(f, axis=1)
-            if self._vertices.shape[0] < (1 << 21):
-                # pack the sorted triple into one int64 (unique on a
-                # packed key is ~10x unique(axis=0) at 300k faces)
-                pkey = ((key[:, 0].astype(np.int64) << 42)
-                        | (key[:, 1].astype(np.int64) << 21)
-                        | key[:, 2].astype(np.int64))
-                _, first_idx = np.unique(pkey, return_index=True)
-            else:
-                _, first_idx = np.unique(key, axis=0, return_index=True)
-            dup = np.ones(len(f), dtype=bool)
-            dup[first_idx] = False
-            # faces on non-manifold undirected edges (>2 incidences)
-            a = f
-            b = f[:, [1, 2, 0]]
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            ekey = (lo.astype(np.int64) << 32 | hi.astype(np.int64)).ravel()
-            uniq, inv, counts = np.unique(ekey, return_inverse=True,
-                                          return_counts=True)
-            over = (counts[inv] > 2).reshape(f.shape).any(1)
-            bad = degen | dup | over
+            bad = None
+            if len(f) >= 4096:
+                from .. import native
+                bad = native.face_hygiene(f, self._vertices.shape[0])
+            if bad is None:
+                # degenerate + duplicate faces
+                degen = ((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2])
+                         | (f[:, 0] == f[:, 2]))
+                key = np.sort(f, axis=1)
+                if self._vertices.shape[0] < (1 << 21):
+                    # pack the sorted triple into one int64 (unique on
+                    # a packed key is ~10x unique(axis=0) at 300k faces)
+                    pkey = ((key[:, 0].astype(np.int64) << 42)
+                            | (key[:, 1].astype(np.int64) << 21)
+                            | key[:, 2].astype(np.int64))
+                    _, first_idx = np.unique(pkey, return_index=True)
+                else:
+                    _, first_idx = np.unique(key, axis=0,
+                                             return_index=True)
+                dup = np.ones(len(f), dtype=bool)
+                dup[first_idx] = False
+                # faces on non-manifold undirected edges (>2 incidences)
+                a = f
+                b = f[:, [1, 2, 0]]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                ekey = (lo.astype(np.int64) << 32
+                        | hi.astype(np.int64)).ravel()
+                uniq, inv, counts = np.unique(ekey, return_inverse=True,
+                                              return_counts=True)
+                over = (counts[inv] > 2).reshape(f.shape).any(1)
+                bad = degen | dup | over
             if bad.any():
                 self._compact(f[~bad])
                 continue

@@ -93,6 +93,12 @@ def get_lib():
     lib.halfedge_twins_native.argtypes = [
         i32p, ctypes.c_int, ctypes.c_int, i32p, u8p, i32p]
     lib.halfedge_twins_native.restype = None
+    lib.face_hygiene_native.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int, u8p]
+    lib.face_hygiene_native.restype = None
+    lib.vertex_components_native.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int, i32p]
+    lib.vertex_components_native.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -174,6 +180,36 @@ def halfedge_twins(faces, n_vertices):
         _i32p(f), nf, n_vertices, _i32p(twin),
         dup.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i32p(vhe))
     return twin, dup.astype(bool), vhe
+
+
+def face_hygiene(faces, n_vertices):
+    """Per-face bad flags (degenerate | duplicate triple | on an
+    over-shared edge) for repair(); returns bool (F,) or None if the
+    native lib is unavailable or n_vertices >= 2^21."""
+    if n_vertices >= (1 << 21):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    bad = np.empty(len(f), np.uint8)
+    lib.face_hygiene_native(
+        _i32p(f), len(f), n_vertices,
+        bad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return bad.astype(bool)
+
+
+def vertex_components(faces, n_vertices):
+    """(labels, n_components) over the face-edge graph via native
+    union-find (scipy labeling convention), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    labels = np.empty(n_vertices, np.int32)
+    n = lib.vertex_components_native(_i32p(f), len(f), n_vertices,
+                                     _i32p(labels))
+    return labels, int(n)
 
 
 def best_mass_bases(idx, care, chunk, span, n_src):

@@ -598,6 +598,101 @@ void halfedge_twins_native(const int32_t* faces, int nf, int nv,
 
 
 // ---------------------------------------------------------------------
+// Face hygiene for repair() (mesh/core.py): one pass computing, per
+// face, bad = degenerate | duplicate (same sorted vertex triple as an
+// earlier face) | incident on an over-shared undirected edge (>2 face
+// incidences).  Replaces two np.unique key sorts (~0.6 s/pass at 163k
+// verts) with one 64-bit sort + counting-sort bucket scans.  Caller
+// guarantees nv < 2^21 so a sorted triple packs into 63 bits.
+void face_hygiene_native(const int32_t* faces, int nf, int nv,
+                         uint8_t* bad_out) {
+    std::memset(bad_out, 0, nf);
+
+    // degenerate + duplicate faces
+    std::vector<std::pair<int64_t, int32_t>> keys(nf);
+    for (int f = 0; f < nf; ++f) {
+        int32_t a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+        if (a == b || b == c || a == c) bad_out[f] = 1;
+        int32_t lo = std::min(a, std::min(b, c));
+        int32_t hi = std::max(a, std::max(b, c));
+        int32_t mid = (int32_t)((int64_t)a + b + c - lo - hi);
+        keys[f] = {((int64_t)lo << 42) | ((int64_t)mid << 21) | hi, f};
+    }
+    std::sort(keys.begin(), keys.end());
+    for (int i = 1; i < nf; ++i)
+        if (keys[i].first == keys[i - 1].first)
+            bad_out[keys[i].second] = 1;  // keep lowest face index only
+
+    // undirected edges incident on >2 faces: bucket by lo endpoint
+    const int64_t nhe = 3LL * nf;
+    std::vector<int32_t> cnt(nv + 1, 0);
+    std::vector<int32_t> e_lo(nhe), e_hi(nhe);
+    for (int f = 0; f < nf; ++f) {
+        for (int k = 0; k < 3; ++k) {
+            int32_t a = faces[3 * f + k];
+            int32_t b = faces[3 * f + (k + 1) % 3];
+            int64_t h = 3LL * f + k;
+            e_lo[h] = std::min(a, b);
+            e_hi[h] = std::max(a, b);
+            ++cnt[e_lo[h] + 1];
+        }
+    }
+    for (int v = 0; v < nv; ++v) cnt[v + 1] += cnt[v];
+    std::vector<int32_t> b_hi(nhe), b_h(nhe);
+    std::vector<int32_t> cursor(cnt.begin(), cnt.end() - 1);
+    for (int64_t h = 0; h < nhe; ++h) {
+        int pos = cursor[e_lo[h]]++;
+        b_hi[pos] = e_hi[h];
+        b_h[pos] = (int32_t)h;
+    }
+    for (int v = 0; v < nv; ++v) {
+        for (int p = cnt[v]; p < cnt[v + 1]; ++p) {
+            int n_inc = 0;
+            for (int q = cnt[v]; q < cnt[v + 1]; ++q)
+                if (b_hi[q] == b_hi[p]) ++n_inc;
+            if (n_inc > 2) bad_out[b_h[p] / 3] = 1;
+        }
+    }
+}
+
+
+// ---------------------------------------------------------------------
+// Vertex connected components over the face-edge graph (union-find
+// with path halving).  Labels are assigned in order of first
+// appearance scanning vertices 0..nv-1 — the same convention as
+// scipy.sparse.csgraph.connected_components, which this replaces on
+// the repair/remove_inner_surfaces path.  Returns the component count.
+int32_t vertex_components_native(const int32_t* faces, int nf, int nv,
+                                 int32_t* labels_out) {
+    std::vector<int32_t> parent(nv);
+    for (int v = 0; v < nv; ++v) parent[v] = v;
+    auto find = [&parent](int32_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    };
+    for (int f = 0; f < nf; ++f) {
+        int32_t a = find(faces[3 * f]);
+        int32_t b = find(faces[3 * f + 1]);
+        int32_t c = find(faces[3 * f + 2]);
+        if (a != b) parent[a] = b;
+        int32_t r = find(b);
+        if (c != r && find(c) != r) parent[find(c)] = r;
+    }
+    std::vector<int32_t> rootlab(nv, -1);
+    int32_t n = 0;
+    for (int v = 0; v < nv; ++v) {
+        int32_t r = find(v);
+        if (rootlab[r] < 0) rootlab[r] = n++;
+        labels_out[v] = rootlab[r];
+    }
+    return n;
+}
+
+
+// ---------------------------------------------------------------------
 // best-mass window bases for the sliding-ring gather schedule
 // (ops/pallas_gather.ring_gather_schedule): per 128-row index chunk,
 // the 128-aligned start of the densest `span`-wide window over the

@@ -64,6 +64,68 @@ def test_native_halfedge_twins_match_numpy():
         np.testing.assert_array_equal(nat[2], ref.vertex_halfedge)
 
 
+def test_native_face_hygiene_matches_numpy():
+    """face_hygiene must flag the same faces as the numpy unique-key
+    chain in repair(): degenerate, duplicate triple (keep first), and
+    faces on >2-incidence edges."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+    v, f = icosphere(3, radius=5.0)
+    f = np.asarray(f, np.int32)
+    # append: an exact duplicate, a rotated duplicate, a degenerate
+    # face, and a third face over an existing edge (over-shared)
+    extra = np.array([f[0], f[1][[1, 2, 0]], [3, 3, 7],
+                      [f[2][0], f[2][1], len(v) - 1]], np.int32)
+    ff = np.vstack([f, extra])
+    bad = native.face_hygiene(ff, len(v))
+    assert bad is not None
+
+    degen = ((ff[:, 0] == ff[:, 1]) | (ff[:, 1] == ff[:, 2])
+             | (ff[:, 0] == ff[:, 2]))
+    key = np.sort(ff, axis=1)
+    pkey = ((key[:, 0].astype(np.int64) << 42)
+            | (key[:, 1].astype(np.int64) << 21)
+            | key[:, 2].astype(np.int64))
+    _, first_idx = np.unique(pkey, return_index=True)
+    dup = np.ones(len(ff), dtype=bool)
+    dup[first_idx] = False
+    a, b = ff, ff[:, [1, 2, 0]]
+    ekey = (np.minimum(a, b).astype(np.int64) << 32
+            | np.maximum(a, b).astype(np.int64)).ravel()
+    _, inv, counts = np.unique(ekey, return_inverse=True,
+                               return_counts=True)
+    over = (counts[inv] > 2).reshape(ff.shape).any(1)
+    np.testing.assert_array_equal(bad, degen | dup | over)
+
+
+def test_native_vertex_components_matches_scipy():
+    """Native union-find components must agree with the scipy path:
+    same count, same grouping (up to label permutation), singleton
+    components for isolated vertices."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+    v1, f1 = icosphere(2, radius=5.0)
+    v2, f2 = icosphere(1, radius=2.0)
+    v = np.vstack([v1, v2 + 20.0, [[99.0, 99.0, 99.0]]])
+    f = np.vstack([f1, np.asarray(f2, np.int64) + len(v1)]).astype(np.int32)
+    nat = native.vertex_components(f, len(v))
+    assert nat is not None
+    labels, n = nat
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    a, b = f.ravel(), f[:, [1, 2, 0]].ravel()
+    g = coo_matrix((np.ones(len(a), np.int8), (a, b)),
+                   shape=(len(v), len(v)))
+    n_ref, lab_ref = connected_components(g, directed=False)
+    assert n == n_ref == 3
+    # grouping equivalence up to permutation of label values
+    pairs = set(zip(labels.tolist(), lab_ref.tolist()))
+    assert len(pairs) == n
+
+
 def test_euler_characteristic_sphere():
     mesh = sphere_mesh()
     assert mesh.euler_characteristic == 2
