@@ -170,10 +170,16 @@ class TriangleMesh:
     def _invalidate(self):
         for name in _DERIVED:
             setattr(self, name, None)
+        # monotone topology revision: device-side caches keyed on this
+        # survive position-only updates (set_positions) but never a
+        # topology edit
+        self._topo_rev = getattr(self, '_topo_rev', 0) + 1
+        self._geom_rev = getattr(self, '_geom_rev', 0) + 1
 
     def _invalidate_geometry(self):
         # positions moved but topology unchanged: lengths/normals stale,
         # connectivity still valid except edge lengths stored on self._he
+        self._geom_rev = getattr(self, '_geom_rev', 0) + 1
         self._face_normals_cache = None
         self._face_areas_cache = None
         self._vertex_normals_cache = None

@@ -118,7 +118,13 @@ class MembraneMesh(TriangleMesh):
         crosses a bucket (~log2(growth) times per fit), not on every
         1024-quantum size change (the remote compile service charges
         tens of seconds per shape — a 99-iteration fit was measured
-        spending 1300 s recompiling the curvature kernel)."""
+        spending 1300 s recompiling the curvature kernel).
+
+        The padded arrays are cached on the mesh's topology revision:
+        position-only updates (``set_positions`` between CG blocks)
+        refresh just the (Vp, 3) position pad instead of rebuilding —
+        and re-uploading through the device tunnel — the neighbor
+        tables (~50 MB, 0.6-0.9 s per diagnostic call at 163k verts)."""
         q = self.pad_quantum
 
         def b(n):
@@ -127,27 +133,54 @@ class MembraneMesh(TriangleMesh):
                 c *= 2
             return c
 
-        return meshdata.from_mesh(
+        cached = getattr(self, '_diag_ma_cache', None)
+        if (cached is not None and cached[0] == self._topo_rev
+                and cached[1].positions.shape[0] >= self.vertices.shape[0]
+                and cached[1].faces.shape[0] >= self.faces.shape[0]):
+            rev, ma, geom_rev = cached
+            if geom_rev != self._geom_rev:
+                pos = np.zeros((ma.positions.shape[0], 3), np.float32)
+                pos[:self.vertices.shape[0]] = self.vertices
+                ma = ma._replace(positions=jnp.asarray(pos))
+                self._diag_ma_cache = (rev, ma, self._geom_rev)
+            return ma
+        ma = meshdata.from_mesh(
             self, v_cap=b(self.vertices.shape[0]),
             f_cap=b(self.faces.shape[0]), quantum=q)
+        self._diag_ma_cache = (self._topo_rev, ma, self._geom_rev)
+        return ma
+
+    def _donate_diag_meshdata(self, ma, positions_dev):
+        """Fit-driver hook: adopt the CG block's device-resident padded
+        meshdata (+ post-block positions, already padded on device) as
+        the diagnostic cache, so the boundary-time curvature read
+        (remove_necks) pays no table rebuild and no re-upload."""
+        self._diag_ma_cache = (self._topo_rev,
+                               ma._replace(positions=positions_dev),
+                               self._geom_rev)
 
     def _populate_curvature_grad(self):
         ma = self._padded_meshdata()
         st = _curv.curvature_grad(
             ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
             ma.nbr_f, kc=self.kc, kg=self.kg, c0=self.c0)
-        V = self.vertices.shape[0]
-        out = {k: np.asarray(v)[:V] for k, v in st._asdict().items()}
-        if self.smooth_curvature:
-            for k in ('H', 'K', 'k_0', 'k_1'):
-                out[k] = self.smooth_per_vertex_data(out[k])
-        self._curv_state = out
-        return out
+        # device results are fetched lazily, one field per _curv(key)
+        # access: through the device tunnel each fetch costs real
+        # latency, and most callers (remove_necks!) want a single field
+        self._curv_state = {'_dev': st}
+        return self._curv_state
 
     def _curv(self, key):
         if self._curv_state is None:
             self._populate_curvature_grad()
-        return self._curv_state[key]
+        st = self._curv_state
+        if key not in st:
+            V = self.vertices.shape[0]
+            out = np.asarray(getattr(st['_dev'], key))[:V]
+            if self.smooth_curvature and key in ('H', 'K', 'k_0', 'k_1'):
+                out = self.smooth_per_vertex_data(out)
+            st[key] = out
+        return st[key]
 
     @property
     def curvature_mean(self):
@@ -683,6 +716,8 @@ class MembraneMesh(TriangleMesh):
                     f'iteration {j + n_it}; check sigma/weights inputs')
             self.set_positions(new_pos)
             self._initialize_curvature_vectors()
+            if dmesh is None:
+                self._donate_diag_meshdata(ma, f_new)
             j += n_it
             self.trace.record('cg_block', j, _time.time() - t0, self,
                               diag=diag, n_iters=n_it)
