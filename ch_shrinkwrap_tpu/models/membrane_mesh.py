@@ -23,6 +23,7 @@ import logging
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..mesh.core import TriangleMesh
@@ -335,7 +336,10 @@ class MembraneMesh(TriangleMesh):
         """Sever necks flagged by extreme Gaussian curvature
         (pyx:1201-1219): delete flagged vertices, repair the holes,
         remesh, drop severed inner fragments."""
+        import time as _time
+        t0 = _time.time()
         K = self.curvature_gaussian
+        t_curv = _time.time() - t0
         verts = np.flatnonzero((K < neck_curvature_threshold_low)
                                | (K > neck_curvature_threshold_high))
         # Safety valve (deviation from the reference, which removes the
@@ -350,10 +354,21 @@ class MembraneMesh(TriangleMesh):
                 len(verts), self.vertices.shape[0])
             return
         if len(verts) > 0:
+            t1 = _time.time()
             self.unsafe_remove_vertices(verts)
             self.repair()
+            t2 = _time.time()
             self.remesh(n_relax=0)
+            t3 = _time.time()
             self.remove_inner_surfaces()
+            logger.info(
+                'remove_necks: %d verts flagged - curv %.2fs, '
+                'remove+repair %.2fs, remesh %.2fs, inner %.2fs',
+                len(verts), t_curv, t2 - t1, t3 - t2,
+                _time.time() - t3)
+        else:
+            logger.info('remove_necks: 0 verts flagged (curv read '
+                        '%.2fs)', t_curv)
 
     def remove_extra_short_edges(self, threshold=0.05):
         """Remove vertices on pathologically short edges that topology
@@ -365,10 +380,18 @@ class MembraneMesh(TriangleMesh):
         short = el < threshold * np.median(el)
         verts = np.unique(he.vertex[short])
         if len(verts) > 0:
+            import time as _time
+            t1 = _time.time()
             self.unsafe_remove_vertices(verts)
             self.repair()
+            t2 = _time.time()
             self.remesh(n_relax=0)
+            t3 = _time.time()
             self.remove_inner_surfaces()
+            logger.info(
+                'short_edges: %d verts - remove+repair %.2fs, remesh '
+                '%.2fs, inner %.2fs', len(verts), t2 - t1, t3 - t2,
+                _time.time() - t3)
 
     def punch_holes(self, pts, eps=10.0):
         """Fenestrate the mesh between opposing unsupported face pairs
@@ -465,7 +488,6 @@ class MembraneMesh(TriangleMesh):
             dmesh = make_device_mesh(int(dmesh))
             self.device_mesh = dmesh
         if method == 'auto':
-            import jax
             big = N * approx_n_faces > 2e9
             on_tpu = jax.default_backend() == 'tpu'
             method = (('windowed_pallas' if on_tpu else 'windowed')
@@ -529,13 +551,6 @@ class MembraneMesh(TriangleMesh):
         else:
             v_cap = f_cap = None
 
-        def pow2_bucket(n):
-            q = self.pad_quantum
-            b = q
-            while b < n:
-                b *= 2
-            return b
-
         last_area = self.area()
         # static compiled block length: blocks run to the next surgery
         # boundary with the tail skipped at runtime (cg_block
@@ -550,6 +565,38 @@ class MembraneMesh(TriangleMesh):
             ni_static = min(ni_static, self.remesh_frequency)
         if dr:
             ni_static = min(ni_static, self.delaunay_remesh_frequency)
+
+        # Overlap the predictable capacity-bucket compiles with the
+        # running fit: a daemon thread climbs the bucket ladder ahead
+        # of the mesh, issuing dummy cg_block/curvature calls whose
+        # shapes+statics match the real blocks (solver.prewarm).  The
+        # remote compile service's per-bucket stall (15-55 s even on
+        # persistent-cache hits) then lands in the background instead
+        # of serializing the fit.
+        # cancel any prewarmer left over from a previous fit call
+        if getattr(self, '_prewarm_cancel', None) is not None:
+            self._prewarm_cancel.set()
+        prewarm_cancel = None
+        if (getattr(self, 'prewarm_compiles', True) and dmesh is None
+                and jax.default_backend() == 'tpu'):
+            from ..solver import prewarm as _prewarm
+            if r:
+                vf, ff = _prewarm.predict_final_sizes(self, final_length)
+            else:
+                vf, ff = self.vertices.shape[0], self.faces.shape[0]
+            ladder = _prewarm.bucket_ladder(
+                self.vertices.shape[0], self.faces.shape[0], vf, ff,
+                quantum=self.pad_quantum)
+            ni_pre = n_iter
+            if r:
+                ni_pre = min(ni_pre, self.remesh_frequency)
+            if dr:
+                ni_pre = min(ni_pre, self.delaunay_remesh_frequency)
+            _, prewarm_cancel = _prewarm.start_prewarm_thread(
+                ladder, pts_j, sig_j, w_j, pmask, lam0, shrink_lam,
+                int(ni_pre), use_shrink, self.face_chunk, method,
+                self.kc, self.kg, self.c0, quantum=self.pad_quantum)
+        self._prewarm_cancel = prewarm_cancel
 
         j = 0
         topo_dirty = True
@@ -580,14 +627,14 @@ class MembraneMesh(TriangleMesh):
                 self.spatial_sort()
                 if r and cap_mode != 'final':
                     # 15% headroom inside the bucket; monotone so a
-                    # block never re-pads smaller
-                    f_cap = max(f_cap or 0,
-                                pow2_bucket(int(1.15
-                                                * self.faces.shape[0])))
-                    v_cap = max(v_cap or 0,
-                                pow2_bucket(
-                                    int(1.15 * self.vertices.shape[0])
-                                    + 8))
+                    # block never re-pads smaller.  Policy lives in
+                    # meshdata.fit_buckets — the compile prewarmer
+                    # predicts these shapes and must match exactly.
+                    vb, fb = meshdata.fit_buckets(
+                        self.vertices.shape[0], self.faces.shape[0],
+                        self.pad_quantum)
+                    v_cap = max(v_cap or 0, vb)
+                    f_cap = max(f_cap or 0, fb)
                 if v_cap is not None and (self.vertices.shape[0] > v_cap
                                           or self.faces.shape[0] > f_cap):
                     # remesh overshot the prediction; grow the bucket
@@ -762,6 +809,11 @@ class MembraneMesh(TriangleMesh):
             # per-block recompute is dropped; ``last_area`` stays as
             # the pre-fit value for parity)
 
+        if prewarm_cancel is not None:
+            # stop compiling buckets the finished fit will never reach
+            # (exception paths leak only a daemon that drains its
+            # remaining ladder and exits)
+            prewarm_cancel.set()
         logger.info('Shrinkwrapping complete in %d iterations (%s)',
                     j, self.trace.summary())
 

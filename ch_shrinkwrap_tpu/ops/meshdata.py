@@ -23,6 +23,26 @@ def round_up_bucket(n: int, quantum: int = 1024) -> int:
     return max(quantum, int(np.ceil(n / quantum)) * quantum)
 
 
+def pow2_bucket(n: int, quantum: int = 1024) -> int:
+    """Round n up to the next power-of-two multiple of ``quantum``."""
+    b = quantum
+    while b < n:
+        b *= 2
+    return b
+
+
+def fit_buckets(n_vertices: int, n_faces: int, quantum: int = 1024):
+    """THE fit driver's capacity-bucket policy: the (v_cap, f_cap) a
+    CG block pads a mesh of this size to (15% headroom, +8 vertex
+    slack, power-of-two buckets).  The compile prewarmer
+    (solver.prewarm) must predict these EXACTLY — shapes are the jit
+    cache key, and an off-by-one bucket (measured: the +8 slack
+    crossing a pow2 boundary) turns every prewarmed program into a
+    cache miss.  Single source of truth for both."""
+    return (pow2_bucket(int(1.15 * n_vertices) + 8, quantum),
+            pow2_bucket(int(1.15 * n_faces), quantum))
+
+
 class MeshArrays(NamedTuple):
     """Static-shape device view of a triangle mesh.
 

@@ -1,0 +1,183 @@
+"""Background compile prewarming for the blocked fit driver.
+
+The remote TPU compile service charges tens of seconds per program —
+even a persistent-cache HIT pays the executable-load latency
+(BASELINE.md: 15-55 s per capacity bucket, 4 buckets in the north-star
+fit, ~95 s of a 172 s warm end-to-end run).  Those stalls are fully
+predictable: the driver pads device arrays to power-of-two capacity
+buckets, and the bucket ladder a growing fit will climb follows from
+the edge-length refinement schedule (the same prediction
+``capacity_mode='final'`` uses, membrane_mesh.py).
+
+This module climbs that ladder ahead of the fit on a daemon thread:
+for each future (v_cap, f_cap) it issues a dummy ``cg_block`` call
+(and the matching diagnostic ``curvature_grad`` shape) with the same
+static configuration and the same point arrays the real fit will use.
+Shapes + statics are the jit cache key, so the dummy call compiles,
+loads, and caches exactly the executable the real block will request —
+by the time the mesh grows into the bucket, the stall has already been
+paid in the background, overlapped with useful fit work.  The compile
+RPC releases the GIL, so the single-core host keeps driving the fit
+while the service works.
+
+Values in the dummy arrays are garbage (masked-empty mesh); the result
+is discarded.  Execution costs one short device dispatch per bucket —
+negligible against the stall it hides.  Counterpart: the reference has
+no analogue (its per-iteration CPU loop recompiles nothing), cited
+driver loop /root/reference/ch_shrinkwrap/_membrane_mesh.pyx:1427-1560.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import meshdata
+from ..ops.meshdata import NEIGHBORSIZE
+
+logger = logging.getLogger(__name__)
+
+
+def bucket_ladder(v_now: int, f_now: int, v_final: int, f_final: int,
+                  quantum: int = 1024):
+    """The (v_cap, f_cap) buckets a fit growing v_now->v_final climbs.
+
+    Built from ``meshdata.fit_buckets`` — the SAME function the driver
+    pads with (shapes are the jit cache key; an off-by-one bucket was
+    measured turning every prewarmed program into a miss).  The driver
+    buckets from the ACTUAL (V, F) at each remesh boundary with caps
+    monotone (never re-padded smaller), and its v/f caps can desync
+    (the +8 vertex slack crosses a pow2 boundary before the face cap
+    does), so rungs are enumerated by walking the closed-surface growth
+    curve F = 2V - 4 densely through fit_buckets rather than by
+    doubling the start pair in lockstep.
+    """
+    v_cap, f_cap = meshdata.fit_buckets(v_now, f_now, quantum)
+    ladder = [(v_cap, f_cap)]
+    end_v, end_f = meshdata.fit_buckets(v_final, f_final, quantum)
+    v_top = float(max(v_final, v_now, 8))
+    v = float(max(v_now, 8))
+    while v < v_top or v_cap < max(v_cap, end_v) or \
+            f_cap < max(f_cap, end_f):
+        v = min(v * 1.1, v_top)
+        if v >= v_top:
+            vb, fb = end_v, end_f   # exact predicted final pair
+        else:
+            vb, fb = meshdata.fit_buckets(int(v),
+                                          max(2 * int(v) - 4, 1),
+                                          quantum)
+        vb, fb = max(v_cap, vb), max(f_cap, fb)
+        if (vb, fb) != (v_cap, f_cap):
+            v_cap, f_cap = vb, fb
+            ladder.append((v_cap, f_cap))
+        if v >= v_top:
+            break
+    return ladder
+
+
+def predict_final_sizes(mesh, final_edge_length: float):
+    """Predicted (V, F) at the end of the edge-length schedule
+    (the ``capacity_mode='final'`` estimate: equilateral-triangle area
+    at the target length over the current surface area)."""
+    area = mesh.area()
+    f_final = 2.0 * area / (np.sqrt(3.0) / 4.0
+                            * max(final_edge_length, 1e-3) ** 2)
+    f_final = int(max(f_final, mesh.faces.shape[0]))
+    return f_final // 2 + 8, f_final
+
+
+def _dummy_block_args(v_cap, f_cap, K=NEIGHBORSIZE):
+    """Masked-empty padded mesh arrays at the bucket shape."""
+    positions = jnp.zeros((v_cap, 3), jnp.float32)
+    faces = jnp.zeros((f_cap, 3), jnp.int32)
+    f_mask = jnp.zeros(f_cap, bool)
+    v_mask = jnp.zeros(v_cap, bool)
+    nbr_v = jnp.full((v_cap, K), -1, jnp.int32)
+    nbr_f = jnp.full((v_cap, K), -1, jnp.int32)
+    face_nbrs = jnp.full((f_cap, 3), -1, jnp.int32)
+    return positions, faces, f_mask, v_mask, nbr_v, nbr_f, face_nbrs
+
+
+def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
+                    lam0, shrink_lam, ni_static, use_shrink,
+                    face_chunk, corr_method, kc, kg, c0,
+                    max_ring_free_vcap=300_000, quantum=1024,
+                    cancel=None, skip_first_block=True):
+    """Compile/load the cg_block + curvature executables for every
+    bucket in ``ladder``; runs synchronously (call on a thread).
+
+    ``skip_first_block`` skips the cg_block of ladder[0]: the driver's
+    real first block requests that executable immediately, so warming
+    it here would only duplicate the service request — the thread
+    moves straight on to the buckets the mesh hasn't reached yet
+    (ladder[0]'s curvature kernel IS warmed: the first neck-removal
+    boundary needs it before any bucket crossing).
+
+    Buckets whose vertex capacity crosses the >300k ring-gather
+    threshold are skipped: their programs take topology-dependent
+    window schedules whose shapes can't be predicted ahead of the mesh.
+    """
+    from .shrinkwrap import cg_block
+    from ..ops import curvature as _curv
+
+    # let the driver's REAL first block reach the compile service
+    # before any dummy call: the service appears FIFO, and a prewarm
+    # program queued ahead of the fit's first block would serialize in
+    # front of the one compile the fit is actively waiting on
+    if cancel is not None and cancel.wait(2.0):
+        return
+
+    # Service-queue priority: first rung (the running bucket), second
+    # rung (needed soonest), then the LAST rung — its program is the
+    # largest (biggest stall) and it has the most lead time before the
+    # mesh reaches it — then the middle rungs in need order.
+    order = list(enumerate(ladder))
+    if len(order) > 3:
+        order = order[:2] + [order[-1]] + order[2:-1]
+
+    for i, (v_cap, f_cap) in order:
+        if cancel is not None and cancel.is_set():
+            return
+        if v_cap > max_ring_free_vcap:
+            logger.info('prewarm: skipping bucket (%d, %d) - ring-'
+                        'schedule shapes are data-dependent',
+                        v_cap, f_cap)
+            continue
+        try:
+            (positions, faces, f_mask, v_mask, nbr_v, nbr_f,
+             face_nbrs) = _dummy_block_args(v_cap, f_cap)
+            if not (i == 0 and skip_first_block):
+                out = cg_block(
+                    positions, faces, f_mask, v_mask, nbr_v,
+                    pts_j, sig_j, w_j, pmask,
+                    lam0, shrink_lam, num_iters=ni_static,
+                    active_iters=0,
+                    use_shrink=use_shrink, face_chunk=face_chunk,
+                    corr_method=corr_method, cell_size=1.0,
+                    face_nbrs=face_nbrs)
+                out[0].block_until_ready()
+            # the boundary-time neck diagnostic runs curvature_grad on
+            # exact-pow2 diagnostic buckets; same shapes here (v_cap
+            # and f_cap are powers of two already)
+            st = _curv.curvature_grad(positions, faces, f_mask, v_mask,
+                                      nbr_v, nbr_f, kc=kc, kg=kg, c0=c0)
+            st.K.block_until_ready()
+            logger.info('prewarm: bucket (%d, %d) ready', v_cap, f_cap)
+        except Exception:
+            logger.exception('prewarm: bucket (%d, %d) failed '
+                             '(continuing)', v_cap, f_cap)
+
+
+def start_prewarm_thread(*args, **kwargs):
+    """Run ``prewarm_buckets`` on a daemon thread; returns
+    (thread, cancel_event)."""
+    cancel = threading.Event()
+    kwargs['cancel'] = cancel
+    t = threading.Thread(target=prewarm_buckets, args=args,
+                         kwargs=kwargs, daemon=True,
+                         name='cg-prewarm')
+    t.start()
+    return t, cancel

@@ -1,0 +1,115 @@
+"""Compile-prewarm ladder: the background bucket warmer must predict
+exactly the capacity buckets the growing fit driver will climb
+(membrane_mesh.opt_conjugate_gradient's pow2_bucket policy) and its
+dummy calls must populate the jit cache the real blocks hit.
+
+Counterpart: none in the reference (its CPU loop compiles nothing);
+driver loop /root/reference/ch_shrinkwrap/_membrane_mesh.pyx:1427-1560.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ch_shrinkwrap_tpu.solver import prewarm
+from ch_shrinkwrap_tpu.models.membrane_mesh import MembraneMesh
+
+
+def test_bucket_ladder_monotone_and_complete():
+    ladder = prewarm.bucket_ladder(800, 1600, 50_000, 100_000,
+                                   quantum=1024)
+    # starts at the current bucket, ends at (or past) the final bucket
+    v0, f0 = ladder[0]
+    assert v0 == 1024 and f0 == 2048
+    vl, fl = ladder[-1]
+    assert vl >= int(1.15 * 50_000) and fl >= int(1.15 * 100_000)
+    # strictly growing powers-of-two, no duplicates
+    for (va, fa), (vb, fb) in zip(ladder, ladder[1:]):
+        assert vb >= va and fb >= fa and (vb > va or fb > fa)
+        assert vb % va == 0 and fb % fa == 0
+
+
+def test_bucket_ladder_no_growth():
+    ladder = prewarm.bucket_ladder(500, 800, 500, 800, quantum=1024)
+    assert ladder == [(1024, 1024)]
+
+
+def test_ladder_matches_driver_buckets():
+    """Every bucket the driver's policy (meshdata.fit_buckets — the
+    single source of truth) produces along the growth path must have a
+    covering rung, and the EXACT start/end buckets must be rungs (an
+    off-by-one bucket, e.g. the +8 vertex slack crossing a pow2
+    boundary at V=1780, was measured turning the prewarm into a
+    total cache miss)."""
+    from ch_shrinkwrap_tpu.ops import meshdata
+    ladder = prewarm.bucket_ladder(2_000, 4_000, 300_000, 600_000,
+                                   quantum=1024)
+    rungs = set(ladder)
+    assert meshdata.fit_buckets(2_000, 4_000) in rungs
+    assert meshdata.fit_buckets(300_000, 600_000) in rungs
+    v = 2_000
+    while v <= 300_000:
+        vb, fb = meshdata.fit_buckets(v, 2 * v)
+        assert any(vr >= vb and fr >= fb for vr, fr in rungs), \
+            (v, vb, fb, ladder)
+        v = int(v * 1.7) + 1
+    # the measured miss case: V=1780 (1.15*1780+8 = 2055 > 2048)
+    assert meshdata.fit_buckets(1780, 3560) == (4096, 4096)
+
+
+def test_prewarm_buckets_populates_jit_cache():
+    """A dummy prewarm call at (v_cap, f_cap) must make the real
+    cg_block call at that bucket a cache hit (no new trace)."""
+    from ch_shrinkwrap_tpu.solver import shrinkwrap as sw
+
+    N = 64
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    sig = jnp.ones((N, 3), jnp.float32)
+    w = jnp.ones((N, 3), jnp.float32)
+    pmask = jnp.ones((N,), bool)
+
+    ladder = [(64, 128)]
+    prewarm.prewarm_buckets(
+        ladder, pts, sig, w, pmask, 0.1, 0.0, 2, False,
+        64, 'dense', 0.0, 0.0, 0.0, quantum=64,
+        skip_first_block=False)
+
+    n_traces = sw.cg_block._cache_size()
+    # identical shapes + statics: must NOT retrace
+    args = prewarm._dummy_block_args(64, 128)
+    positions, faces, f_mask, v_mask, nbr_v, nbr_f, face_nbrs = args
+    out = sw.cg_block(positions, faces, f_mask, v_mask, nbr_v,
+                      pts, sig, w, pmask, 0.1, 0.0, num_iters=2,
+                      active_iters=0, use_shrink=False, face_chunk=64,
+                      corr_method='dense', cell_size=1.0,
+                      face_nbrs=face_nbrs)
+    out[0].block_until_ready()
+    assert sw.cg_block._cache_size() == n_traces
+
+
+def test_predict_final_sizes_tracks_edge_schedule():
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    v, f = icosphere(2, radius=60.0)
+    mesh = MembraneMesh(v, f)
+    vf, ff = prewarm.predict_final_sizes(mesh, 10.0)
+    # sphere area 4*pi*60^2 ~ 45239 nm^2; equilateral tris at edge 10
+    # have area ~43.3 -> ~1045 faces, x2 in the estimator's convention
+    assert 200 < ff < 50_000
+    assert vf == ff // 2 + 8
+
+
+def test_fit_cancels_stale_prewarmer():
+    """A second shrink_wrap call must cancel the previous call's
+    prewarm thread before starting (single compile service)."""
+    import threading
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    v, f = icosphere(1, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    ev = threading.Event()
+    mesh._prewarm_cancel = ev
+    pts = np.random.default_rng(1).normal(
+        scale=50.0, size=(200, 3)).astype(np.float32)
+    mesh.max_iter = 1
+    mesh.remesh_frequency = 0
+    mesh.delaunay_remesh_frequency = 0
+    mesh.shrink_wrap(pts, 5.0 * np.ones_like(pts))
+    assert ev.is_set()
