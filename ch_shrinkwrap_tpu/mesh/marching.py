@@ -191,10 +191,19 @@ def wrap_start(points, offset=10.0, neighbourhood=50, grid_n=48,
     the level set of (distance to the ``neighbourhood``-th nearest
     localization) - offset, meshed and remeshed.
 
-    The field query is distance-bounded (the marching pass only needs
-    values near the zero crossing), which prunes the kd-tree's
-    worst-case interior searches: 31.9 s -> 10.4 s at 1e6 points with
-    an identical surface.
+    The field query is distance-bounded: the k-th-NN distance is
+    1-Lipschitz and marching only ever interpolates along edges that
+    CROSS the level set, whose far endpoints lie within one tet edge
+    (at most the sqrt(3)*step cube body diagonal) of it — so values
+    beyond offset + 1.8*step can be clamped without changing a single
+    output vertex, and the bound prunes the hollow interior, the
+    kd-tree's worst case (31.9 -> 10.4 s at 1e6 points round 2).
+
+    The field itself runs on the native grid-bucketed engine
+    (``native.knn_field``: counting-sorted cells + chessboard distance
+    transform for O(1) interior rejection + expanding-ring exact
+    search) when available — 25x faster than the kd-tree on this
+    workload — with the scipy kd-tree as fallback.
 
     ``max_tree_points`` optionally subsamples the cloud with
     ``neighbourhood`` thinned proportionally (k-th NN radius of a
@@ -203,9 +212,9 @@ def wrap_start(points, offset=10.0, neighbourhood=50, grid_n=48,
     (seed-surface radial std 0.9 vs 0.5 nm on the benchmark sphere,
     and the downstream 20-iter fit converged 6 nm worse) — hence
     opt-in, not default."""
-    from scipy.spatial import cKDTree
     from .core import TriangleMesh
     from .remesh import remesh
+    from .. import native
 
     points = np.asarray(points)
     if max_tree_points is not None and len(points) > max_tree_points:
@@ -214,25 +223,32 @@ def wrap_start(points, offset=10.0, neighbourhood=50, grid_n=48,
         sel = np.random.default_rng(0).choice(len(points),
                                               max_tree_points,
                                               replace=False)
-        tree = cKDTree(points[sel])
+        field_pts = points[sel]
     else:
         k_eff = neighbourhood
-        tree = cKDTree(points)
+        field_pts = points
 
     lo = points.min(0) - 2 * offset
     hi = points.max(0) + 2 * offset
     step = float((hi - lo).max()) / grid_n
 
-    # the marching pass only needs accurate values near the zero
-    # crossing; bounding the query lets the kd-tree prune the (hollow)
-    # interior, whose unbounded k-NN search is its worst case
-    bound = offset + 4.0 * step
+    # crossing-edge endpoints satisfy d_k < offset + sqrt(3)*step
+    # (1-Lipschitz field, body-diagonal tet edges); 1.8 adds margin
+    bound = offset + 1.8 * step
+
+    tree = None
 
     def f(p):
-        dd, _ = tree.query(p, k=[k_eff], workers=-1,
-                           distance_upper_bound=bound)
-        d = dd[:, -1]
-        return np.where(np.isfinite(d), d, bound) - offset
+        d = native.knn_field(field_pts, p, k_eff, bound)
+        if d is None:
+            nonlocal tree
+            from scipy.spatial import cKDTree
+            if tree is None:
+                tree = cKDTree(field_pts)
+            dd, _ = tree.query(p, k=[k_eff], workers=-1,
+                               distance_upper_bound=bound)
+            d = dd[:, -1]
+        return np.where(d <= bound, d, bound) - offset
 
     v, fc = surface_from_function(f, (lo[0], lo[1], lo[2],
                                       hi[0], hi[1], hi[2]), step)

@@ -99,6 +99,10 @@ def get_lib():
     lib.vertex_components_native.argtypes = [
         i32p, ctypes.c_int, ctypes.c_int, i32p]
     lib.vertex_components_native.restype = ctypes.c_int32
+    lib.knn_field_native.argtypes = [
+        f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_float, f32p]
+    lib.knn_field_native.restype = None
     _lib = lib
     return lib
 
@@ -227,4 +231,23 @@ def best_mass_bases(idx, care, chunk, span, n_src):
             ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(idx.shape[0]), chunk, span,
         ctypes.c_int32(int(n_src)), _i32p(out))
+    return out
+
+
+def knn_field(points, queries, k, bound):
+    """Exact bounded k-th-NN distance field (the wrap_start density
+    field): (Q,) float32 distances, with queries whose k-th neighbor
+    lies beyond ``bound`` returned as 2*bound (caller clamps, matching
+    scipy's distance_upper_bound -> inf convention).  None if the
+    native engine is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, dtype=np.float32)
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    out = np.empty(len(q), np.float32)
+    lib.knn_field_native(_f32p(p), ctypes.c_int64(len(p)),
+                         _f32p(q), ctypes.c_int64(len(q)),
+                         int(k), ctypes.c_float(float(bound)),
+                         _f32p(out))
     return out

@@ -730,4 +730,221 @@ void best_mass_bases(const int32_t* idx, const uint8_t* care,
     }
 }
 
+// ---------------------------------------------------------------------
+// Bounded k-th-nearest-neighbor field (the wrap_start density field,
+// counterpart of the reference's cKDTree query in
+// /root/reference/ch_shrinkwrap/holepunch.py:88-112).  Exact within
+// `bound`: out[q] = distance from queries[q] to its k-th nearest point
+// if that lies within `bound`, else 2*bound (caller clamps — matching
+// scipy's distance_upper_bound -> inf semantics).
+//
+// Design for the wrap_start workload (1e6 points on a thin shell,
+// ~120k grid-node queries, most of them deep inside the hollow
+// interior where a kd-tree's bounded search is at its WORST): points
+// are counting-sorted into a uniform cell grid once, a 2-pass
+// chessboard distance transform over cell occupancy gives every query
+// an O(1) lower bound that rejects interior/exterior nodes
+// immediately, and the survivors run an expanding-ring search with a
+// k-element max-heap and exact cell-AABB pruning.
+void knn_field_native(const float* pts, int64_t n_pts,
+                      const float* queries, int64_t n_q,
+                      int k, float bound, float* out) {
+    const float miss = 2.0f * bound;
+    if (n_q <= 0) return;
+    if (n_pts < k || k <= 0 || bound <= 0) {
+        for (int64_t q = 0; q < n_q; ++q) out[q] = miss;
+        return;
+    }
+
+    float lo[3] = {pts[0], pts[1], pts[2]};
+    float hi[3] = {pts[0], pts[1], pts[2]};
+    for (int64_t i = 1; i < n_pts; ++i)
+        for (int d = 0; d < 3; ++d) {
+            float v = pts[3 * i + d];
+            if (v < lo[d]) lo[d] = v;
+            if (v > hi[d]) hi[d] = v;
+        }
+    float maxext = 1e-6f;
+    for (int d = 0; d < 3; ++d)
+        if (hi[d] - lo[d] > maxext) maxext = hi[d] - lo[d];
+    // ~n_pts cells (1 pt/cell average), dims capped
+    int target_dim = (int)std::cbrt((double)n_pts) + 1;
+    if (target_dim > 256) target_dim = 256;
+    if (target_dim < 4) target_dim = 4;
+    float cell = maxext / (float)target_dim;
+    if (cell <= 0) cell = 1.0f;
+    int dims[3];
+    for (int d = 0; d < 3; ++d) {
+        dims[d] = (int)((hi[d] - lo[d]) / cell) + 1;
+        if (dims[d] < 1) dims[d] = 1;
+    }
+    const int64_t sy = dims[2], sx = (int64_t)dims[1] * dims[2];
+    const int64_t ncells = (int64_t)dims[0] * sx;
+
+    auto cell_coord = [&](const float* p, int* c) {
+        for (int d = 0; d < 3; ++d) {
+            int v = (int)((p[d] - lo[d]) / cell);
+            if (v < 0) v = 0;
+            if (v >= dims[d]) v = dims[d] - 1;
+            c[d] = v;
+        }
+    };
+
+    // counting sort of points into cells
+    std::vector<int32_t> cell_of(n_pts);
+    std::vector<int32_t> starts(ncells + 1, 0);
+    for (int64_t i = 0; i < n_pts; ++i) {
+        int c[3];
+        cell_coord(pts + 3 * i, c);
+        int64_t ci = c[0] * sx + c[1] * sy + c[2];
+        cell_of[i] = (int32_t)ci;
+        ++starts[ci + 1];
+    }
+    for (int64_t c = 0; c < ncells; ++c) starts[c + 1] += starts[c];
+    std::vector<int32_t> order(n_pts);
+    {
+        std::vector<int32_t> cur(starts.begin(), starts.end() - 1);
+        for (int64_t i = 0; i < n_pts; ++i)
+            order[cur[cell_of[i]]++] = (int32_t)i;
+    }
+
+    // chessboard distance transform (in cells) to the nearest occupied
+    // cell: 2-pass raster scan with the 13+13 half-neighborhoods.  A
+    // query in cell c is >= (cheb[c]-1)*cell away from every point.
+    const int32_t INF = 1 << 29;
+    std::vector<int32_t> cheb(ncells);
+    for (int64_t c = 0; c < ncells; ++c)
+        cheb[c] = (starts[c + 1] > starts[c]) ? 0 : INF;
+    auto relax_pass = [&](bool forward) {
+        int x0 = forward ? 0 : dims[0] - 1, x1 = forward ? dims[0] : -1;
+        int step = forward ? 1 : -1;
+        for (int x = x0; x != x1; x += step)
+            for (int y = forward ? 0 : dims[1] - 1;
+                 y != (forward ? dims[1] : -1); y += step)
+                for (int z = forward ? 0 : dims[2] - 1;
+                     z != (forward ? dims[2] : -1); z += step) {
+                    int64_t c = x * sx + y * sy + z;
+                    int32_t best = cheb[c];
+                    if (best == 0) continue;
+                    // scan the 13 already-visited neighbors this pass
+                    for (int dx = -1; dx <= 1; ++dx)
+                        for (int dy = -1; dy <= 1; ++dy)
+                            for (int dz = -1; dz <= 1; ++dz) {
+                                if (dx == 0 && dy == 0 && dz == 0)
+                                    continue;
+                                // visited = lexicographically before in
+                                // this pass's scan order
+                                int key = dx * 9 + dy * 3 + dz;
+                                if (forward ? key > 0 : key < 0)
+                                    continue;
+                                int nx2 = x + dx, ny2 = y + dy,
+                                    nz2 = z + dz;
+                                if (nx2 < 0 || nx2 >= dims[0]
+                                    || ny2 < 0 || ny2 >= dims[1]
+                                    || nz2 < 0 || nz2 >= dims[2])
+                                    continue;
+                                int32_t v =
+                                    cheb[nx2 * sx + ny2 * sy + nz2] + 1;
+                                if (v < best) best = v;
+                            }
+                    cheb[c] = best;
+                }
+    };
+    relax_pass(true);
+    relax_pass(false);
+
+    const float bound2 = bound * bound;
+    std::vector<float> heap(k);   // max-heap of squared distances
+
+    for (int64_t q = 0; q < n_q; ++q) {
+        const float* Q = queries + 3 * q;
+        int cq[3];
+        cell_coord(Q, cq);
+        // off-grid queries: account for the gap from Q to the clamped
+        // cell (the chamfer bound below is measured from that cell)
+        float off2 = 0.0f;
+        for (int d = 0; d < 3; ++d) {
+            float g = 0.0f;
+            if (Q[d] < lo[d]) g = lo[d] - Q[d];
+            else if (Q[d] > hi[d]) g = Q[d] - hi[d];
+            off2 += g * g;
+        }
+        if (off2 > bound2) { out[q] = miss; continue; }
+        int64_t cqi = cq[0] * sx + cq[1] * sy + cq[2];
+        float lb = (float)(cheb[cqi] - 1) * cell;
+        if (lb > 0 && lb * lb + off2 > bound2) { out[q] = miss; continue; }
+
+        int hn = 0;
+        float cur2 = bound2;    // current pruning radius^2
+        int max_ring = (int)(bound / cell) + 2;
+        int r0 = cheb[cqi] > 1 ? cheb[cqi] - 1 : 0;
+
+        auto scan_cell = [&](int x, int y, int z) {
+            if (x < 0 || x >= dims[0] || y < 0 || y >= dims[1]
+                || z < 0 || z >= dims[2])
+                return;
+            int64_t ci = x * sx + y * sy + z;
+            int32_t s = starts[ci], e = starts[ci + 1];
+            if (s == e) return;
+            // exact AABB minimum distance
+            float mind2 = 0.0f;
+            float cl[3] = {lo[0] + x * cell, lo[1] + y * cell,
+                           lo[2] + z * cell};
+            for (int d = 0; d < 3; ++d) {
+                float g = 0.0f;
+                if (Q[d] < cl[d]) g = cl[d] - Q[d];
+                else if (Q[d] > cl[d] + cell) g = Q[d] - (cl[d] + cell);
+                mind2 += g * g;
+            }
+            if (mind2 > cur2) return;
+            for (int32_t ii = s; ii < e; ++ii) {
+                const float* P = pts + 3 * (int64_t)order[ii];
+                float dx = Q[0] - P[0], dy = Q[1] - P[1],
+                      dz = Q[2] - P[2];
+                float d2 = dx * dx + dy * dy + dz * dz;
+                if (d2 > cur2) continue;
+                if (hn < k) {
+                    heap[hn++] = d2;
+                    std::push_heap(heap.begin(), heap.begin() + hn);
+                    if (hn == k) cur2 = heap[0];
+                } else if (d2 < heap[0]) {
+                    std::pop_heap(heap.begin(), heap.begin() + k);
+                    heap[k - 1] = d2;
+                    std::push_heap(heap.begin(), heap.begin() + k);
+                    cur2 = heap[0];
+                }
+            }
+        };
+
+        for (int r = r0; r <= max_ring; ++r) {
+            if (r > 0) {
+                float ringlb = (float)(r - 1) * cell;
+                if (ringlb * ringlb > cur2) break;
+            }
+            if (r == 0) {
+                scan_cell(cq[0], cq[1], cq[2]);
+                continue;
+            }
+            // canonical shell decomposition (each cell exactly once)
+            for (int dx = -r; dx <= r; ++dx)
+                for (int dy = -r; dy <= r; ++dy) {
+                    scan_cell(cq[0] + dx, cq[1] + dy, cq[2] - r);
+                    scan_cell(cq[0] + dx, cq[1] + dy, cq[2] + r);
+                }
+            for (int dx = -r; dx <= r; ++dx)
+                for (int dz = -r + 1; dz <= r - 1; ++dz) {
+                    scan_cell(cq[0] + dx, cq[1] - r, cq[2] + dz);
+                    scan_cell(cq[0] + dx, cq[1] + r, cq[2] + dz);
+                }
+            for (int dy = -r + 1; dy <= r - 1; ++dy)
+                for (int dz = -r + 1; dz <= r - 1; ++dz) {
+                    scan_cell(cq[0] - r, cq[1] + dy, cq[2] + dz);
+                    scan_cell(cq[0] + r, cq[1] + dy, cq[2] + dz);
+                }
+        }
+        out[q] = (hn == k && heap[0] <= bound2)
+                     ? std::sqrt(heap[0]) : miss;
+    }
+}
+
 }  // extern "C"

@@ -330,3 +330,48 @@ def test_smooth_per_vertex_data():
     assert sm[0] < 1.0
     nbr = mesh.vertex_neighbors[0]
     assert (sm[nbr[nbr >= 0]] > 0).all()
+
+
+def test_native_knn_field_matches_scipy():
+    """The grid-bucketed bounded k-th-NN field (native.knn_field, the
+    wrap_start density engine) must be EXACT vs the kd-tree on both a
+    hollow shell (the production workload: interior early-outs through
+    the chessboard distance transform) and a uniform cloud, with
+    scipy's distance_upper_bound -> miss semantics.  Counterpart of the
+    reference's cKDTree query (holepunch.py:88-112)."""
+    from scipy.spatial import cKDTree
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip('native engine unavailable')
+    rng = np.random.default_rng(2)
+
+    # hollow shell + off-grid queries inside, on, and far outside
+    d = rng.normal(size=(50_000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    shell = (d * 50 + rng.normal(scale=2, size=d.shape)).astype(np.float32)
+    uniform = rng.uniform(-60, 60, size=(30_000, 3)).astype(np.float32)
+    for pts, bound in ((shell, 12.0), (uniform, 7.0)):
+        qs = rng.uniform(-80, 80, size=(4_000, 3)).astype(np.float32)
+        for k in (1, 10, 50):
+            out = native.knn_field(pts, qs, k, bound)
+            dd, _ = cKDTree(pts).query(qs, k=[k],
+                                       distance_upper_bound=bound)
+            ref = dd[:, -1]
+            miss_n = out > bound
+            miss_r = ~np.isfinite(ref)
+            assert (miss_n == miss_r).all()
+            ok = ~miss_r
+            if ok.any():
+                assert np.abs(out[ok] - ref[ok]).max() < 1e-4
+
+
+def test_native_knn_field_fewer_points_than_k():
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip('native engine unavailable')
+    pts = np.zeros((3, 3), np.float32)
+    qs = np.zeros((5, 3), np.float32)
+    out = native.knn_field(pts, qs, 10, 4.0)
+    assert (out > 4.0).all()   # all misses, clamped by the caller
