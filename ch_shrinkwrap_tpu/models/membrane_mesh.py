@@ -79,6 +79,13 @@ class MembraneMesh(TriangleMesh):
 
         # capacity bucketing quantum for device arrays
         self.pad_quantum = 1024
+        # 'final': ONE static shape for the whole fit, predicted from
+        # the edge-length schedule — one compile / one executable-load
+        # per fit (the remote compile service charges ~15-200 s per
+        # program, dwarfing the padded-size device cost of early
+        # blocks).  'bucketed': pow2 capacity ladder, ~log2(growth)
+        # programs — smaller early blocks, more service stalls.
+        self.capacity_mode = 'final'
         self.face_chunk = 2048
         # correspondence kernel: 'brute' (exact), 'grid' (spatial
         # hash), 'blocked', 'windowed', 'windowed_pallas', or 'auto'
@@ -536,17 +543,24 @@ class MembraneMesh(TriangleMesh):
         # 'final': one shape for the whole fit, predicted from the
         # edge-length schedule (the round-2 behavior — one compile per
         # fit, but every block pays final-size host+device cost).
-        cap_mode = getattr(self, 'capacity_mode', 'bucketed')
+        cap_mode = getattr(self, 'capacity_mode', 'final')
         if r and cap_mode == 'final':
             pred_final_len = max(float(initial_length + m
                                        * rf * np.ceil(max_iter / rf)),
                                  1e-3)
-            pred_faces = 2.0 * self.area() / (np.sqrt(3.0) / 4.0
-                                              * pred_final_len ** 2)
+            # F = area / equilateral-triangle-area(l), times a measured
+            # ~1.15 irregularity factor (real remeshed meshes carry more
+            # faces than the equilateral estimate at their mean length);
+            # 1.25 headroom on top.  An earlier 2.0 "factor" here
+            # double-counted F and pushed v_cap over the 300k-row
+            # ring-gather cliff, making every block's window schedules
+            # data-dependent — the reason round-3 runs used buckets.
+            pred_faces = 1.15 * self.area() / (np.sqrt(3.0) / 4.0
+                                               * pred_final_len ** 2)
             pred_faces = max(pred_faces, self.faces.shape[0])
-            f_cap = meshdata.round_up_bucket(int(1.3 * pred_faces),
+            f_cap = meshdata.round_up_bucket(int(1.25 * pred_faces),
                                              self.pad_quantum)
-            v_cap = meshdata.round_up_bucket(int(1.3 * pred_faces / 2) + 8,
+            v_cap = meshdata.round_up_bucket(int(1.25 * pred_faces / 2) + 8,
                                              self.pad_quantum)
         else:
             v_cap = f_cap = None
@@ -580,13 +594,21 @@ class MembraneMesh(TriangleMesh):
         if (getattr(self, 'prewarm_compiles', True) and dmesh is None
                 and jax.default_backend() == 'tpu'):
             from ..solver import prewarm as _prewarm
-            if r:
-                vf, ff = _prewarm.predict_final_sizes(self, final_length)
+            if cap_mode == 'final' and v_cap is not None:
+                # single-program fit: the one cg_block executable is
+                # requested by the real first block immediately; the
+                # ladder's only rung just warms the matching curvature
+                # program for the first neck boundary
+                ladder = [(v_cap, f_cap)]
             else:
-                vf, ff = self.vertices.shape[0], self.faces.shape[0]
-            ladder = _prewarm.bucket_ladder(
-                self.vertices.shape[0], self.faces.shape[0], vf, ff,
-                quantum=self.pad_quantum)
+                if r:
+                    vf, ff = _prewarm.predict_final_sizes(
+                        self, final_length)
+                else:
+                    vf, ff = self.vertices.shape[0], self.faces.shape[0]
+                ladder = _prewarm.bucket_ladder(
+                    self.vertices.shape[0], self.faces.shape[0], vf, ff,
+                    quantum=self.pad_quantum)
             ni_pre = n_iter
             if r:
                 ni_pre = min(ni_pre, self.remesh_frequency)

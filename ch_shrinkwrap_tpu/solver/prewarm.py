@@ -81,10 +81,12 @@ def bucket_ladder(v_now: int, f_now: int, v_final: int, f_final: int,
 def predict_final_sizes(mesh, final_edge_length: float):
     """Predicted (V, F) at the end of the edge-length schedule
     (the ``capacity_mode='final'`` estimate: equilateral-triangle area
-    at the target length over the current surface area)."""
+    at the target length over the current surface area, times a ~1.15
+    irregularity factor — matches the driver's prediction so the
+    bucketed ladder tops out at the rung the fit actually reaches)."""
     area = mesh.area()
-    f_final = 2.0 * area / (np.sqrt(3.0) / 4.0
-                            * max(final_edge_length, 1e-3) ** 2)
+    f_final = 1.15 * area / (np.sqrt(3.0) / 4.0
+                             * max(final_edge_length, 1e-3) ** 2)
     f_final = int(max(f_final, mesh.faces.shape[0]))
     return f_final // 2 + 8, f_final
 
