@@ -293,6 +293,34 @@ def _run_entries_isolated(todo, seed, out_dir, save_stl, n_workers,
     import multiprocessing as mp
 
     ctx = mp.get_context('spawn')
+    # A CPU-backend sweep's workers must not touch the TPU tunnel: on
+    # this image a sitecustomize hook dials the axon relay in EVERY
+    # interpreter when PALLAS_AXON_POOL_IPS is set, and a stalled relay
+    # then blocks a worker AT IMPORT for minutes with zero CPU use
+    # (measured: a 1532 s test-suite run stuck in this poll loop).
+    # Spawned children inherit os.environ at start(), so scrub the
+    # trigger around the start() calls when the parent isn't on TPU.
+    import jax as _jax
+    scrub_tpu_env = (_jax.default_backend() != 'tpu'
+                     and os.environ.get('PALLAS_AXON_POOL_IPS'))
+
+    def _start_scrubbed(proc):
+        # drop the axon trigger AND pin the child to the parent's real
+        # backend: the image env says JAX_PLATFORMS=axon, which would
+        # leave the child with no registered backend once the axon
+        # hook is skipped
+        saved = {k: os.environ.get(k)
+                 for k in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS')}
+        os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+        os.environ['JAX_PLATFORMS'] = _jax.default_backend()
+        try:
+            proc.start()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     pending = list(todo)
     live = {}        # proc -> (queue, h, kind, params, deadline)
     n_failures = 0
@@ -303,7 +331,10 @@ def _run_entries_isolated(todo, seed, out_dir, save_stl, n_workers,
             proc = ctx.Process(target=_entry_worker,
                                args=(q, kind, params, seed, out_dir,
                                      save_stl))
-            proc.start()
+            if scrub_tpu_env:
+                _start_scrubbed(proc)
+            else:
+                proc.start()
             deadline = (time.time() + entry_timeout
                         if entry_timeout else None)
             live[proc] = (q, h, kind, params, deadline)

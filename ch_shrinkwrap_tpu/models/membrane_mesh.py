@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 
 import numpy as np
 import jax
@@ -32,7 +33,7 @@ from ..ops import meshdata
 from ..ops import curvature as _curv
 from ..ops import correspondence as _corr
 from ..ops import normals as _norm
-from ..solver.shrinkwrap import cg_block
+from ..solver.shrinkwrap import block_call
 
 logger = logging.getLogger(__name__)
 
@@ -183,6 +184,9 @@ class MembraneMesh(TriangleMesh):
             self._populate_curvature_grad()
         st = self._curv_state
         if key not in st:
+            if getattr(st['_dev'], key) is None:
+                # fit-donated partial state (only K): repopulate fully
+                st = self._populate_curvature_grad()
             V = self.vertices.shape[0]
             out = np.asarray(getattr(st['_dev'], key))[:V]
             if self.smooth_curvature and key in ('H', 'K', 'k_0', 'k_1'):
@@ -345,6 +349,11 @@ class MembraneMesh(TriangleMesh):
         remesh, drop severed inner fragments."""
         import time as _time
         t0 = _time.time()
+        if os.environ.get('CSW_FINE_TIMERS') and self._curv_state is None:
+            self._populate_curvature_grad()
+            jax.block_until_ready(self._curv_state['_dev'].K)
+            logger.info('necks fine: curv dispatch+device %.2fs',
+                        _time.time() - t0)
         K = self.curvature_gaussian
         t_curv = _time.time() - t0
         verts = np.flatnonzero((K < neck_curvature_threshold_low)
@@ -617,13 +626,19 @@ class MembraneMesh(TriangleMesh):
             _, prewarm_cancel = _prewarm.start_prewarm_thread(
                 ladder, pts_j, sig_j, w_j, pmask, lam0, shrink_lam,
                 int(ni_pre), use_shrink, self.face_chunk, method,
-                self.kc, self.kg, self.c0, quantum=self.pad_quantum)
+                self.kc, self.kg, self.c0, quantum=self.pad_quantum,
+                want_curv_K=bool(r and neck_first_iter > 0
+                                 and dmesh is None))
         self._prewarm_cancel = prewarm_cancel
 
         j = 0
         topo_dirty = True
         dev_state = None        # cached (ma, schedules...) per topology
         f_dev = None            # device positions matching dev_state
+        # neck removal reads Gaussian curvature at every remesh
+        # boundary: fold that K evaluation into the block program
+        # (diag.K) so the boundary pays no separate curvature dispatch
+        want_K = bool(r and neck_first_iter > 0 and dmesh is None)
         while j < n_iter:
             n_it = n_iter - j
             if r:
@@ -635,6 +650,7 @@ class MembraneMesh(TriangleMesh):
             n_it = int(n_it)
 
             t0 = _time.time()
+            _ft = os.environ.get('CSW_FINE_TIMERS') and _time.time
             if not topo_dirty and dev_state is not None:
                 # topology unchanged since the last block: reuse the
                 # padded arrays and every host schedule; positions
@@ -644,8 +660,11 @@ class MembraneMesh(TriangleMesh):
                  vg_uncov, ng_starts, ng_uncov, ring_tri, ring_ncc,
                  ring_fold) = dev_state
                 positions = f_dev
+                if _ft:
+                    _t_sort = _t_build = 0.0
             else:
                 # index locality for the device gathers/scatters
+                _ts = _ft and _ft()
                 self.spatial_sort()
                 if r and cap_mode != 'final':
                     # 15% headroom inside the bucket; monotone so a
@@ -665,10 +684,15 @@ class MembraneMesh(TriangleMesh):
                         self.pad_quantum)
                     f_cap = meshdata.round_up_bucket(
                         int(1.3 * self.faces.shape[0]), self.pad_quantum)
+                if _ft:
+                    _t_sort = _ft() - _ts
+                    _ts = _ft()
                 # spatial_sort already hilbert-ordered the faces
                 ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
                                         quantum=self.pad_quantum,
                                         hilbert_faces=False)
+                if _ft:
+                    _t_build = _ft() - _ts
                 fold_starts = fold_uncov = None
                 vg_starts = vg_uncov = ng_starts = ng_uncov = None
                 ring_tri = ring_ncc = ring_fold = None
@@ -751,7 +775,8 @@ class MembraneMesh(TriangleMesh):
                              nbr_v, face_nbrs, fold_starts, fold_uncov,
                              vg_starts, vg_uncov, ng_starts, ng_uncov,
                              ring_tri, ring_ncc, ring_fold)
-            f_new, diag = cg_block(
+            _ts = _ft and _ft()
+            f_new, diag = block_call(
                 positions, faces, f_mask, v_mask, nbr_v,
                 pts_j, sig_j, w_j, pmask,
                 lam0, shrink_lam, num_iters=ni_static,
@@ -765,13 +790,21 @@ class MembraneMesh(TriangleMesh):
                 ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov,
                 ring_tri=ring_tri, ring_ncc=ring_ncc,
                 ring_fold=ring_fold,
+                nbr_f=ma.nbr_f if want_K else None,
+                want_curv_K=want_K,
                 # pays off only once the (N, 9s) AS gather is on the
                 # >300k cliff; below it the extra w2 kernel pass costs
                 # more than the gather it replaces
                 face_hcgc=(method == 'windowed_pallas'
                            and ring_tri is not None
                            and uniform_weights))
+            if _ft:
+                _t_disp = _ft() - _ts
+                _ts = _ft()
             f_new.block_until_ready()
+            if _ft:
+                _t_dev = _ft() - _ts
+                _ts = _ft()
             f_dev = f_new
             topo_dirty = False
             self._last_diag = diag
@@ -787,12 +820,25 @@ class MembraneMesh(TriangleMesh):
             self._initialize_curvature_vectors()
             if dmesh is None:
                 self._donate_diag_meshdata(ma, f_new)
+            if diag.K is not None:
+                # seed the curvature cache with the in-block K (same
+                # positions, same tables as a standalone recompute);
+                # other fields repopulate on demand (_curv fallback)
+                self._curv_state = {'_dev': _curv.CurvatureState(
+                    k_0=None, k_1=None, e_0=None, e_1=None, H=None,
+                    K=diag.K, dH=None, dK=None, E=None, pE=None,
+                    dE_neighbors=None, dEdN=None)}
             j += n_it
             self.trace.record('cg_block', j, _time.time() - t0, self,
                               diag=diag, n_iters=n_it)
             logger.info('cg_block done j=%d/%d (%.1fs, V=%d, cap=%s)',
                         j, n_iter, _time.time() - t0,
                         self.vertices.shape[0], v_cap)
+            if _ft:
+                logger.info(
+                    'cg_block fine: sort %.2fs build %.2fs dispatch '
+                    '%.2fs device %.2fs fetch+set %.2fs',
+                    _t_sort, _t_build, _t_disp, _t_dev, _ft() - _ts)
 
             if dr and ((j % self.delaunay_remesh_frequency) == 0):
                 t0 = _time.time()

@@ -107,7 +107,8 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
                     lam0, shrink_lam, ni_static, use_shrink,
                     face_chunk, corr_method, kc, kg, c0,
                     max_ring_free_vcap=300_000, quantum=1024,
-                    cancel=None, skip_first_block=True):
+                    cancel=None, skip_first_block=True,
+                    want_curv_K=False):
     """Compile/load the cg_block + curvature executables for every
     bucket in ``ladder``; runs synchronously (call on a thread).
 
@@ -122,7 +123,7 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
     threshold are skipped: their programs take topology-dependent
     window schedules whose shapes can't be predicted ahead of the mesh.
     """
-    from .shrinkwrap import cg_block
+    from .shrinkwrap import block_call
     from ..ops import curvature as _curv
 
     # let the driver's REAL first block reach the compile service
@@ -152,18 +153,26 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
             (positions, faces, f_mask, v_mask, nbr_v, nbr_f,
              face_nbrs) = _dummy_block_args(v_cap, f_cap)
             if not (i == 0 and skip_first_block):
-                out = cg_block(
+                # block_call (NOT cg_block directly): explicit-vs-
+                # omitted kwargs are distinct pjit cache entries, so
+                # the dummy call must share the driver's call site
+                out = block_call(
                     positions, faces, f_mask, v_mask, nbr_v,
                     pts_j, sig_j, w_j, pmask,
                     lam0, shrink_lam, num_iters=ni_static,
                     active_iters=0,
                     use_shrink=use_shrink, face_chunk=face_chunk,
                     corr_method=corr_method, cell_size=1.0,
-                    face_nbrs=face_nbrs)
+                    face_nbrs=face_nbrs,
+                    nbr_f=nbr_f if want_curv_K else None,
+                    want_curv_K=want_curv_K)
                 out[0].block_until_ready()
             # the boundary-time neck diagnostic runs curvature_grad on
             # exact-pow2 diagnostic buckets; same shapes here (v_cap
-            # and f_cap are powers of two already)
+            # and f_cap are powers of two already).  Warmed even under
+            # want_curv_K: a topology-changing punch at a boundary
+            # invalidates the block-donated K and remove_necks falls
+            # back to this standalone program.
             st = _curv.curvature_grad(positions, faces, f_mask, v_mask,
                                       nbr_v, nbr_f, kc=kc, kg=kg, c0=c0)
             st.K.block_until_ready()

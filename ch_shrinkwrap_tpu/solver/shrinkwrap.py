@@ -47,6 +47,12 @@ class SolverDiagnostics(NamedTuple):
     res: jax.Array          # (N, 3) final weighted residuals
     point_influence: jax.Array  # (Vp,) |A^T 1| per vertex
     d: jax.Array            # (N,) final point->face distances
+    # Gaussian curvature at the block's final positions, computed
+    # in-program when the driver requests it (``want_curv_K``): the
+    # boundary-time neck diagnostic then reads diags.K instead of
+    # dispatching a separate curvature program through the remote
+    # service (~0.3 s per remesh boundary, 18x per north-star fit).
+    K: jax.Array = None     # (Vp,) or None
 
 
 def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
@@ -100,7 +106,8 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
 @partial(jax.jit,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
                           'corr_method', 'polish_iters',
-                          'pallas_interpret', 'face_hcgc'))
+                          'pallas_interpret', 'face_hcgc',
+                          'want_curv_K'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
@@ -111,7 +118,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              vtx_gather_starts=None, vtx_gather_uncov=None,
              ncc_gather_starts=None, ncc_gather_uncov=None,
              ring_tri=None, ring_ncc=None, ring_fold=None,
-             face_hcgc=False, active_iters=None):
+             face_hcgc=False, active_iters=None,
+             nbr_f=None, want_curv_K=False):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -515,7 +523,55 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     (f_final, _, _, _, (S_f, res_f, pi_f, d_f)), (tests, ress, dones) = \
         jax.lax.scan(iteration, init, jnp.arange(num_iters))
 
+    K_out = None
+    if want_curv_K and nbr_f is not None:
+        # Gaussian curvature at the final positions for the boundary
+        # neck diagnostic (pyx:1516-1527 recomputes curvature on the
+        # updated mesh before flagging necks).  Only .K is consumed,
+        # so XLA prunes the rest of the CurvatureState (the quadric
+        # pass, dH/dK, energies) as dead code.
+        from ..ops.curvature import curvature_grad
+        K_out = curvature_grad(f_final, faces, f_mask, v_mask,
+                               nbr_v, nbr_f).K
+
     diags = SolverDiagnostics(
         tests=tests, ress=ress, n_done=dones.sum(),
-        S=S_f, res=res_f, point_influence=pi_f, d=d_f)
+        S=S_f, res=res_f, point_influence=pi_f, d=d_f, K=K_out)
     return f_final, diags
+
+
+def block_call(positions, faces, f_mask, v_mask, nbr_v,
+               points, sigma_inv, weights, point_mask,
+               lam0, shrink_lam, *, num_iters, active_iters,
+               use_shrink, face_chunk, corr_method, cell_size,
+               face_nbrs, fold_starts=None, fold_uncov=None,
+               vtx_gather_starts=None, vtx_gather_uncov=None,
+               ncc_gather_starts=None, ncc_gather_uncov=None,
+               ring_tri=None, ring_ncc=None, ring_fold=None,
+               nbr_f=None, want_curv_K=False, face_hcgc=False):
+    """The single call-shape for ``cg_block`` shared by the fit driver
+    and the compile prewarmer.
+
+    pjit's trace cache keys on the *call signature*, not just the
+    bound values: an explicitly-passed default (``want_curv_K=False``)
+    and an omitted one are DIFFERENT cache entries (measured — a full
+    retrace plus a remote-service executable reload).  Routing every
+    production caller through this one site makes the prewarmer's
+    dummy call and the driver's real call byte-identical by
+    construction, so they cannot drift apart.
+    """
+    return cg_block(
+        positions, faces, f_mask, v_mask, nbr_v,
+        points, sigma_inv, weights, point_mask,
+        lam0, shrink_lam, num_iters=num_iters,
+        active_iters=active_iters,
+        use_shrink=use_shrink, face_chunk=face_chunk,
+        corr_method=corr_method, cell_size=cell_size,
+        face_nbrs=face_nbrs,
+        fold_starts=fold_starts, fold_uncov=fold_uncov,
+        vtx_gather_starts=vtx_gather_starts,
+        vtx_gather_uncov=vtx_gather_uncov,
+        ncc_gather_starts=ncc_gather_starts,
+        ncc_gather_uncov=ncc_gather_uncov,
+        ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
+        nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc)

@@ -14,6 +14,8 @@ from __future__ import annotations
 import contextlib
 import json
 import time
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -42,10 +44,12 @@ class FitTrace:
             n_vertices=int(mesh.vertices.shape[0]),
             n_faces=int(mesh.faces.shape[0]),
             area=float(mesh.area()),
+            # one bulk fetch per array: per-element float(x) on a
+            # device array costs one tunnel round trip PER ELEMENT
             tests=None if diag is None else
-            [float(x) for x in diag.tests],
+            np.asarray(diag.tests).astype(float).tolist(),
             ress=None if diag is None else
-            [float(x) for x in diag.ress],
+            np.asarray(diag.ress).astype(float).tolist(),
             extra=extra)
         self.records.append(rec)
         return rec

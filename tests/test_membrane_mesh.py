@@ -112,3 +112,24 @@ def test_residual_histogram():
     counts, edges, pred = mesh.residual_histogram()
     assert counts.sum() > 0
     assert pred is not None and np.isfinite(pred).all()
+
+
+def test_fit_donated_partial_curvature_state_repopulates():
+    """A fit with necks enabled donates a K-only curvature state
+    (in-block diag.K).  Reading K must use it as-is; reading any other
+    field (H) must transparently repopulate the full state."""
+    from ch_shrinkwrap_tpu.ops import curvature as _curv
+
+    v, f = icosphere(2, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    K_full = mesh.curvature_gaussian.copy()   # ground truth, full state
+    # simulate the driver's donation: same positions, K-only state
+    st = mesh._curv_state['_dev']
+    mesh._curv_state = {'_dev': _curv.CurvatureState(
+        k_0=None, k_1=None, e_0=None, e_1=None, H=None,
+        K=st.K, dH=None, dK=None, E=None, pE=None,
+        dE_neighbors=None, dEdN=None)}
+    np.testing.assert_allclose(mesh.curvature_gaussian, K_full,
+                               rtol=0, atol=1e-6)
+    H = mesh.curvature_mean          # None in the donated state
+    assert np.isfinite(H).all() and H.shape == (len(mesh.vertices),)

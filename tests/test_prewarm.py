@@ -74,14 +74,24 @@ def test_prewarm_buckets_populates_jit_cache():
         skip_first_block=False)
 
     n_traces = sw.cg_block._cache_size()
-    # identical shapes + statics: must NOT retrace
+    # identical shapes + statics through the SHARED call site: must
+    # NOT retrace.  The pjit trace cache keys on the call signature
+    # (an explicitly-passed default and an omitted one are different
+    # entries — measured: a retrace), which is why both the driver and
+    # the prewarmer route through sw.block_call; mimic the driver's
+    # call here, including kwargs the prewarmer leaves defaulted.
     args = prewarm._dummy_block_args(64, 128)
     positions, faces, f_mask, v_mask, nbr_v, nbr_f, face_nbrs = args
-    out = sw.cg_block(positions, faces, f_mask, v_mask, nbr_v,
-                      pts, sig, w, pmask, 0.1, 0.0, num_iters=2,
-                      active_iters=0, use_shrink=False, face_chunk=64,
-                      corr_method='dense', cell_size=1.0,
-                      face_nbrs=face_nbrs)
+    out = sw.block_call(positions, faces, f_mask, v_mask, nbr_v,
+                        pts, sig, w, pmask, 0.1, 0.0, num_iters=2,
+                        active_iters=1, use_shrink=False, face_chunk=64,
+                        corr_method='dense', cell_size=2.5,
+                        face_nbrs=face_nbrs,
+                        fold_starts=None, fold_uncov=None,
+                        vtx_gather_starts=None, vtx_gather_uncov=None,
+                        ncc_gather_starts=None, ncc_gather_uncov=None,
+                        ring_tri=None, ring_ncc=None, ring_fold=None,
+                        nbr_f=None, want_curv_K=False, face_hcgc=False)
     out[0].block_until_ready()
     assert sw.cg_block._cache_size() == n_traces
 

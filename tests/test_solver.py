@@ -455,3 +455,27 @@ def test_cg_block_active_iters_matches_shorter_block():
     np.testing.assert_allclose(np.asarray(f3), np.asarray(f63),
                                rtol=0, atol=1e-6)
     assert int(d63.n_done) == 3
+
+
+def test_cg_block_want_curv_K_matches_standalone():
+    """diag.K (in-block Gaussian curvature at the final positions,
+    consumed by the boundary neck diagnostic) must equal the standalone
+    curvature program on the same padded arrays, and must not perturb
+    the positions themselves."""
+    from ch_shrinkwrap_tpu.ops.curvature import curvature_grad
+    pts, sig = sphere_cloud(n=4000, seed=11)
+    v, f = icosphere(3, radius=55.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    sigma_inv = jnp.asarray(1.0 / sig)
+    weights = sigma_inv / jnp.sqrt((sigma_inv ** 2).sum())
+    pmask = jnp.ones((len(pts),), bool)
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            jnp.asarray(pts), sigma_inv, weights, pmask, 10.0)
+    f_plain, d_plain = cg_block(*args, num_iters=3, corr_method='brute')
+    assert d_plain.K is None
+    f_k, d_k = cg_block(*args, num_iters=3, corr_method='brute',
+                        nbr_f=ma.nbr_f, want_curv_K=True)
+    np.testing.assert_array_equal(np.asarray(f_plain), np.asarray(f_k))
+    K_ref = curvature_grad(f_k, ma.faces, ma.f_mask, ma.v_mask,
+                           ma.nbr_v, ma.nbr_f).K
+    np.testing.assert_array_equal(np.asarray(d_k.K), np.asarray(K_ref))
