@@ -309,7 +309,12 @@ def mean_and_hausdorff_distance(points0, points1):
 
 def hausdorff_smoothness(points0, points1, normals0, normals1):
     """Normal-angle mean / Hausdorff over NN correspondences
-    (evaluation_utils_old.py:399-406)."""
+    (evaluation_utils_old.py:399-406).
+
+    DELIBERATE DEVIATION: the reference uses the signed dot; this
+    lighter panel takes ``abs`` so the metric is orientation-invariant
+    (mesh-vs-SDF normal orientations are not aligned here).  The
+    faithful signed construction is ``berger_smoothness``."""
     phi, psi, _, _ = construct_ordered_pairs(points0, points1)
 
     def angles(na, nb):
