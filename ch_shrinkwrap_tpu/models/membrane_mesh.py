@@ -153,9 +153,19 @@ class MembraneMesh(TriangleMesh):
                 ma = ma._replace(positions=jnp.asarray(pos))
                 self._diag_ma_cache = (rev, ma, self._geom_rev)
             return ma
-        ma = meshdata.from_mesh(
-            self, v_cap=b(self.vertices.shape[0]),
-            f_cap=b(self.faces.shape[0]), quantum=q)
+        # rebuild (topology changed): KEEP the previous capacities when
+        # they still cover — a fit-donated cache carries the fit's
+        # (v_cap, f_cap), and shrinking surgery (punch/necks) must not
+        # bounce the curvature program to a different pow2 shape (one
+        # cold service compile per new shape, ~15-100 s)
+        if (cached is not None
+                and cached[1].positions.shape[0] >= self.vertices.shape[0]
+                and cached[1].faces.shape[0] >= self.faces.shape[0]):
+            v_cap = cached[1].positions.shape[0]
+            f_cap = cached[1].faces.shape[0]
+        else:
+            v_cap, f_cap = b(self.vertices.shape[0]), b(self.faces.shape[0])
+        ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap, quantum=q)
         self._diag_ma_cache = (self._topo_rev, ma, self._geom_rev)
         return ma
 

@@ -70,5 +70,21 @@ for n in (100_000, 1_000_000):
                                                       num_segments=ns),
           vals, seg)
 
+# AOT vs traced-with-data: if the service snapshots concrete argument
+# buffers into the blob, compiling from abstract avals should produce a
+# much smaller entry for the same program
+n = 4_000_000
+before = set(entries())
+t0 = time.time()
+aot = jax.jit(lambda v: v * 2.0 + 1.0).lower(
+    jax.ShapeDtypeStruct((n,), jnp.float32)).compile()
+dt = time.time() - t0
+new = {p: s for p, s in entries().items() if p not in before}
+for p, s in new.items():
+    print(f'aot_mul_n{n}: {s/1e6:8.2f} MB  ({dt:6.1f}s)  '
+          f'{os.path.basename(p)[:40]}', flush=True)
+x = jnp.ones((n,), jnp.float32)
+probe(f'traced_mul_n{n}', lambda v: v * 2.0 + 1.0, x)
+
 print('cache dir:', CACHE)
 print('total:', sum(entries().values()) / 1e6, 'MB')

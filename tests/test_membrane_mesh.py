@@ -133,3 +133,29 @@ def test_fit_donated_partial_curvature_state_repopulates():
                                rtol=0, atol=1e-6)
     H = mesh.curvature_mean          # None in the donated state
     assert np.isfinite(H).all() and H.shape == (len(mesh.vertices),)
+
+
+def test_diag_meshdata_keeps_capacity_across_topology_change():
+    """After the fit donates its (v_cap, f_cap)-shaped meshdata, a
+    topology change (punch/neck surgery shrinks the mesh) must rebuild
+    the diagnostic meshdata AT THE SAME capacities — a new pow2 shape
+    would cost a cold curvature-program compile mid-fit."""
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v, f = icosphere(3, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    v_cap = meshdata.round_up_bucket(3 * len(v), mesh.pad_quantum)
+    f_cap = meshdata.round_up_bucket(3 * len(f), mesh.pad_quantum)
+    ma = meshdata.from_mesh(mesh, v_cap=v_cap, f_cap=f_cap,
+                            quantum=mesh.pad_quantum)
+    mesh._donate_diag_meshdata(ma, ma.positions)
+    assert mesh._padded_meshdata().positions.shape[0] == v_cap
+
+    mesh.unsafe_remove_vertices(np.arange(10))   # bump topo rev
+    mesh.repair()
+    ma2 = mesh._padded_meshdata()
+    assert ma2.positions.shape[0] == v_cap
+    assert ma2.faces.shape[0] == f_cap
+    # and the rebuilt tables are correct for the new topology
+    K = mesh.curvature_gaussian
+    assert K.shape == (len(mesh.vertices),) and np.isfinite(K).all()
