@@ -337,6 +337,22 @@ def DualCapsule(length, r, sep):
         Capsule(start=np.array([sep / 2, 0, 0]), end=np.array([sep / 2, length, 0]), radius=r))
 
 
+def CollinearCapsules(length, r, gap):
+    """Two capsules on one axis with ``gap`` between their rounded
+    tips: the density seed bridges the gap with a LOCALIZED tube — a
+    genuine neck (unlike ``DualCapsule``, whose side-by-side bodies
+    weld along their whole length into a seam no neck pass can cut).
+    ``gap`` is between the SURFACES (the rounded tips extend ``r``
+    beyond the segment ends).  Truth topology: two components,
+    euler 4."""
+    tip = gap / 2 + r
+    return UnionShape(
+        Capsule(start=np.array([-tip - length, 0, 0]),
+                end=np.array([-tip, 0, 0]), radius=r),
+        Capsule(start=np.array([tip, 0, 0]),
+                end=np.array([tip + length, 0, 0]), radius=r))
+
+
 class UnionShape(Shape):
     """Smooth union of two shapes (polynomial smooth-min with radius k)."""
 

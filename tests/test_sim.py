@@ -144,3 +144,20 @@ def test_torus_accepts_sweep_config_spelling():
     p = np.array([[130.0, 0.0], [0.0, 100.0], [0.0, 30.0]])
     np.testing.assert_allclose(np.asarray(a.sdf(p)), np.asarray(b.sdf(p)))
     assert abs(float(np.asarray(a.sdf(p)).ravel()[0])) < 1e-9
+
+
+def test_collinear_capsules_geometry():
+    """CollinearCapsules' gap is between SURFACES: the gap center is
+    outside at gap/2 from each tip; segment interiors are at -r."""
+    from ch_shrinkwrap_tpu.sim import shape
+    s = shape.CollinearCapsules(250, 40, 40)
+    p = np.array([[0.0, 0, 0],      # gap center: outside by gap/2
+                  [60.0, 0, 0],     # right segment start: depth -r
+                  [-60.0, 0, 0],    # left segment end: depth -r
+                  [360.0, 0, 0]],   # past the right cap (surface 350)
+                 ).T
+    d = s.sdf(p)
+    np.testing.assert_allclose(d[0], 20.0, atol=1e-6)
+    np.testing.assert_allclose(d[1], -40.0, atol=1e-6)
+    np.testing.assert_allclose(d[2], -40.0, atol=1e-6)
+    np.testing.assert_allclose(d[3], 10.0, atol=1e-6)
