@@ -301,14 +301,13 @@ def _run_entries_isolated(todo, seed, out_dir, save_stl, n_workers,
     # Spawned children inherit os.environ at start(), so scrub the
     # trigger around the start() calls when the parent isn't on TPU.
     import jax as _jax
-    scrub_tpu_env = (_jax.default_backend() != 'tpu'
-                     and os.environ.get('PALLAS_AXON_POOL_IPS'))
+    scrub_tpu_env = _jax.default_backend() != 'tpu'
 
     def _start_scrubbed(proc):
         # drop the axon trigger AND pin the child to the parent's real
         # backend: the image env says JAX_PLATFORMS=axon, which would
         # leave the child with no registered backend once the axon
-        # hook is skipped
+        # hook is skipped (or absent from the environment entirely)
         saved = {k: os.environ.get(k)
                  for k in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS')}
         os.environ.pop('PALLAS_AXON_POOL_IPS', None)
