@@ -29,12 +29,37 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def find_candidate_faces(mesh, points, eps=10.0):
-    """Faces with no point within eps of their centroid (pyx:877-887)."""
+def _points_tree(mesh, points_key, points):
+    """cKDTree of the localization cloud, cached on the mesh: the
+    cloud is constant for a whole fit while punch_holes runs at every
+    delaunay boundary, and the 1e6-point tree build alone costs ~1.5 s
+    per call.  Keyed on the CALLER's array object identity + shape
+    (the driver holds one points array for the fit; a different or
+    resized array rebuilds)."""
     from scipy.spatial import cKDTree
+    key = (id(points_key), points.shape, points.dtype.str)
+    cached = getattr(mesh, '_holepunch_tree_cache', None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     tree = cKDTree(points)
+    mesh._holepunch_tree_cache = (key, tree)
+    return tree
+
+
+def find_candidate_faces(mesh, points, eps=10.0, tree=None):
+    """Faces with no point within eps of their centroid (pyx:877-887).
+
+    The query is eps-bounded: only the predicate ``dist > eps`` is
+    consumed, and scipy returns inf for misses under
+    ``distance_upper_bound`` (bounded traversal measured ~2x faster at
+    1e6 points x 327k centers; same lesson as wrap_start's bounded
+    kNN field)."""
+    from scipy.spatial import cKDTree
+    if tree is None:
+        tree = cKDTree(points)
     centers = mesh.vertices[mesh.faces].mean(1)
-    dist, _ = tree.query(centers, k=1, workers=-1)
+    dist, _ = tree.query(centers, k=1, workers=-1,
+                         distance_upper_bound=eps)
     return np.flatnonzero(dist > eps).astype(np.int32)
 
 
@@ -87,11 +112,12 @@ def pair_candidate_faces(mesh, candidates):
 
 
 def empty_prism_candidate_faces(mesh, points, candidates, candidate_pair,
-                                eps=10.0):
+                                eps=10.0, tree=None):
     """Keep pairs with no points inside the prism between the two
     triangles (pyx:946-1016); restores one-to-one matching."""
     from scipy.spatial import cKDTree
-    tree = cKDTree(points)
+    if tree is None:
+        tree = cKDTree(points)
     kept = np.zeros(len(candidates), dtype=bool)
     disallowed = np.zeros(len(candidates), dtype=bool)
 
@@ -345,14 +371,16 @@ def punch_holes(mesh, pts, eps=10.0):
     semantics — re-running the analysis after surgery would flag the
     fresh tunnel walls, which have no nearby points by construction,
     and cascade into over-punching)."""
+    pts_key = pts
     pts = np.asarray(pts, dtype=np.float64)
+    tree = _points_tree(mesh, pts_key, pts)
     total = 0
-    hc = find_candidate_faces(mesh, pts, eps=eps)
+    hc = find_candidate_faces(mesh, pts, eps=eps, tree=tree)
     if len(hc) >= 1:
         cands, pairs = pair_candidate_faces(mesh, hc)
         if len(cands) >= 1:
             empty_cands, empty_pairs = empty_prism_candidate_faces(
-                mesh, pts, cands, pairs, eps=eps)
+                mesh, pts, cands, pairs, eps=eps, tree=tree)
             if len(empty_cands) >= 1:
                 component = connect_candidates(mesh, empty_cands)
                 chi = component_euler_characteristic(
