@@ -37,7 +37,11 @@ def _points_tree(mesh, points_key, points):
     (the driver holds one points array for the fit; a different or
     resized array rebuilds)."""
     from scipy.spatial import cKDTree
-    key = (id(points_key), points.shape, points.dtype.str)
+    # id() alone can alias after GC; a strided 16-row sample
+    # fingerprints the content for ~free
+    step = max(1, len(points) // 16)
+    key = (id(points_key), points.shape, points.dtype.str,
+           points[::step][:16].tobytes())
     cached = getattr(mesh, '_holepunch_tree_cache', None)
     if cached is not None and cached[0] == key:
         return cached[1]
