@@ -55,6 +55,15 @@ ap.add_argument('--neck-threshold-low', type=float, default=-1e-3,
                      'the pyx-internal default -1e-4 flags 10x more')
 ap.add_argument('--neck-threshold-high', type=float, default=1e-2)
 ap.add_argument('--minimum-edge-length', type=float, default=5.0)
+ap.add_argument('--capacity-mode', choices=['final', 'bucketed'],
+                default='final',
+                help="'final' = ONE program for the whole fit (one big "
+                     "executable load); 'bucketed' = pow2 capacity "
+                     "ladder whose early programs are small and whose "
+                     "later loads the prewarm thread overlaps with "
+                     "running blocks (worth re-measuring now that the "
+                     "prewarm dummy call shares the driver's exact "
+                     "pjit signature via block_call)")
 args = ap.parse_args()
 
 rng = np.random.default_rng(0)
@@ -82,6 +91,7 @@ mesh = MembraneMesh(
     neck_first_iter=args.neck_first_iter,
     neck_threshold_low=args.neck_threshold_low,
     neck_threshold_high=args.neck_threshold_high)
+mesh.capacity_mode = args.capacity_mode
 t0 = time.time()
 mesh.shrink_wrap(pts, sig, method='conjugate_gradient',
                  minimum_edge_length=args.minimum_edge_length)
