@@ -77,6 +77,12 @@ class MembraneMesh(TriangleMesh):
         self.neck_first_iter = -1
         self.shrink_weight = 0.0
         self.truncate_at = 2 ** 31
+        # Skip the internal remesh inside boundary surgeries
+        # (remove_necks / remove_extra_short_edges) when the driver's
+        # scheduled remesh immediately follows — it redoes the same
+        # split/collapse work at the scheduled target.  False = the
+        # reference's exact doubled sequence (pyx:1539-1546).
+        self.defer_boundary_remesh = True
 
         # capacity bucketing quantum for device arrays
         self.pad_quantum = 1024
@@ -353,10 +359,19 @@ class MembraneMesh(TriangleMesh):
     # topology surgery
 
     def remove_necks(self, neck_curvature_threshold_low=-1e-4,
-                     neck_curvature_threshold_high=1e-2):
+                     neck_curvature_threshold_high=1e-2,
+                     defer_remesh=False):
         """Sever necks flagged by extreme Gaussian curvature
         (pyx:1201-1219): delete flagged vertices, repair the holes,
-        remesh, drop severed inner fragments."""
+        remesh, drop severed inner fragments.
+
+        ``defer_remesh=True`` skips the internal full remesh pass: the
+        fit driver calls this only at remesh boundaries, where the
+        scheduled ``remesh(5, target, 0.5)`` immediately follows and
+        redoes the same split/collapse work at the scheduled target
+        (the reference pays the doubled pass, pyx:1539+1546; measured
+        ~92% of the surgery wall-clock here).  ``False`` reproduces the
+        reference sequence exactly."""
         import time as _time
         t0 = _time.time()
         if os.environ.get('CSW_FINE_TIMERS') and self._curv_state is None:
@@ -384,7 +399,8 @@ class MembraneMesh(TriangleMesh):
             self.unsafe_remove_vertices(verts)
             self.repair()
             t2 = _time.time()
-            self.remesh(n_relax=0)
+            if not defer_remesh:
+                self.remesh(n_relax=0)
             t3 = _time.time()
             self.remove_inner_surfaces()
             logger.info(
@@ -396,9 +412,14 @@ class MembraneMesh(TriangleMesh):
             logger.info('remove_necks: 0 verts flagged (curv read '
                         '%.2fs)', t_curv)
 
-    def remove_extra_short_edges(self, threshold=0.05):
+    def remove_extra_short_edges(self, threshold=0.05,
+                                 defer_remesh=False):
         """Remove vertices on pathologically short edges that topology
-        prevented collapsing (pyx:1221-1237)."""
+        prevented collapsing (pyx:1221-1237).
+
+        ``defer_remesh`` as in :meth:`remove_necks`: skip the internal
+        remesh when the driver's scheduled remesh follows at the same
+        boundary."""
         he = self.halfedges
         el = he.length
         if el.size == 0:
@@ -411,7 +432,8 @@ class MembraneMesh(TriangleMesh):
             self.unsafe_remove_vertices(verts)
             self.repair()
             t2 = _time.time()
-            self.remesh(n_relax=0)
+            if not defer_remesh:
+                self.remesh(n_relax=0)
             t3 = _time.time()
             self.remove_inner_surfaces()
             logger.info(
@@ -860,14 +882,17 @@ class MembraneMesh(TriangleMesh):
 
             if r and ((j % self.remesh_frequency) == 0):
                 t0 = _time.time()
+                defer = bool(getattr(self, 'defer_boundary_remesh',
+                                     True))
                 if (neck_first_iter > 0) and (j > neck_first_iter):
                     self.remove_necks(
                         getattr(self, 'neck_threshold_low', -1e-4),
-                        getattr(self, 'neck_threshold_high', 1e-2))
+                        getattr(self, 'neck_threshold_high', 1e-2),
+                        defer_remesh=defer)
                     self.trace.record('remove_necks', j,
                                       _time.time() - t0, self)
                     t0 = _time.time()
-                self.remove_extra_short_edges()
+                self.remove_extra_short_edges(defer_remesh=defer)
                 self.trace.record('short_edges', j, _time.time() - t0,
                                   self)
                 t0 = _time.time()

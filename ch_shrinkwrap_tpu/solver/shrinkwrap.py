@@ -559,7 +559,32 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
     production caller through this one site makes the prewarmer's
     dummy call and the driver's real call byte-identical by
     construction, so they cannot drift apart.
+
+    ``CSW_AOT_BLOCK=1`` routes the call through an ahead-of-time
+    ``.lower().compile()`` instead of traced dispatch — probe for the
+    executable-size hypothesis (axon-cached blobs may embed
+    buffer-scale data when compilation is triggered by an execution
+    with live buffers; AOT compiles never see buffers).
     """
+    import os as _os
+    if _os.environ.get('CSW_AOT_BLOCK'):
+        return _block_call_aot(
+            dict(positions=positions, faces=faces, f_mask=f_mask,
+                 v_mask=v_mask, nbr_v=nbr_v, points=points,
+                 sigma_inv=sigma_inv, weights=weights,
+                 point_mask=point_mask, lam0=lam0,
+                 shrink_lam=shrink_lam, face_nbrs=face_nbrs,
+                 fold_starts=fold_starts, fold_uncov=fold_uncov,
+                 vtx_gather_starts=vtx_gather_starts,
+                 vtx_gather_uncov=vtx_gather_uncov,
+                 ncc_gather_starts=ncc_gather_starts,
+                 ncc_gather_uncov=ncc_gather_uncov,
+                 ring_tri=ring_tri, ring_ncc=ring_ncc,
+                 ring_fold=ring_fold, nbr_f=nbr_f,
+                 active_iters=active_iters, cell_size=cell_size),
+            dict(num_iters=num_iters, use_shrink=use_shrink,
+                 face_chunk=face_chunk, corr_method=corr_method,
+                 want_curv_K=want_curv_K, face_hcgc=face_hcgc))
     return cg_block(
         positions, faces, f_mask, v_mask, nbr_v,
         points, sigma_inv, weights, point_mask,
@@ -575,3 +600,26 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
         ncc_gather_uncov=ncc_gather_uncov,
         ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
         nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc)
+
+
+_AOT_COMPILED = {}
+
+
+def _block_call_aot(dyn, statics):
+    """AOT-compiled dispatch for :func:`block_call` (CSW_AOT_BLOCK=1).
+
+    Compiles via ``jit(...).lower(**args).compile()`` — tracing from
+    avals only, no live buffers at compile time — then calls the cached
+    executable with the dynamic arguments.  Cache key: dynamic pytree
+    structure + leaf shapes/dtypes + the static argument values.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(dyn)
+    avals = tuple(
+        (getattr(l, 'shape', ()), str(jnp.asarray(l).dtype))
+        for l in leaves)
+    key = (str(treedef), avals, tuple(sorted(statics.items())))
+    compiled = _AOT_COMPILED.get(key)
+    if compiled is None:
+        compiled = cg_block.lower(**dyn, **statics).compile()
+        _AOT_COMPILED[key] = compiled
+    return compiled(**dyn)

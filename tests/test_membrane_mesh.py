@@ -73,6 +73,33 @@ def dumbbell_mesh():
     return mesh
 
 
+def test_short_edges_defer_remesh():
+    """``defer_remesh=True`` removes the flagged vertices and repairs
+    without the internal full remesh (the driver's scheduled remesh
+    follows at the same boundary); the mesh stays closed and manifold
+    either way."""
+    rng = np.random.default_rng(5)
+    v, f = icosphere(3, radius=50.0)
+    results = {}
+    for defer in (False, True):
+        m = MembraneMesh(v.copy(), f.copy())
+        nb = m.vertex_neighbors
+        idx = rng.choice(len(v), size=12, replace=False)
+        tgt = nb[idx, 0]
+        ok = tgt >= 0
+        pos = m.vertices.copy()
+        pos[idx[ok]] = pos[tgt[ok]] + 1e-4
+        m.set_positions(pos)
+        el = m.halfedges.length
+        assert (el < 0.05 * np.median(el)).any()
+        m.remove_extra_short_edges(defer_remesh=defer)
+        el2 = m.halfedges.length
+        assert not (el2 < 0.05 * np.median(el2)).any()
+        assert m.is_manifold
+        assert m.euler_characteristic == 2
+        results[defer] = m.vertices.shape[0]
+
+
 def test_remove_necks_severs_dumbbell():
     mesh = dumbbell_mesh()
     _, n0 = mesh.connected_components()

@@ -157,6 +157,33 @@ def test_cg_block_converges_to_sphere():
     assert int(diag.n_done) == 5
 
 
+def test_block_call_aot_matches_traced(monkeypatch):
+    """CSW_AOT_BLOCK=1 routes block_call through .lower().compile();
+    results must match the traced-dispatch path bit-for-bit (same
+    program, same backend)."""
+    from ch_shrinkwrap_tpu.solver.shrinkwrap import block_call
+
+    pts, sigma = sphere_cloud(R=50.0, n=800, sigma=3.0, seed=3)
+    v, f = icosphere(2, radius=60.0)
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
+    sigma_inv = (1.0 / sigma).astype(np.float32)
+    weights = sigma_inv / sigma_inv.mean()
+    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            jnp.asarray(pts), jnp.asarray(sigma_inv),
+            jnp.asarray(weights), jnp.ones(pts.shape[0], bool),
+            2.0, 0.0)
+    kw = dict(num_iters=3, active_iters=3, use_shrink=False,
+              face_chunk=512, corr_method='brute', cell_size=1.0,
+              face_nbrs=None)
+    monkeypatch.delenv('CSW_AOT_BLOCK', raising=False)
+    f_ref, diag_ref = block_call(*args, **kw)
+    monkeypatch.setenv('CSW_AOT_BLOCK', '1')
+    f_aot, diag_aot = block_call(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_aot))
+    np.testing.assert_array_equal(np.asarray(diag_ref.ress),
+                                  np.asarray(diag_aot.ress))
+
+
 def test_cg_block_respects_padding():
     pts, sigma = sphere_cloud(R=50.0, n=500, sigma=3.0)
     v, f = icosphere(2, radius=75.0)
