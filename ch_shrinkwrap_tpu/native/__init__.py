@@ -103,6 +103,10 @@ def get_lib():
         f32p, ctypes.c_int64, f32p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_float, f32p]
     lib.knn_field_native.restype = None
+    lib.hilbert_codes_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
+    lib.hilbert_codes_native.restype = None
     _lib = lib
     return lib
 
@@ -250,4 +254,20 @@ def knn_field(points, queries, k, bound):
                          _f32p(q), ctypes.c_int64(len(q)),
                          int(k), ctypes.c_float(float(bound)),
                          _f32p(out))
+    return out
+
+
+def hilbert_codes(X, bits):
+    """Hilbert codes for pre-quantized (n, 3) uint32 coordinates;
+    bit-exact twin of the numpy Skilling loops in
+    ``ops.correspondence.hilbert_order``.  None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Xc = np.ascontiguousarray(X, dtype=np.uint32)
+    out = np.empty(len(Xc), np.uint64)
+    lib.hilbert_codes_native(
+        Xc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(len(Xc)), int(bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out

@@ -947,4 +947,45 @@ void knn_field_native(const float* pts, int64_t n_pts,
     }
 }
 
+// Hilbert codes from pre-quantized (n,3) uint32 coordinates (Skilling,
+// "Programming the Hilbert curve", 2004).  Bit-exact twin of the numpy
+// loops in ops.correspondence.hilbert_order — the quantization stays in
+// numpy (vector ops are cheap there); the 9x3-pass transpose transform
+// and the 3*bits-pass bit interleave are the wall-clock and go here.
+void hilbert_codes_native(const uint32_t* Xin, int64_t n, int bits,
+                          uint64_t* out) {
+    const uint32_t M = 1u << (bits - 1);
+    for (int64_t j = 0; j < n; ++j) {
+        uint32_t X[3] = {Xin[3 * j], Xin[3 * j + 1], Xin[3 * j + 2]};
+        // inverse undo
+        for (uint32_t Q = M; Q > 1; Q >>= 1) {
+            const uint32_t P = Q - 1;
+            for (int i = 0; i < 3; ++i) {
+                if (X[i] & Q) {
+                    X[0] ^= P;
+                } else {
+                    const uint32_t t = (X[0] ^ X[i]) & P;
+                    X[0] ^= t;
+                    X[i] ^= t;
+                }
+            }
+        }
+        // Gray encode
+        X[1] ^= X[0];
+        X[2] ^= X[1];
+        uint32_t t = 0;
+        for (uint32_t Q = M; Q > 1; Q >>= 1)
+            if (X[2] & Q) t ^= Q - 1;
+        X[0] ^= t;
+        X[1] ^= t;
+        X[2] ^= t;
+        // transpose-interleave, axis 0 holds MSBs
+        uint64_t code = 0;
+        for (int b = bits - 1; b >= 0; --b)
+            for (int i = 0; i < 3; ++i)
+                code = (code << 1) | ((X[i] >> b) & 1u);
+        out[j] = code;
+    }
+}
+
 }  // extern "C"

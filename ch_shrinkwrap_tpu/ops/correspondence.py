@@ -256,6 +256,12 @@ def hilbert_order(points, bits=10):
     X = ((p - lo) / np.maximum(hi - lo, 1e-12) * ((1 << bits) - 1)
          ).astype(np.uint32).copy()
 
+    if len(X) >= 4096:
+        from .. import native
+        code = native.hilbert_codes(X, bits)
+        if code is not None:
+            return np.argsort(code, kind='stable')
+
     M = np.uint32(1 << (bits - 1))
     # inverse undo (Skilling, "Programming the Hilbert curve", 2004)
     Q = M

@@ -157,6 +157,22 @@ def test_cg_block_converges_to_sphere():
     assert int(diag.n_done) == 5
 
 
+def test_hilbert_order_native_matches_numpy(monkeypatch):
+    """The native hilbert_codes path must produce the identical
+    permutation to the pure-numpy Skilling loops (the fallback)."""
+    from ch_shrinkwrap_tpu import native
+    from ch_shrinkwrap_tpu.ops import correspondence as c
+
+    if native.get_lib() is None:
+        pytest.skip('native lib unavailable')
+    rng = np.random.default_rng(11)
+    pts = (rng.normal(size=(8192, 3)) * 50).astype(np.float32)
+    o_native = c.hilbert_order(pts)
+    monkeypatch.setattr(native, 'hilbert_codes', lambda X, bits: None)
+    o_numpy = c.hilbert_order(pts)
+    np.testing.assert_array_equal(o_native, o_numpy)
+
+
 def test_block_call_aot_matches_traced(monkeypatch):
     """CSW_AOT_BLOCK=1 routes block_call through .lower().compile();
     results must match the traced-dispatch path bit-for-bit (same
