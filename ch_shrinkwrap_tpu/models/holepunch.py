@@ -54,14 +54,21 @@ def find_candidate_faces(mesh, points, eps=10.0, tree=None):
     """Faces with no point within eps of their centroid (pyx:877-887).
 
     The query is eps-bounded: only the predicate ``dist > eps`` is
-    consumed, and scipy returns inf for misses under
-    ``distance_upper_bound`` (bounded traversal measured ~2x faster at
-    1e6 points x 327k centers; same lesson as wrap_start's bounded
-    kNN field)."""
+    consumed.  Preferred path: the native grid-hash kNN field (k=1,
+    bound=eps — misses return 2*eps, satisfying the predicate exactly
+    like scipy's inf under ``distance_upper_bound``; measured 2.4x the
+    bounded cKDTree at 1e6 points x 327k centers, and it needs no
+    prebuilt tree at all — the common no-candidate call then skips the
+    ~1.5 s tree build entirely)."""
+    centers = mesh.vertices[mesh.faces].mean(1)
+    if tree is None:
+        from .. import native
+        dist = native.knn_field(points, centers, 1, float(eps))
+        if dist is not None:
+            return np.flatnonzero(dist > eps).astype(np.int32)
     from scipy.spatial import cKDTree
     if tree is None:
         tree = cKDTree(points)
-    centers = mesh.vertices[mesh.faces].mean(1)
     dist, _ = tree.query(centers, k=1, workers=-1,
                          distance_upper_bound=eps)
     return np.flatnonzero(dist > eps).astype(np.int32)
@@ -377,12 +384,16 @@ def punch_holes(mesh, pts, eps=10.0):
     and cascade into over-punching)."""
     pts_key = pts
     pts = np.asarray(pts, dtype=np.float64)
-    tree = _points_tree(mesh, pts_key, pts)
     total = 0
-    hc = find_candidate_faces(mesh, pts, eps=eps, tree=tree)
+    # candidate detection runs tree-free through the native kNN field;
+    # the (cached) cKDTree is only built once candidates survive to the
+    # prism-emptiness pass, so the common no-candidate call pays
+    # neither the tree build nor the scipy query
+    hc = find_candidate_faces(mesh, pts, eps=eps)
     if len(hc) >= 1:
         cands, pairs = pair_candidate_faces(mesh, hc)
         if len(cands) >= 1:
+            tree = _points_tree(mesh, pts_key, pts)
             empty_cands, empty_pairs = empty_prism_candidate_faces(
                 mesh, pts, cands, pairs, eps=eps, tree=tree)
             if len(empty_cands) >= 1:
