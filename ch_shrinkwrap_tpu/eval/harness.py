@@ -47,6 +47,10 @@ EXPECTED_TOPOLOGY = {
     'Box': (2, 1),
     'Sheet': (2, 1),
     'ThreeWayJunction': (2, 1),
+    # derived by marching the ERSim SDF at 6 and 4 nm voxels (both
+    # give euler 0, one manifold component — the a->b->c->d tubule
+    # chain closes a handle through the origin sheets)
+    'ERSim': (0, 1),
 }
 
 
