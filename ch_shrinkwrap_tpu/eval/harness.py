@@ -46,6 +46,7 @@ EXPECTED_TOPOLOGY = {
     'RoundCone': (2, 1),
     'Box': (2, 1),
     'Sheet': (2, 1),
+    'Tetrahedron': (2, 1),
     'ThreeWayJunction': (2, 1),
     # derived by marching the ERSim SDF at 6 and 4 nm voxels (both
     # give euler 0, one manifold component — the a->b->c->d tubule

@@ -336,6 +336,10 @@ def mesh_metrics_vs_shape(mesh, shape, dx_min=5.0, p=1.0, rng=None):
         'sdf_rms': float(np.sqrt((sdf_d ** 2).mean())),
         'sdf_mean_abs': float(np.abs(sdf_d).mean()),
         'sdf_hausdorff': float(np.abs(sdf_d).max()),
+        # the max is a single-sample tail (one deep pocket dominates on
+        # composite shapes, e.g. ERSim 167 vs Berger-H 22.6 nm); p99
+        # separates a systematic miss from a sampling artifact
+        'sdf_p99': float(np.percentile(np.abs(sdf_d), 99.0)),
     }
     return out
 

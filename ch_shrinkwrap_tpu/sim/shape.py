@@ -130,6 +130,14 @@ class Torus(Shape):
 class Tetrahedron(Shape):
     def __init__(self, v0, v1, v2, v3, **kwargs):
         Shape.__init__(self, **kwargs)
+        # accept plain lists (YAML sweep configs) as well as arrays
+        v0, v1, v2, v3 = (np.asarray(v, dtype=float)
+                          for v in (v0, v1, v2, v3))
+        # sdf.tetrahedron's face planes are outward only for positively
+        # oriented vertices (the reference requires orient_simps order,
+        # sdf.py:204); canonicalize so any YAML ordering works
+        if np.dot(np.cross(v1 - v0, v2 - v0), v3 - v0) < 0:
+            v1, v2 = v2, v1
         d = [dot2(a - b) for a, b in ((v0, v1), (v0, v2), (v0, v3),
                                       (v1, v2), (v1, v3), (v2, v3))]
         self._radius = np.sqrt(np.max(d))
