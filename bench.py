@@ -64,29 +64,14 @@ def main():
     # kernel fold + banded window gathers (same gating as the driver)
     fold_starts = fold_uncov = None
     ring_tri = ring_ncc = ring_fold = None
-    ring_at = int(os.environ.get('BENCH_RING_AT', 300_000))
+    # matches the driver's ring_gather_min_verts default: the ring
+    # kernels win from ~32k padded verts up (probe_block_cost.py)
+    ring_at = int(os.environ.get('BENCH_RING_AT', 32768))
     if ma.positions.shape[0] > ring_at:
         if os.environ.get('BENCH_RING_GATHER', '1') == '1':
-            from ch_shrinkwrap_tpu.ops.pallas_gather import \
-                ring_gather_schedule
-            Vp_now = ma.positions.shape[0]
-            faces_np = np.asarray(ma.faces)
-            ring_tri = ring_gather_schedule(
-                faces_np.reshape(-1),
-                np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
-            nbr_np = np.asarray(ma.nbr_v)
-            ring_ncc = ring_gather_schedule(
-                np.clip(nbr_np, 0, None).reshape(-1),
-                (nbr_np >= 0).reshape(-1), Vp_now)
-            inc, ov_r, ov_v = meshdata.incidence_table(
-                faces_np, np.asarray(ma.f_mask), Vp_now)
-            f_sched = ring_gather_schedule(
-                np.clip(inc, 0, None).reshape(-1),
-                (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
-            if f_sched is not None:
-                ring_fold = (f_sched, jnp.asarray(inc >= 0),
-                             jnp.asarray(ov_r) if len(ov_r) else None,
-                             jnp.asarray(ov_v) if len(ov_r) else None)
+            # same capacity-constant schedule layout as the fit driver
+            ring_tri, ring_ncc, ring_fold = \
+                meshdata.fit_ring_schedules(ma)
         if ring_fold is None:
             sched = meshdata.fold_schedule(np.asarray(ma.faces),
                                            mesh.faces.shape[0],

@@ -659,6 +659,9 @@ class MembraneMesh(TriangleMesh):
                 ladder, pts_j, sig_j, w_j, pmask, lam0, shrink_lam,
                 int(ni_pre), use_shrink, self.face_chunk, method,
                 self.kc, self.kg, self.c0, quantum=self.pad_quantum,
+                ring_min_verts=int(getattr(self, 'ring_gather_min_verts',
+                                           32768)),
+                uniform_weights=uniform_weights,
                 want_curv_K=bool(r and neck_first_iter > 0
                                  and dmesh is None))
         self._prewarm_cancel = prewarm_cancel
@@ -728,40 +731,39 @@ class MembraneMesh(TriangleMesh):
                 fold_starts = fold_uncov = None
                 vg_starts = vg_uncov = ng_starts = ng_uncov = None
                 ring_tri = ring_ncc = ring_fold = None
-                if ma.positions.shape[0] > 300_000:
-                    # beyond ~300k padded vertices XLA's vertex-table
-                    # scatter AND gathers leave cache (BASELINE.md
-                    # scaling); route them through host-verified window
-                    # schedules.  Production: the sliding-ring Mosaic
-                    # gather kernel (ops.pallas_gather; 4-5x XLA's cliff
-                    # gather at 656k verts) for the faces-index / ncc
-                    # gathers AND — inverted through a static incidence
-                    # table — for the faces->verts fold.  The pure-XLA
-                    # banded variant (use_windowed_gather) is kept for
-                    # reference but measured SLOWER than both.
+                if ma.positions.shape[0] > int(getattr(
+                        self, 'ring_gather_min_verts', 32768)):
+                    # the sliding-ring Mosaic gather kernel
+                    # (ops.pallas_gather) wins well below the original
+                    # >300k XLA scatter/gather cliff: measured per-iter
+                    # 206 -> 90 ms at the fit capacity (231k padded
+                    # verts) and 13.1 vs 10.6 iters/s at the 164k
+                    # bench, still ahead at 41k (14.8 vs 14.0) —
+                    # scripts/probe_block_cost.py, 2026-08-18.  Routes
+                    # the faces-index / ncc gathers AND — inverted
+                    # through a static incidence table — the
+                    # faces->verts fold.  The pure-XLA banded variant
+                    # (use_windowed_gather) is kept for reference but
+                    # measured SLOWER than both.
                     use_ring = (getattr(self, 'use_ring_gather', True)
-                                and dmesh is None)
+                                and dmesh is None
+                                and jax.default_backend() == 'tpu')
                     if use_ring:
-                        from ..ops.pallas_gather import ring_gather_schedule
-                        faces_np = np.asarray(ma.faces)
-                        Vp_now = ma.positions.shape[0]
-                        ring_tri = ring_gather_schedule(
-                            faces_np.reshape(-1),
-                            np.repeat(np.asarray(ma.f_mask), 3), Vp_now)
-                        nbr_np = np.asarray(ma.nbr_v)
-                        ring_ncc = ring_gather_schedule(
-                            np.clip(nbr_np, 0, None).reshape(-1),
-                            (nbr_np >= 0).reshape(-1), Vp_now)
-                        inc, ov_r, ov_v = meshdata.incidence_table(
-                            faces_np, np.asarray(ma.f_mask), Vp_now)
-                        f_sched = ring_gather_schedule(
-                            np.clip(inc, 0, None).reshape(-1),
-                            (inc >= 0).reshape(-1), 3 * faces_np.shape[0])
-                        if f_sched is not None:
-                            ring_fold = (
-                                f_sched, jnp.asarray(inc >= 0),
-                                jnp.asarray(ov_r) if len(ov_r) else None,
-                                jnp.asarray(ov_v) if len(ov_r) else None)
+                        # capacity-constant schedule layout: the
+                        # compiled block is IDENTICAL across remesh
+                        # boundaries within a bucket (fixed_layout
+                        # schedules + fixed incidence-overflow pad);
+                        # all three schedules engage atomically or not
+                        # at all (mixed combinations would each be a
+                        # separate compile)
+                        ring_tri, ring_ncc, ring_fold = \
+                            meshdata.fit_ring_schedules(ma)
+                        if ring_tri is None:
+                            logger.warning(
+                                'ring schedules over budget at Vp=%d; '
+                                'falling back to the XLA gather path '
+                                'for this topology (recompile likely)',
+                                ma.positions.shape[0])
                     if ring_fold is None and method == 'windowed_pallas':
                         sched = meshdata.fold_schedule(
                             np.asarray(ma.faces), self.faces.shape[0],
@@ -826,9 +828,11 @@ class MembraneMesh(TriangleMesh):
                 want_curv_K=want_K,
                 # pays off only once the (N, 9s) AS gather is on the
                 # >300k cliff; below it the extra w2 kernel pass costs
-                # more than the gather it replaces
+                # more than the gather it replaces (measured neutral at
+                # 231k with ring gathers on — probe_block_cost.py)
                 face_hcgc=(method == 'windowed_pallas'
                            and ring_tri is not None
+                           and positions.shape[0] > 300_000
                            and uniform_weights))
             if _ft:
                 _t_disp = _ft() - _ts

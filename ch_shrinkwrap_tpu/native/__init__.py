@@ -103,6 +103,17 @@ def get_lib():
         f32p, ctypes.c_int64, f32p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_float, f32p]
     lib.knn_field_native.restype = None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.incidence_native.argtypes = [
+        i32p, u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
+        i32p, i32p, i32p, ctypes.c_int64, i64p]
+    lib.incidence_native.restype = None
+    lib.ring_schedule_native.argtypes = [
+        i32p, u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.ring_schedule_native.restype = None
     lib.hilbert_codes_native.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
@@ -271,3 +282,69 @@ def hilbert_codes(X, bits):
         ctypes.c_int64(len(Xc)), int(bits),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+def ring_schedule(idx, care, n_src, span, ring_segs, patch_segs,
+                  patch_chunk_segs, cps, patch_cap, uncov_cap):
+    """Full ring-gather schedule in native code (the fixed-layout
+    production path of ``ops.pallas_gather.ring_gather_schedule``).
+    Returns (bases, pbases, dmas, idx_patched (nc,128), targets,
+    uncov, n_patch_rows, n_uncov) or None if the library is
+    unavailable.  Semantics match the numpy formulation exactly
+    (tested); the caller enforces the patch/uncov budgets from the
+    returned counts."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    care = np.ascontiguousarray(care, dtype=np.uint8)
+    R = idx.shape[0]
+    step_rows = cps * 128
+    n_steps = -(-R // step_rows)
+    Rp = n_steps * step_rows
+    nc = Rp // 128
+    bases = np.zeros(nc, np.int32)
+    pbases = np.zeros(nc, np.int32)
+    dmas = np.zeros(n_steps * 8, np.int32)
+    idx_patched = np.zeros(Rp, np.int32)
+    idx_patched[:R] = idx
+    targets = np.zeros(patch_cap, np.int32)
+    uncov = np.full(uncov_cap, -1, np.int32)
+    n_patch = ctypes.c_int64(0)
+    n_uncov = ctypes.c_int64(0)
+    lib.ring_schedule_native(
+        _i32p(idx), care.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(R), ctypes.c_int32(int(n_src)), int(span),
+        int(ring_segs), int(patch_segs), int(patch_chunk_segs),
+        int(cps), _i32p(bases), _i32p(pbases), _i32p(dmas),
+        _i32p(idx_patched), _i32p(targets), _i32p(uncov),
+        ctypes.c_int64(patch_cap), ctypes.c_int64(uncov_cap),
+        ctypes.byref(n_patch), ctypes.byref(n_uncov))
+    return (bases, pbases, dmas, idx_patched.reshape(nc, 128), targets,
+            uncov, int(n_patch.value), int(n_uncov.value))
+
+
+def incidence(faces, f_mask, n_vertices, K=8, ov_cap=None):
+    """Native vertex->incident-corner-row table (the numpy fallback is
+    ops.meshdata.incidence_table); returns (inc (V, K) i32 -1-padded,
+    ov_rows, ov_verts) with exact numpy-order semantics, or None if the
+    library is unavailable or the overflow exceeds ``ov_cap``."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    fm = np.ascontiguousarray(f_mask, dtype=np.uint8)
+    if ov_cap is None:
+        ov_cap = 3 * len(f)
+    inc = np.full((n_vertices, K), -1, np.int32)
+    ov_rows = np.empty(ov_cap, np.int32)
+    ov_verts = np.empty(ov_cap, np.int32)
+    n_ov = ctypes.c_int64(0)
+    lib.incidence_native(
+        _i32p(f), fm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(f)), ctypes.c_int32(int(n_vertices)), int(K),
+        _i32p(inc), _i32p(ov_rows), _i32p(ov_verts),
+        ctypes.c_int64(ov_cap), ctypes.byref(n_ov))
+    if n_ov.value > ov_cap:
+        return None
+    return inc, ov_rows[:n_ov.value].copy(), ov_verts[:n_ov.value].copy()

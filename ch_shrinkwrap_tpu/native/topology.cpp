@@ -731,6 +731,234 @@ void best_mass_bases(const int32_t* idx, const uint8_t* care,
 }
 
 // ---------------------------------------------------------------------
+// Vertex->incident-corner-row table (ops/meshdata.incidence_table):
+// counting sort of the valid flat face-corner rows by their vertex.
+// Per vertex, rows ascend; the first K fill the table, the rest land
+// on the overflow lists in (vertex, row) order — byte-matching the
+// numpy stable-argsort formulation.
+void incidence_native(const int32_t* faces, const uint8_t* fmask,
+                      int64_t nf, int32_t nv, int K,
+                      int32_t* inc,        // (nv*K,) -1-filled by caller
+                      int32_t* ov_rows, int32_t* ov_verts,
+                      int64_t ov_cap, int64_t* n_ov) {
+    std::vector<int32_t> cnt(nv + 1, 0);
+    for (int64_t f = 0; f < nf; ++f) {
+        if (!fmask[f]) continue;
+        for (int c = 0; c < 3; ++c) {
+            int32_t v = faces[f * 3 + c];
+            if (v >= 0 && v < nv) ++cnt[v];
+        }
+    }
+    std::vector<int64_t> off(nv + 1, 0);
+    for (int32_t v = 0; v < nv; ++v) off[v + 1] = off[v] + cnt[v];
+    std::vector<int32_t> rows(off[nv]);
+    std::vector<int32_t> fill(nv, 0);
+    for (int64_t f = 0; f < nf; ++f) {
+        if (!fmask[f]) continue;
+        for (int c = 0; c < 3; ++c) {
+            int32_t v = faces[f * 3 + c];
+            if (v >= 0 && v < nv)
+                rows[off[v] + fill[v]++] = (int32_t)(f * 3 + c);
+        }
+    }
+    int64_t nov = 0;
+    for (int32_t v = 0; v < nv; ++v) {
+        int32_t m = fill[v];
+        for (int32_t j = 0; j < m; ++j) {
+            if (j < K) {
+                inc[(int64_t)v * K + j] = rows[off[v] + j];
+            } else {
+                if (nov < ov_cap) {
+                    ov_rows[nov] = rows[off[v] + j];
+                    ov_verts[nov] = v;
+                }
+                ++nov;
+            }
+        }
+    }
+    *n_ov = nov;
+}
+
+// ---------------------------------------------------------------------
+// Full ring-gather schedule (ops/pallas_gather.ring_gather_schedule,
+// fixed-layout production path) in one cache-resident pass: best-mass
+// window bases, ring/patch residency, patch bookkeeping, DMA
+// descriptors, index rewrite, patch targets and the uncovered-row
+// fixup list.  The numpy formulation costs ~0.6 s per fit-capacity
+// topology rebuild on this 1-core host (x19 rebuilds per north-star
+// fit); this runs in ~0.1 s.  Semantics byte-match the numpy path
+// (tests/test_ring_gather.py::test_ring_schedule_native_matches_numpy).
+void ring_schedule_native(
+    const int32_t* idx, const uint8_t* care, int64_t R,
+    int32_t n_src, int span,
+    int ring_segs, int patch_segs, int patch_chunk_segs, int cps,
+    int32_t* bases,        // (nc,)
+    int32_t* pbases,       // (nc,)
+    int32_t* dmas,         // (n_steps*8,)
+    int32_t* idx_patched,  // (Rp,) caller passes idx copied+padded
+    int32_t* targets,      // (patch_cap,) zero-filled by caller
+    int32_t* uncov,        // (uncov_cap,) -1-filled by caller
+    int64_t patch_cap, int64_t uncov_cap,
+    int64_t* n_patch_out, int64_t* n_uncov_out) {
+    const int64_t step_rows = (int64_t)cps * 128;
+    const int64_t n_steps = (R + step_rows - 1) / step_rows;
+    const int64_t Rp = n_steps * step_rows;
+    const int64_t nc = Rp / 128;
+    const int32_t n_al = ((n_src + 127) / 128) * 128;
+    const int32_t patch_lane0 = n_al;
+
+    // pass 1: per-chunk best-mass bases over the padded row range
+    // (pad rows read idx 0 / care 0 via the guards below)
+    {
+        std::vector<int32_t> buf(128);
+        int32_t maxbase = n_al - span > 0 ? n_al - span : 0;
+        int32_t eff = span - 128;
+        for (int64_t c = 0; c < nc; ++c) {
+            int m = 0;
+            for (int j = 0; j < 128; ++j) {
+                int64_t r = c * 128 + j;
+                if (r < R && care[r]) buf[m++] = idx[r];
+            }
+            if (m == 0) { bases[c] = 0; continue; }
+            std::sort(buf.begin(), buf.begin() + m);
+            int best = 0, bestcnt = -1, hi = 0;
+            for (int j = 0; j < m; ++j) {
+                if (hi < j) hi = j;
+                while (hi < m && buf[hi] <= buf[j] + eff) ++hi;
+                if (hi - j > bestcnt) { bestcnt = hi - j; best = j; }
+            }
+            int32_t base = (buf[best] / 128) * 128;
+            if (base >= n_src) base = 0;
+            if (base > maxbase) base = maxbase;
+            if (base < 0) base = 0;
+            bases[c] = base;
+        }
+    }
+
+    // pass 2: ring heads (running max of seg_hi) per step, then the
+    // main-ring residency bound per chunk
+    std::vector<int64_t> step_hi(n_steps), next_head(n_steps);
+    {
+        int64_t head = 0;
+        for (int64_t s = 0; s < n_steps; ++s) {
+            for (int64_t k = 0; k < cps; ++k) {
+                int64_t sh = (int64_t)(bases[s * cps + k] + span) / 128;
+                if (sh > head) head = sh;
+            }
+            step_hi[s] = head;
+        }
+        for (int64_t s = 0; s + 1 < n_steps; ++s)
+            next_head[s] = step_hi[s + 1];
+        next_head[n_steps - 1] = step_hi[n_steps - 1];
+    }
+
+    // pass 3: row classification (cov / patch), running patch
+    // positions, per-chunk patch bases
+    std::vector<int32_t> ppos_row(Rp, -1);   // patch pos per patch row
+    std::vector<uint8_t> has_patch(nc, 0);
+    int64_t n_patch_rows = 0;
+    for (int64_t c = 0; c < nc; ++c) {
+        int64_t s = c / cps;
+        bool resident = (int64_t)(bases[c] / 128)
+                        >= next_head[s] - ring_segs;
+        int32_t first_ppos = -1;
+        for (int j = 0; j < 128; ++j) {
+            int64_t r = c * 128 + j;
+            bool cr = (r < R) && care[r];
+            int32_t v = (r < R) ? idx[r] : 0;
+            int64_t off = (int64_t)v - bases[c];
+            bool cov = cr && resident && off >= 0 && off < span;
+            if (cr && !cov) {
+                ppos_row[r] = (int32_t)n_patch_rows;
+                if (first_ppos < 0) first_ppos = (int32_t)n_patch_rows;
+                ++n_patch_rows;
+            }
+        }
+        if (first_ppos >= 0) {
+            has_patch[c] = 1;
+            pbases[c] = (first_ppos / 128) * 128;
+        } else {
+            pbases[c] = 0;
+        }
+    }
+
+    // pass 4: patch-ring heads + residency, then the final per-row
+    // rewrite / target staging / uncovered fixup list
+    std::vector<int64_t> p_step_hi(n_steps), p_next(n_steps);
+    {
+        int64_t head = 0;
+        for (int64_t s = 0; s < n_steps; ++s) {
+            for (int64_t k = 0; k < cps; ++k) {
+                int64_t c = s * cps + k;
+                int64_t ph = has_patch[c]
+                    ? (int64_t)(pbases[c] + patch_chunk_segs * 128) / 128
+                    : 0;
+                if (ph > head) head = ph;
+            }
+            p_step_hi[s] = head;
+        }
+        for (int64_t s = 0; s + 1 < n_steps; ++s)
+            p_next[s] = p_step_hi[s + 1];
+        p_next[n_steps - 1] = p_step_hi[n_steps - 1];
+    }
+    int64_t n_uncov = 0;
+    for (int64_t c = 0; c < nc; ++c) {
+        int64_t s = c / cps;
+        bool p_res = (int64_t)(pbases[c] / 128) >= p_next[s] - patch_segs;
+        for (int j = 0; j < 128; ++j) {
+            int64_t r = c * 128 + j;
+            int32_t pp = ppos_row[r];
+            if (pp < 0) continue;               // not a patch row
+            int32_t v = idx[r];                 // patch rows are < R
+            if (pp < patch_cap) targets[pp] = v;
+            bool fit = (pp - pbases[c]) < patch_chunk_segs * 128;
+            if (p_res && fit) {
+                idx_patched[r] = patch_lane0 + pp;
+            } else {
+                if (n_uncov < uncov_cap) uncov[n_uncov] = (int32_t)r;
+                ++n_uncov;
+            }
+        }
+    }
+
+    // pass 5: DMA descriptors (split at the ring wrap; empty copies
+    // encoded as idempotent 1-segment re-copies), [main | patch] per
+    // step
+    for (int pass = 0; pass < 2; ++pass) {
+        const std::vector<int64_t>& hi_v = pass ? p_step_hi : step_hi;
+        int64_t segs = pass ? patch_segs : ring_segs;
+        int64_t h0 = pass ? (p_step_hi[0] > 1 ? p_step_hi[0] : 1)
+                          : step_hi[0];
+        int64_t prev = h0 - segs > 0 ? h0 - segs : 0;
+        for (int64_t s = 0; s < n_steps; ++s) {
+            int64_t hi_s = hi_v[s];
+            if (pass && hi_s < 1) hi_s = 1;     // np.maximum(p_step_hi, 1)
+            int64_t lo = prev;
+            if (lo < hi_s - segs) lo = hi_s - segs;
+            int64_t ln = hi_s - lo;
+            if (ln <= 0) {      // numpy: lo=max(hi-1,0), ln=min(1,max(hi,1))=1
+                lo = hi_s - 1 > 0 ? hi_s - 1 : 0;
+                ln = 1;
+            }
+            int64_t r_lo = lo % segs;
+            int64_t first = ln < segs - r_lo ? ln : segs - r_lo;
+            int32_t* d = dmas + s * 8 + pass * 4;
+            d[0] = (int32_t)lo;
+            d[1] = (int32_t)first;
+            d[2] = (int32_t)(lo + first);
+            d[3] = (int32_t)(ln - first);
+            if (ln - first == 0) {
+                d[2] = (int32_t)(lo + first - 1 > 0 ? lo + first - 1 : 0);
+                d[3] = (int32_t)(lo + first < 1 ? lo + first : 1);
+            }
+            prev = hi_s;
+        }
+    }
+    *n_patch_out = n_patch_rows;
+    *n_uncov_out = n_uncov;
+}
+
+// ---------------------------------------------------------------------
 // Bounded k-th-nearest-neighbor field (the wrap_start density field,
 // counterpart of the reference's cKDTree query in
 // /root/reference/ch_shrinkwrap/holepunch.py:88-112).  Exact within

@@ -308,6 +308,10 @@ def incidence_table(faces: np.ndarray, f_mask: np.ndarray,
     rows of vertices with valence > K (rare transients after remesh;
     added by one tiny exact scatter-add).
     """
+    from .. import native
+    nat = native.incidence(faces, f_mask, n_vertices, K=K)
+    if nat is not None:
+        return nat
     flat = faces.reshape(-1).astype(np.int64)
     valid = np.repeat(np.asarray(f_mask, bool), 3)
     rows = np.flatnonzero(valid)
@@ -322,3 +326,45 @@ def incidence_table(faces: np.ndarray, f_mask: np.ndarray,
     ov = ~ok
     return (inc, rows[order[ov]].astype(np.int32),
             ssrc[ov].astype(np.int32))
+
+
+def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
+    """The fit driver's (ring_tri, ring_ncc, ring_fold) schedule
+    triple for one padded topology, with CAPACITY-CONSTANT static
+    layout (``fixed_layout=True`` schedules, a fixed-width incidence
+    overflow pad): the compiled solver program is then identical
+    across remesh boundaries within a capacity bucket — schedule
+    statics are part of the jit cache key, and data-sized layouts
+    would recompile cg_block (~60-90 s through the remote service) at
+    every topology change.
+
+    Returns (None, None, None) when any budget is exceeded (the caller
+    falls back to the XLA gather path atomically — mixed ring/XLA
+    combinations would each be their own compiled program).
+    """
+    from .pallas_gather import ring_gather_schedule
+    Vp = ma.positions.shape[0]
+    faces_np = np.asarray(ma.faces)
+    f_mask_np = np.asarray(ma.f_mask)
+    ring_tri = ring_gather_schedule(
+        faces_np.reshape(-1), np.repeat(f_mask_np, 3), Vp,
+        fixed_layout=True)
+    nbr_np = np.asarray(ma.nbr_v)
+    ring_ncc = ring_gather_schedule(
+        np.clip(nbr_np, 0, None).reshape(-1),
+        (nbr_np >= 0).reshape(-1), Vp, fixed_layout=True)
+    inc, ov_r, ov_v = incidence_table(faces_np, f_mask_np, Vp)
+    f_sched = ring_gather_schedule(
+        np.clip(inc, 0, None).reshape(-1),
+        (inc >= 0).reshape(-1), 3 * faces_np.shape[0],
+        fixed_layout=True)
+    if (ring_tri is None or ring_ncc is None or f_sched is None
+            or len(ov_r) > ov_cap):
+        return None, None, None
+    ov_rows = np.full(ov_cap, -1, np.int32)
+    ov_rows[:len(ov_r)] = ov_r
+    ov_verts = np.zeros(ov_cap, np.int32)
+    ov_verts[:len(ov_v)] = ov_v
+    ring_fold = (f_sched, jnp.asarray(inc >= 0),
+                 jnp.asarray(ov_rows), jnp.asarray(ov_verts))
+    return ring_tri, ring_ncc, ring_fold

@@ -172,12 +172,14 @@ def _best_mass_base(tc, cc, span, n_rows):
     ``span``-wide window over the chunk's cared targets (sliding
     count over the sorted targets; argmax first-on-ties).  Native C++
     when available (the numpy formulation costs ~12 s at 13M rows on
-    a 1-core host; the native pass ~0.3 s)."""
+    a 1-core host; the native pass ~0.3 s).  ``tc`` may be int32 (the
+    native fast path — no copy) or int64 (numpy fallback dtype)."""
     from .. import native
     nat = native.best_mass_bases(tc.reshape(-1), cc.reshape(-1),
                                  tc.shape[1], span, n_rows)
     if nat is not None:
         return nat.astype(np.int64)
+    tc = tc.astype(np.int64, copy=False)
     nc = tc.shape[0]
     ts = np.sort(np.where(cc, tc, np.int64(1) << 40), axis=1)
     eff = span - 128
@@ -224,12 +226,53 @@ def _step_dma_descs(step_hi, ring_segs):
 
 
 def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
-                         max_patch_frac=1 / 8):
+                         max_patch_frac=1 / 8, fixed_layout=False,
+                         fixed_patch_frac=1 / 16, fixed_uncov=2048):
     """Host-side schedule for ``ring_gather``.  Returns a
     ``RingGatherSchedule`` or None when the patch tail exceeds
-    ``max_patch_frac`` (caller falls back to the XLA gather)."""
-    t = np.asarray(idx_flat, np.int64)
-    care = np.asarray(care_mask, bool)
+    ``max_patch_frac`` (caller falls back to the XLA gather).
+
+    ``fixed_layout=True`` makes every static field a function of the
+    CAPACITY alone (R, span): the patch region is always sized to
+    ``fixed_patch_frac`` of R and the uncovered-row fixup always a
+    ``fixed_uncov``-long (-1 padded) array.  The in-fit driver needs
+    this: schedule statics are part of the jit cache key, and a
+    data-sized patch region would recompile the whole solver program
+    at every remesh boundary (~60-90 s each through the remote
+    service).  Returns None when the data exceeds the fixed budgets
+    (measured patch fractions run 2-4% of rows on Hilbert-sorted fit
+    meshes; the 1/16 budget is ~2x the worst observed)."""
+    if fixed_layout:
+        # production path: the ENTIRE schedule in one native pass
+        # (~0.1 s vs ~0.6 s numpy at the fit-capacity ncc table on
+        # this 1-core host; built at every remesh boundary)
+        from .. import native
+        R = int(np.asarray(idx_flat).shape[0])
+        budget = max(1, int(R * fixed_patch_frac))
+        n_patch = (max(128, -(-budget // 128) * 128)
+                   + PATCH_CHUNK_SEGS * 128)
+        nat = native.ring_schedule(
+            idx_flat, care_mask, n_src_rows, span, RING_SEGS,
+            PATCH_SEGS, PATCH_CHUNK_SEGS, CHUNKS_PER_STEP,
+            patch_cap=n_patch, uncov_cap=fixed_uncov)
+        if nat is not None:
+            (bases, pbases, dmas, idx_p, targets, uncov,
+             n_patch_rows, n_uncov) = nat
+            if n_patch_rows > budget or n_uncov > fixed_uncov:
+                return None
+            return RingGatherSchedule(
+                bases=jnp.asarray(bases), pbases=jnp.asarray(pbases),
+                dmas=jnp.asarray(dmas), idx=jnp.asarray(idx_p),
+                targets=jnp.asarray(targets), uncov=jnp.asarray(uncov),
+                n_steps=-(-R // STEP_ROWS), n_patch=n_patch, span=span,
+                n_rows=R)
+
+    # int32 end-to-end: the native best-mass pass and every derived
+    # array take int32 directly; the int64 detour used to cost ~2 s of
+    # pure dtype-conversion copies per fit-capacity ncc schedule on
+    # this 1-core host (profiled 2026-08-18)
+    t = np.ascontiguousarray(idx_flat, np.int32)
+    care = np.ascontiguousarray(care_mask, bool)
     R = t.shape[0]
     n_steps = -(-R // STEP_ROWS)
     Rp = n_steps * STEP_ROWS
@@ -242,7 +285,7 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     cc = care.reshape(nc, 128)
     Vp_al = -(-n_src_rows // 128) * 128
 
-    base = _best_mass_base(tc, cc, span, n_src_rows)
+    base = _best_mass_base(tc, cc, span, n_src_rows).astype(np.int32)
     off = tc - base[:, None]
     cov = (off >= 0) & (off < span)
 
@@ -261,10 +304,12 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     # order, so per-chunk patch windows are contiguous by construction
     patch_rows = ~cov & cc
     n_patch_rows = int(patch_rows.sum())
-    if n_patch_rows > max(1, int(R * max_patch_frac)):
+    frac = fixed_patch_frac if fixed_layout else max_patch_frac
+    if n_patch_rows > max(1, int(R * frac)):
         return None
 
-    ppos = np.cumsum(patch_rows.reshape(-1)) - 1  # patch pos per row
+    ppos = np.cumsum(patch_rows.reshape(-1),
+                     dtype=np.int32) - np.int32(1)  # patch pos per row
     ppos = ppos.reshape(nc, 128)
     first_p = np.where(patch_rows.any(1),
                        np.argmax(patch_rows, axis=1), 0)
@@ -287,18 +332,29 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     # extra PATCH_CHUNK_SEGS segments of slack: a chunk's 2-segment
     # patch window (and its ring-fill DMA) may overhang the last
     # staged patch row — keep those reads in-bounds
-    n_patch = (max(128, -(-n_patch_rows // 128) * 128)
+    sized_rows = (max(1, int(R * fixed_patch_frac)) if fixed_layout
+                  else n_patch_rows)
+    n_patch = (max(128, -(-sized_rows // 128) * 128)
                + PATCH_CHUNK_SEGS * 128)
     patch_lane0 = Vp_al
 
     # rewrite patched indices into the patch region
-    t_patched = np.where(patch_ok, patch_lane0 + ppos, tc)
+    t_patched = np.where(patch_ok, np.int32(patch_lane0) + ppos, tc)
     # targets feeding the patch region, in patch order
-    targets = np.zeros(n_patch, np.int64)
+    targets = np.zeros(n_patch, np.int32)
     targets[ppos[patch_rows]] = tc[patch_rows]
 
     uncov_ids = np.flatnonzero(uncov_rows.reshape(-1)[:R])
-    if len(uncov_ids):
+    if fixed_layout:
+        # capacity-constant fixup array (possibly all -1): the program
+        # carries one tiny masked scatter unconditionally, so its
+        # shape never depends on the data
+        if len(uncov_ids) > fixed_uncov:
+            return None
+        uncov = np.full(fixed_uncov, -1, np.int32)
+        uncov[:len(uncov_ids)] = uncov_ids
+        uncov = jnp.asarray(uncov)
+    elif len(uncov_ids):
         u_pad = -(-len(uncov_ids) // 1024) * 1024
         uncov = np.full(u_pad, -1, np.int32)
         uncov[:len(uncov_ids)] = uncov_ids
@@ -311,11 +367,11 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     dmas = np.concatenate([main_dmas, patch_dmas], axis=1)
 
     return RingGatherSchedule(
-        bases=jnp.asarray(base.astype(np.int32)),
-        pbases=jnp.asarray(pbase.astype(np.int32)),
+        bases=jnp.asarray(base.astype(np.int32, copy=False)),
+        pbases=jnp.asarray(pbase.astype(np.int32, copy=False)),
         dmas=jnp.asarray(dmas.reshape(-1).astype(np.int32)),
-        idx=jnp.asarray(t_patched.astype(np.int32)),
-        targets=jnp.asarray(targets.astype(np.int32)),
+        idx=jnp.asarray(t_patched.astype(np.int32, copy=False)),
+        targets=jnp.asarray(targets.astype(np.int32, copy=False)),
         uncov=uncov, n_steps=n_steps, n_patch=n_patch, span=span,
         n_rows=R)
 

@@ -106,9 +106,9 @@ def _dummy_block_args(v_cap, f_cap, K=NEIGHBORSIZE):
 def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
                     lam0, shrink_lam, ni_static, use_shrink,
                     face_chunk, corr_method, kc, kg, c0,
-                    max_ring_free_vcap=300_000, quantum=1024,
+                    ring_min_verts=32768, quantum=1024,
                     cancel=None, skip_first_block=True,
-                    want_curv_K=False):
+                    want_curv_K=False, uniform_weights=True):
     """Compile/load the cg_block + curvature executables for every
     bucket in ``ladder``; runs synchronously (call on a thread).
 
@@ -119,9 +119,13 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
     (ladder[0]'s curvature kernel IS warmed: the first neck-removal
     boundary needs it before any bucket crossing).
 
-    Buckets whose vertex capacity crosses the >300k ring-gather
-    threshold are skipped: their programs take topology-dependent
-    window schedules whose shapes can't be predicted ahead of the mesh.
+    Buckets past ``ring_min_verts`` take the ring-gather path; their
+    schedule layout is capacity-constant (meshdata.fit_ring_schedules,
+    fixed_layout), so the dummy call builds schedules on the masked-
+    empty mesh and still lands the exact executable the real block
+    will request.  ``ring_min_verts`` and ``uniform_weights`` must
+    mirror the driver's gating (membrane_mesh.py) — they select the
+    face_hcgc static.
     """
     from .shrinkwrap import block_call
     from ..ops import curvature as _curv
@@ -144,14 +148,20 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
     for i, (v_cap, f_cap) in order:
         if cancel is not None and cancel.is_set():
             return
-        if v_cap > max_ring_free_vcap:
-            logger.info('prewarm: skipping bucket (%d, %d) - ring-'
-                        'schedule shapes are data-dependent',
-                        v_cap, f_cap)
-            continue
         try:
             (positions, faces, f_mask, v_mask, nbr_v, nbr_f,
              face_nbrs) = _dummy_block_args(v_cap, f_cap)
+            ring_tri = ring_ncc = ring_fold = None
+            face_hcgc = False
+            if v_cap > ring_min_verts:
+                ma = meshdata.MeshArrays(
+                    positions, v_mask, faces, f_mask, nbr_v, nbr_f,
+                    face_nbrs)
+                ring_tri, ring_ncc, ring_fold = \
+                    meshdata.fit_ring_schedules(ma)
+                face_hcgc = (corr_method == 'windowed_pallas'
+                             and ring_tri is not None
+                             and v_cap > 300_000 and uniform_weights)
             if not (i == 0 and skip_first_block):
                 # block_call (NOT cg_block directly): explicit-vs-
                 # omitted kwargs are distinct pjit cache entries, so
@@ -164,8 +174,10 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
                     use_shrink=use_shrink, face_chunk=face_chunk,
                     corr_method=corr_method, cell_size=1.0,
                     face_nbrs=face_nbrs,
+                    ring_tri=ring_tri, ring_ncc=ring_ncc,
+                    ring_fold=ring_fold,
                     nbr_f=nbr_f if want_curv_K else None,
-                    want_curv_K=want_curv_K)
+                    want_curv_K=want_curv_K, face_hcgc=face_hcgc)
                 out[0].block_until_ready()
             # the boundary-time neck diagnostic runs curvature_grad on
             # exact-pow2 diagnostic buckets; same shapes here (v_cap

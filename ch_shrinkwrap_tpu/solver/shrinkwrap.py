@@ -334,7 +334,14 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             vg7 = ring_gather(fused, f_sched).reshape(Vp, KI, 7)
             out7 = (vg7 * inc_mask[..., None]).sum(1)      # (Vp, 7)
             if ov_rows is not None:
-                out7 = out7.at[ov_verts].add(fused[ov_rows])
+                # -1-padded fixed-width overflow lists (capacity-
+                # constant program layout): padding rows contribute
+                # zero and target the dropped out-of-range row
+                ovm = ov_rows >= 0
+                ovals = (fused[jnp.clip(ov_rows, 0, fused.shape[0] - 1)]
+                         * ovm[:, None])
+                out7 = out7.at[jnp.where(ovm, ov_verts, Vp)].add(
+                    ovals, mode='drop')
         elif fold_starts is not None:
             # static 3-band window schedule (host-verified): the
             # sliding-ring kernel accumulates in-band rows; the ~1%

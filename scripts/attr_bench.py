@@ -44,7 +44,11 @@ def main():
     n_sub = int(os.environ.get('ATTR_ICO_SUB', 7))
     print("building problem...", flush=True)
     v, f = icosphere(n_sub, radius=R)
-    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=1024)
+    v_cap = os.environ.get('ATTR_V_CAP')
+    f_cap = os.environ.get('ATTR_F_CAP')
+    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=1024,
+                            v_cap=int(v_cap) if v_cap else None,
+                            f_cap=int(f_cap) if f_cap else None)
     d = rng.normal(size=(N, 3))
     d /= np.linalg.norm(d, axis=1)[:, None]
     pts = (d * R + rng.normal(scale=sigma, size=d.shape)).astype(np.float32)

@@ -226,3 +226,180 @@ def test_incidence_fold_equivalence():
         ref = np.zeros((Vp, 7), np.float32)
         np.add.at(ref, faces.reshape(-1), fused)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fixed_layout_statics_capacity_constant():
+    """fixed_layout=True: every static field of the schedule (the jit
+    cache key) must depend on the CAPACITY alone, not the data — the
+    fit driver relies on this to keep ONE compiled solver program
+    across remesh boundaries (membrane_mesh.py ring gating)."""
+    rng = np.random.default_rng(7)
+    n_src, n_rows = 30_000, 90_000
+    scheds = []
+    for seed, jp in ((1, 0.01), (2, 0.05), (3, 0.0)):
+        r = np.random.default_rng(seed)
+        idx = hilbertish_indices(r, n_src, n_rows, jump_p=jp)
+        care = r.random(n_rows) < 0.9
+        s = ring_gather_schedule(idx, care, n_src, fixed_layout=True)
+        assert s is not None
+        scheds.append(s)
+    key0 = (scheds[0].n_steps, scheds[0].n_patch, scheds[0].span,
+            scheds[0].n_rows, None if scheds[0].uncov is None
+            else scheds[0].uncov.shape)
+    for s in scheds[1:]:
+        key = (s.n_steps, s.n_patch, s.span, s.n_rows,
+               None if s.uncov is None else s.uncov.shape)
+        assert key == key0
+    # uncov is always materialized in fixed mode
+    assert scheds[0].uncov is not None
+
+    # and the gather stays exact through the fixed-size patch region
+    src = rng.normal(size=(n_src, 8)).astype(np.float32)
+    idx = hilbertish_indices(rng, n_src, n_rows, jump_p=0.05)
+    care = np.ones(n_rows, bool)
+    s = ring_gather_schedule(idx, care, n_src, fixed_layout=True)
+    out = emulate_ring_gather(src, s)
+    np.testing.assert_array_equal(out, src[idx])
+
+
+def test_fit_ring_schedules_topology_invariant_statics():
+    """meshdata.fit_ring_schedules: two different topologies padded to
+    the same capacity must produce schedule triples with identical
+    static layout (so cg_block compiles once per capacity bucket)."""
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    def statics(ma):
+        rt, rn, rf = meshdata.fit_ring_schedules(ma)
+        assert rt is not None
+        f_sched, inc_mask, ov_rows, ov_verts = rf
+        return ((rt.n_steps, rt.n_patch, rt.n_rows, rt.uncov.shape),
+                (rn.n_steps, rn.n_patch, rn.n_rows, rn.uncov.shape),
+                (f_sched.n_steps, f_sched.n_patch, f_sched.n_rows,
+                 f_sched.uncov.shape),
+                inc_mask.shape, ov_rows.shape, ov_verts.shape)
+
+    v1, f1 = icosphere(3, radius=100.0)
+    m1 = TriangleMesh(v1, f1)
+    m1.spatial_sort()
+    # a different topology: remesh to a coarser target
+    from ch_shrinkwrap_tpu.mesh.remesh import remesh
+    v2, f2 = icosphere(3, radius=100.0)
+    m2 = TriangleMesh(v2, f2)
+    remesh(m2, n=2, target_edge_length=25.0)
+    m2.spatial_sort()
+    a = statics(meshdata.from_mesh(m1, v_cap=4096, f_cap=8192,
+                                   quantum=1024, hilbert_faces=False))
+    b = statics(meshdata.from_mesh(m2, v_cap=4096, f_cap=8192,
+                                   quantum=1024, hilbert_faces=False))
+    assert a == b
+
+
+def test_fixed_layout_fold_with_padded_overflow():
+    """The solver's ring_fold overflow path with fixed-width -1-padded
+    lists must reproduce the exact segment_sum fold."""
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v, f = icosphere(4, radius=100.0)
+    mesh = TriangleMesh(v, f)
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    faces = np.asarray(ma.faces)
+    fmask = np.asarray(ma.f_mask)
+    Vp = ma.positions.shape[0]
+    Fp = faces.shape[0]
+    rng = np.random.default_rng(0)
+    fused = (rng.normal(size=(Fp * 3, 7)).astype(np.float32)
+             * np.repeat(fmask, 3)[:, None])
+
+    # K=5 forces real overflow rows; pad them fixed-width like
+    # fit_ring_schedules does
+    inc, ov_r, ov_v = meshdata.incidence_table(faces, fmask, Vp, K=5)
+    assert len(ov_r) > 0
+    ov_cap = -(-len(ov_r) // 1024) * 1024 + 1024   # real + padding tail
+    ov_rows = np.full(ov_cap, -1, np.int32)
+    ov_rows[:len(ov_r)] = ov_r
+    ov_verts = np.zeros(ov_cap, np.int32)
+    ov_verts[:len(ov_v)] = ov_v
+
+    sched = ring_gather_schedule(np.clip(inc, 0, None).reshape(-1),
+                                 (inc >= 0).reshape(-1), Fp * 3,
+                                 fixed_layout=True)
+    vg = emulate_ring_gather(fused, sched).reshape(Vp, 5, 7)
+    out = (vg * (inc >= 0)[..., None]).sum(1)
+    # the solver's masked overflow add (solver/shrinkwrap.py ring_fold)
+    ovm = ov_rows >= 0
+    vals = fused[np.clip(ov_rows, 0, fused.shape[0] - 1)] * ovm[:, None]
+    np.add.at(out, np.where(ovm, ov_verts, 0),
+              np.where(ovm[:, None], vals, 0.0))
+    ref = np.zeros((Vp, 7), np.float32)
+    np.add.at(ref, faces.reshape(-1), fused)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_ring_schedule_native_matches_numpy():
+    """The native one-pass schedule builder must reproduce the numpy
+    formulation field-for-field (both fixed-layout)."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('native engine unavailable')
+    import ch_shrinkwrap_tpu.ops.pallas_gather as pg
+
+    for seed, n_src, n_rows, jp in ((0, 30_000, 90_000, 0.03),
+                                    (1, 9_001, 40_000, 0.1),
+                                    (2, 50_000, 200_000, 0.0)):
+        rng = np.random.default_rng(seed)
+        idx = hilbertish_indices(rng, n_src, n_rows, jump_p=jp)
+        care = rng.random(n_rows) < 0.9
+        s_nat = ring_gather_schedule(idx, care, n_src,
+                                     fixed_layout=True)
+        # force the numpy path by hiding the native lib
+        lib_save = native._lib
+        native._lib = False
+        try:
+            s_np = ring_gather_schedule(idx, care, n_src,
+                                        fixed_layout=True)
+        finally:
+            native._lib = lib_save
+        assert (s_nat is None) == (s_np is None)
+        if s_nat is None:
+            continue
+        assert (s_nat.n_steps, s_nat.n_patch, s_nat.span,
+                s_nat.n_rows) == (s_np.n_steps, s_np.n_patch,
+                                  s_np.span, s_np.n_rows)
+        for field in ('bases', 'pbases', 'dmas', 'idx', 'targets',
+                      'uncov'):
+            a = np.asarray(getattr(s_nat, field))
+            b = np.asarray(getattr(s_np, field))
+            np.testing.assert_array_equal(a, b, err_msg=field)
+
+
+def test_incidence_native_matches_numpy():
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('native engine unavailable')
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v, f = icosphere(4, radius=100.0)
+    mesh = TriangleMesh(v, f)
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    faces = np.asarray(ma.faces)
+    fmask = np.asarray(ma.f_mask)
+    Vp = ma.positions.shape[0]
+
+    for K in (8, 5):
+        a = native.incidence(faces, fmask, Vp, K=K)
+        lib_save = native._lib
+        native._lib = False
+        try:
+            b = meshdata.incidence_table(faces, fmask, Vp, K=K)
+        finally:
+            native._lib = lib_save
+        for x, y, name in zip(a, b, ('inc', 'ov_rows', 'ov_verts')):
+            np.testing.assert_array_equal(x, y, err_msg=f'K={K} {name}')
