@@ -53,6 +53,12 @@ class MeshArrays(NamedTuple):
     nbr_v     : (Vp, K) i32 — one-ring neighbor vertex ids, -1 padded
     nbr_f     : (Vp, K) i32 — face left of the halfedge v->nbr, -1 padded
     face_nbrs : (Fp, 3) i32 — edge-adjacent faces, -1 on boundary
+    host      : host-side (numpy) copies of {faces, f_mask, nbr_v} kept
+                by from_mesh so per-boundary schedule builders
+                (fit_ring_schedules) never fetch tables back from the
+                device — a ~25 MB device->host round trip per remesh
+                boundary through the TPU tunnel, measured ~1.2-1.8 s of
+                the warm e2e's per-boundary gap (2026-08-18)
     """
     positions: jax.Array
     v_mask: jax.Array
@@ -61,6 +67,7 @@ class MeshArrays(NamedTuple):
     nbr_v: jax.Array
     nbr_f: jax.Array
     face_nbrs: jax.Array
+    host: Optional[dict] = None
 
     @property
     def n_vertices_padded(self):
@@ -144,7 +151,9 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
                       jnp.asarray(faces), jnp.asarray(f_mask),
                       jnp.asarray(nbr_v), jnp.asarray(nbr_f),
-                      jnp.asarray(fn))
+                      jnp.asarray(fn),
+                      host={'faces': faces, 'f_mask': f_mask,
+                            'nbr_v': nbr_v})
 
 
 def face_adjacency(faces: np.ndarray) -> np.ndarray:
@@ -344,12 +353,19 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     """
     from .pallas_gather import ring_gather_schedule
     Vp = ma.positions.shape[0]
-    faces_np = np.asarray(ma.faces)
-    f_mask_np = np.asarray(ma.f_mask)
+    h = ma.host or {}
+    faces_np = h.get('faces')
+    if faces_np is None:
+        faces_np = np.asarray(ma.faces)
+    f_mask_np = h.get('f_mask')
+    if f_mask_np is None:
+        f_mask_np = np.asarray(ma.f_mask)
     ring_tri = ring_gather_schedule(
         faces_np.reshape(-1), np.repeat(f_mask_np, 3), Vp,
         fixed_layout=True)
-    nbr_np = np.asarray(ma.nbr_v)
+    nbr_np = h.get('nbr_v')
+    if nbr_np is None:
+        nbr_np = np.asarray(ma.nbr_v)
     ring_ncc = ring_gather_schedule(
         np.clip(nbr_np, 0, None).reshape(-1),
         (nbr_np >= 0).reshape(-1), Vp, fixed_layout=True)

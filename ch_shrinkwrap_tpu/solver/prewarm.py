@@ -154,9 +154,18 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
             ring_tri = ring_ncc = ring_fold = None
             face_hcgc = False
             if v_cap > ring_min_verts:
+                import numpy as _np
                 ma = meshdata.MeshArrays(
                     positions, v_mask, faces, f_mask, nbr_v, nbr_f,
-                    face_nbrs)
+                    face_nbrs,
+                    # host copies of the (all-padding) dummy tables so
+                    # the schedule build never fetches from the device
+                    # while the real fit is using the tunnel
+                    host={'faces': _np.zeros((f_cap, 3), _np.int32),
+                          'f_mask': _np.zeros(f_cap, bool),
+                          'nbr_v': _np.full(
+                              (v_cap, meshdata.NEIGHBORSIZE), -1,
+                              _np.int32)})
                 ring_tri, ring_ncc, ring_fold = \
                     meshdata.fit_ring_schedules(ma)
                 face_hcgc = (corr_method == 'windowed_pallas'
