@@ -630,6 +630,30 @@ class TriangleMesh:
             return
         self.keep_faces(keep[flabels])
 
+    def remove_degenerate_components(self, min_faces=4):
+        """Drop connected components with fewer than ``min_faces`` faces.
+
+        A closed orientable 2-manifold needs at least 4 faces (the
+        tetrahedron); 2-face "pillows" (two faces glued back-to-back,
+        V−E+F = 2) are numeric artifacts of edge collapse on tiny
+        fragments — the link condition legitimately allows collapsing a
+        tetrahedron component down to one (observed in the 99-iter
+        north-star fit: a 3-vertex pillow split off by the final growth
+        remesh left euler=4).  The reference has no direct counterpart
+        because its sequential collapse refuses sub-tetrahedron
+        components via valence guards (_skeleton_mesh.pyx:334-499).
+        Returns the number of components removed."""
+        labels, n = self.connected_components()
+        if n <= 1:
+            return 0
+        flabels = self.face_components
+        counts = np.bincount(flabels, minlength=n)
+        bad = counts < min_faces
+        if not bad.any() or bad.all():
+            return 0
+        self.keep_faces(~bad[flabels])
+        return int(bad.sum())
+
     # ------------------------------------------------------------------
     # data smoothing
 

@@ -428,6 +428,9 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
                             l=l, n_relax=n_relax)
         if out is not None:
             mesh.set_topology(out[0], out[1])
+            # collapse can shrink split-off fragments below a closed
+            # surface's 4-face minimum (degenerate pillows)
+            mesh.remove_degenerate_components()
             return mesh
 
     high = 4.0 / 3.0 * target_edge_length
@@ -447,4 +450,5 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
         v = relax_pass(v, f, l=l, n_iter=n_relax)
 
     mesh.set_topology(v, f)
+    mesh.remove_degenerate_components()
     return mesh

@@ -97,11 +97,23 @@ mesh.shrink_wrap(pts, sig, method='conjugate_gradient',
                  minimum_edge_length=args.minimum_edge_length)
 t1 = time.time()
 r = np.linalg.norm(mesh.vertices, axis=1)
+labels, n_comp = mesh.connected_components()
 print(f"fit: {t1-t0:.1f}s  total(e2e): {t1-t_all:.1f}s  "
       f"V={mesh.vertices.shape[0]} "
       f"R={r.mean():.2f}+/-{r.std():.2f}  "
-      f"euler={mesh.euler_characteristic} manifold={mesh.is_manifold}",
+      f"euler={mesh.euler_characteristic} manifold={mesh.is_manifold} "
+      f"components={n_comp}",
       flush=True)
+if n_comp > 1:
+    for c in range(n_comp):
+        m = labels == c
+        rv = np.linalg.norm(mesh.vertices[m], axis=1)
+        print(f"  component {c}: V={int(m.sum())} "
+              f"r=[{rv.min():.1f},{rv.max():.1f}]", flush=True)
+out_stl = os.environ.get('CSW_E2E_STL')
+if out_stl:
+    mesh.to_stl(out_stl)
+    print(f"saved {out_stl}", flush=True)
 for rec in mesh.trace.records:
     print(rec.kind, rec.iteration, f"{rec.wall_time:.1f}s",
           f"V={rec.n_vertices}")

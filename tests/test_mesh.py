@@ -375,3 +375,45 @@ def test_native_knn_field_fewer_points_than_k():
     qs = np.zeros((5, 3), np.float32)
     out = native.knn_field(pts, qs, 10, 4.0)
     assert (out > 4.0).all()   # all misses, clamped by the caller
+
+
+def test_remove_degenerate_components():
+    # main surface + a 2-face pillow fragment (the degenerate result of
+    # collapsing a tetrahedron component; observed after growth remesh)
+    v, f = icosphere(2, radius=5.0)
+    nv = v.shape[0]
+    pillow_v = np.array([[20.0, 0, 0], [21.0, 0, 0], [20.0, 1.0, 0]],
+                        np.float32)
+    pillow_f = np.array([[nv, nv + 1, nv + 2], [nv, nv + 2, nv + 1]],
+                        np.int32)
+    mesh = TriangleMesh(np.vstack([v, pillow_v]),
+                        np.vstack([f, pillow_f]))
+    assert mesh.connected_components()[1] == 2
+    n = mesh.remove_degenerate_components()
+    assert n == 1
+    assert mesh.connected_components()[1] == 1
+    assert mesh.euler_characteristic == 2
+    # a real tetrahedron component (4 faces) is NOT degenerate
+    tet_v = np.array([[20, 0, 0], [21, 0, 0], [20, 1, 0], [20, 0, 1]],
+                     np.float32)
+    nv = mesh.vertices.shape[0]
+    tet_f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]],
+                     np.int32) + nv
+    mesh2 = TriangleMesh(np.vstack([mesh.vertices, tet_v]),
+                         np.vstack([mesh.faces, tet_f]))
+    assert mesh2.remove_degenerate_components() == 0
+    assert mesh2.connected_components()[1] == 2
+
+
+def test_remesh_drops_pillow_fragment():
+    v, f = icosphere(3, radius=5.0)
+    nv = v.shape[0]
+    pillow_v = np.array([[20.0, 0, 0], [21.0, 0, 0], [20.0, 1.0, 0]],
+                        np.float32)
+    pillow_f = np.array([[nv, nv + 1, nv + 2], [nv, nv + 2, nv + 1]],
+                        np.int32)
+    mesh = TriangleMesh(np.vstack([v, pillow_v]),
+                        np.vstack([f, pillow_f]))
+    rm.remesh(mesh, n=1, target_edge_length=1.5, n_relax=1)
+    assert mesh.connected_components()[1] == 1
+    assert mesh.euler_characteristic == 2
