@@ -586,22 +586,32 @@ class MembraneMesh(TriangleMesh):
         # fit, but every block pays final-size host+device cost).
         cap_mode = getattr(self, 'capacity_mode', 'final')
         if r and cap_mode == 'final':
-            pred_final_len = max(float(initial_length + m
-                                       * rf * np.ceil(max_iter / rf)),
-                                 1e-3)
+            # the finest edge length the fit will actually remesh to is
+            # the LAST EXECUTED remesh boundary's target (the loop
+            # below uses initial + m*(j+1) at j = the largest
+            # remesh-frequency multiple <= n_iter), NOT the schedule's
+            # asymptote at max_iter — for the 99-iter north star that's
+            # 5.33 vs 5.0, a 14% face-count overprediction
+            last_remesh_iter = (n_iter // self.remesh_frequency) \
+                * self.remesh_frequency
+            pred_final_len = max(
+                float(initial_length + m * (last_remesh_iter + 1)), 1e-3)
             # F = area / equilateral-triangle-area(l), times a measured
             # ~1.15 irregularity factor (real remeshed meshes carry more
             # faces than the equilateral estimate at their mean length);
-            # 1.25 headroom on top.  An earlier 2.0 "factor" here
-            # double-counted F and pushed v_cap over the 300k-row
-            # ring-gather cliff, making every block's window schedules
-            # data-dependent — the reason round-3 runs used buckets.
+            # 1.15 headroom on top (the seed surface is an OUTER wrap,
+            # so its area is an upper bound on the final area; overshoot
+            # falls back to the bucket-grow path below).  An earlier 2.0
+            # "factor" here double-counted F and pushed v_cap over the
+            # 300k-row ring-gather cliff, making every block's window
+            # schedules data-dependent — the reason round-3 runs used
+            # buckets.
             pred_faces = 1.15 * self.area() / (np.sqrt(3.0) / 4.0
                                                * pred_final_len ** 2)
             pred_faces = max(pred_faces, self.faces.shape[0])
-            f_cap = meshdata.round_up_bucket(int(1.25 * pred_faces),
+            f_cap = meshdata.round_up_bucket(int(1.15 * pred_faces),
                                              self.pad_quantum)
-            v_cap = meshdata.round_up_bucket(int(1.25 * pred_faces / 2) + 8,
+            v_cap = meshdata.round_up_bucket(int(1.15 * pred_faces / 2) + 8,
                                              self.pad_quantum)
         else:
             v_cap = f_cap = None
@@ -756,8 +766,11 @@ class MembraneMesh(TriangleMesh):
                         # all three schedules engage atomically or not
                         # at all (mixed combinations would each be a
                         # separate compile)
+                        _tr = _ft and _ft()
                         ring_tri, ring_ncc, ring_fold = \
                             meshdata.fit_ring_schedules(ma)
+                        if _ft:
+                            _t_build += _ft() - _tr
                         if ring_tri is None:
                             logger.warning(
                                 'ring schedules over budget at Vp=%d; '

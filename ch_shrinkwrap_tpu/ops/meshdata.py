@@ -360,20 +360,34 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     f_mask_np = h.get('f_mask')
     if f_mask_np is None:
         f_mask_np = np.asarray(ma.f_mask)
+    # Per-stream spans (narrower span = fewer take_along_axis segment
+    # scans per chunk in the kernel; the limit is the patch-tail
+    # budget, and the patch-values gather pays for the BUDGET capacity
+    # every call, so each stream gets the tightest span/budget pair
+    # that holds its measured Hilbert-sorted patch fraction with ~30%
+    # headroom: tri 4.2% @ span 384, ncc 2.9% @ 256 (1/16 budget),
+    # fold 11% @ 256 (1/8 budget) — sweep 2026-08-18, icosphere 7/8).
     ring_tri = ring_gather_schedule(
         faces_np.reshape(-1), np.repeat(f_mask_np, 3), Vp,
-        fixed_layout=True)
+        span=384, fixed_layout=True)
     nbr_np = h.get('nbr_v')
     if nbr_np is None:
         nbr_np = np.asarray(ma.nbr_v)
+    # ncc rides the block-interleaved k-major stream: compute_ncc then
+    # reduces over K with the vertex axis on lanes (2.5% patch @ span
+    # 384 measured on sorted fit meshes, vs 40 ms of ~6%-lane math in
+    # the row-major layout at 656k)
+    from .pallas_gather import blocked_kmajor_stream
+    ncc_idx, ncc_care = blocked_kmajor_stream(
+        np.clip(nbr_np, 0, None), nbr_np >= 0, block=1024)
     ring_ncc = ring_gather_schedule(
-        np.clip(nbr_np, 0, None).reshape(-1),
-        (nbr_np >= 0).reshape(-1), Vp, fixed_layout=True)
+        ncc_idx, ncc_care, Vp, span=384, fixed_layout=True,
+        kmaj_block=1024, care_out=True)
     inc, ov_r, ov_v = incidence_table(faces_np, f_mask_np, Vp)
     f_sched = ring_gather_schedule(
         np.clip(inc, 0, None).reshape(-1),
         (inc >= 0).reshape(-1), 3 * faces_np.shape[0],
-        fixed_layout=True)
+        span=256, fixed_layout=True, fixed_patch_frac=1 / 8)
     if (ring_tri is None or ring_ncc is None or f_sched is None
             or len(ov_r) > ov_cap):
         return None, None, None

@@ -88,13 +88,24 @@ class RingGatherSchedule(NamedTuple):
     n_patch: int           # patch region lanes (128-multiple)
     span: int
     n_rows: int
+    cps: int = CHUNKS_PER_STEP   # 128-row chunks per grid step
+    kmaj_block: int = 0    # >0: stream is block-interleaved k-major —
+                           # rows ordered (v_block, k, v%block) over a
+                           # (V, K) index table so the consumer can
+                           # reduce over k with V on the lane axis
+                           # (full 128-lane utilization; plain
+                           # (V, K, C) layouts use C of 128 lanes)
+    care: Optional[jax.Array] = None   # (R,) bool stream mask (same
+                           # order as idx rows), for masked consumers
 
 
 jax.tree_util.register_pytree_node(
     RingGatherSchedule,
-    lambda s: ((s.bases, s.pbases, s.dmas, s.idx, s.targets, s.uncov),
-               (s.n_steps, s.n_patch, s.span, s.n_rows)),
-    lambda aux, ch: RingGatherSchedule(*ch, *aux))
+    lambda s: ((s.bases, s.pbases, s.dmas, s.idx, s.targets, s.uncov,
+                s.care),
+               (s.n_steps, s.n_patch, s.span, s.n_rows, s.cps,
+                s.kmaj_block)),
+    lambda aux, ch: RingGatherSchedule(*ch[:6], *aux, care=ch[6]))
 
 
 def _gather_kernel(bases_ref,      # (nsteps*CPS,) prefetch
@@ -106,7 +117,8 @@ def _gather_kernel(bases_ref,      # (nsteps*CPS,) prefetch
                    ring,           # (csub, RING_LANES) VMEM scratch
                    pring,          # (csub, PATCH_LANES) VMEM scratch
                    sems,           # (4,) DMA semaphores
-                   *, span, n_steps, csub, patch_lane0):
+                   *, span, n_steps, csub, patch_lane0,
+                   cps=CHUNKS_PER_STEP):
     i = pl.program_id(0)
     n_seg = span // 128
     p0seg = patch_lane0 // 128
@@ -141,9 +153,9 @@ def _gather_kernel(bases_ref,      # (nsteps*CPS,) prefetch
         for c in dmas(i + 1, (i + 1) % 2):
             c.start()
 
-    for c in range(CHUNKS_PER_STEP):
-        base = bases_ref[i * CHUNKS_PER_STEP + c]
-        pbase = pbases_ref[i * CHUNKS_PER_STEP + c]
+    for c in range(cps):
+        base = bases_ref[i * cps + c]
+        pbase = pbases_ref[i * cps + c]
         idxv = idx_ref[c:c + 1, :]                        # (1, 128) i32
         iv = jnp.broadcast_to(idxv, (csub, 128))
         off = iv - base
@@ -225,9 +237,32 @@ def _step_dma_descs(step_hi, ring_segs):
     return out
 
 
+def blocked_kmajor_stream(tbl, care_tbl, block=1024):
+    """Reorder a (V, K) index table into the block-interleaved k-major
+    stream r = (v//block)*K*block + k*block + v%block.  For fixed k the
+    chunk windows follow the table's Hilbert locality (patch fractions
+    ~2-4%, measured), each block's K-sweep stays ring-resident (the
+    oscillation is bounded by the block span << RING_LANES), and the
+    consumer can reshape the gather output to (C, nb, K, block) and
+    reduce over k with the vertex axis on LANES — plain (V, K, C)
+    layouts put C<=8 of 128 lanes to work and run the reduction at a
+    few % of HBM bandwidth (the 656k compute_ncc profile)."""
+    V, K = tbl.shape
+    if V % block:
+        raise ValueError('table rows must be a multiple of block')
+    nb = V // block
+    idx = np.ascontiguousarray(
+        tbl.reshape(nb, block, K).transpose(0, 2, 1)).reshape(-1)
+    care = np.ascontiguousarray(
+        care_tbl.reshape(nb, block, K).transpose(0, 2, 1)).reshape(-1)
+    return idx, care
+
+
 def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
                          max_patch_frac=1 / 8, fixed_layout=False,
-                         fixed_patch_frac=1 / 16, fixed_uncov=2048):
+                         fixed_patch_frac=1 / 16, fixed_uncov=2048,
+                         cps=CHUNKS_PER_STEP, kmaj_block=0,
+                         care_out=False):
     """Host-side schedule for ``ring_gather``.  Returns a
     ``RingGatherSchedule`` or None when the patch tail exceeds
     ``max_patch_frac`` (caller falls back to the XLA gather).
@@ -253,7 +288,7 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
                    + PATCH_CHUNK_SEGS * 128)
         nat = native.ring_schedule(
             idx_flat, care_mask, n_src_rows, span, RING_SEGS,
-            PATCH_SEGS, PATCH_CHUNK_SEGS, CHUNKS_PER_STEP,
+            PATCH_SEGS, PATCH_CHUNK_SEGS, cps,
             patch_cap=n_patch, uncov_cap=fixed_uncov)
         if nat is not None:
             (bases, pbases, dmas, idx_p, targets, uncov,
@@ -264,8 +299,10 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
                 bases=jnp.asarray(bases), pbases=jnp.asarray(pbases),
                 dmas=jnp.asarray(dmas), idx=jnp.asarray(idx_p),
                 targets=jnp.asarray(targets), uncov=jnp.asarray(uncov),
-                n_steps=-(-R // STEP_ROWS), n_patch=n_patch, span=span,
-                n_rows=R)
+                n_steps=-(-R // (cps * 128)), n_patch=n_patch,
+                span=span, n_rows=R, cps=cps, kmaj_block=kmaj_block,
+                care=(jnp.asarray(np.ascontiguousarray(care_mask))
+                      if care_out else None))
 
     # int32 end-to-end: the native best-mass pass and every derived
     # array take int32 directly; the int64 detour used to cost ~2 s of
@@ -274,13 +311,13 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     t = np.ascontiguousarray(idx_flat, np.int32)
     care = np.ascontiguousarray(care_mask, bool)
     R = t.shape[0]
-    n_steps = -(-R // STEP_ROWS)
-    Rp = n_steps * STEP_ROWS
+    step_rows = cps * 128
+    n_steps = -(-R // step_rows)
+    Rp = n_steps * step_rows
     if Rp != R:
         t = np.pad(t, (0, Rp - R))
         care = np.pad(care, (0, Rp - R))
     nc = Rp // 128
-    cps = CHUNKS_PER_STEP
     tc = t.reshape(nc, 128)
     cc = care.reshape(nc, 128)
     Vp_al = -(-n_src_rows // 128) * 128
@@ -373,18 +410,23 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
         idx=jnp.asarray(t_patched.astype(np.int32, copy=False)),
         targets=jnp.asarray(targets.astype(np.int32, copy=False)),
         uncov=uncov, n_steps=n_steps, n_patch=n_patch, span=span,
-        n_rows=R)
+        n_rows=R, cps=cps, kmaj_block=kmaj_block,
+        care=(jnp.asarray(np.ascontiguousarray(care_mask))
+              if care_out else None))
 
 
 @partial(jax.jit, static_argnames=('n_steps', 'n_patch', 'span',
-                                   'n_rows', 'interpret'))
+                                   'n_rows', 'interpret', 'cps',
+                                   'transposed_out'))
 def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
-                      n_steps, n_patch, span, n_rows, interpret):
+                      n_steps, n_patch, span, n_rows, interpret,
+                      cps=CHUNKS_PER_STEP, transposed_out=False):
     R = n_rows
     Vp, C = src.shape
     csub = _c_sub(C)
     Vp_al = -(-Vp // 128) * 128
-    Rp = n_steps * STEP_ROWS
+    step_rows = cps * 128
+    Rp = n_steps * step_rows
 
     # staged source: transposed table + per-call patch values
     patch_vals = src[targets]                          # (n_patch, C)
@@ -396,10 +438,10 @@ def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
         num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((CHUNKS_PER_STEP, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec((cps, 128), lambda i, *_: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((csub, STEP_ROWS), lambda i, *_: (0, i)),
+        out_specs=pl.BlockSpec((csub, step_rows), lambda i, *_: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((csub, RING_LANES), jnp.float32),
             pltpu.VMEM((csub, PATCH_LANES), jnp.float32),
@@ -408,11 +450,25 @@ def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
     )
     out_t = pl.pallas_call(
         partial(_gather_kernel, span=span, n_steps=n_steps,
-                csub=csub, patch_lane0=Vp_al),
+                csub=csub, patch_lane0=Vp_al, cps=cps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((csub, Rp), jnp.float32),
         interpret=interpret,
     )(bases, pbases, dmas, idx, src_t)
+
+    if transposed_out:
+        # kernel-native (csub, Rp) layout: rows = table columns, lanes
+        # = gather rows.  Consumers that reduce over k (the blocked
+        # k-major streams) keep the gather-row axis on LANES this way
+        # instead of paying ~6%-lane-utilization (R, K, C) layouts.
+        res = out_t.astype(src.dtype)
+        if uncov is not None:
+            tgt = jnp.where(uncov >= 0, uncov, Rp)
+            flat = idx.reshape(-1)
+            uval = src[flat[jnp.clip(uncov, 0, Rp - 1)]]
+            res = res.at[:C, tgt].set(uval.T.astype(src.dtype),
+                                      mode='drop')
+        return res
 
     res = out_t[:C, :R].T.astype(src.dtype)
 
@@ -425,12 +481,15 @@ def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
     return res
 
 
-def ring_gather(src, sched, interpret=False):
+def ring_gather(src, sched, interpret=False, transposed_out=False):
     """``src[idx_flat]`` for a (Vp, C<=16) f32 table via the
     sliding-ring kernel; ``sched`` from ``ring_gather_schedule`` built
-    on the same (static) index array."""
+    on the same (static) index array.  ``transposed_out=True`` returns
+    the kernel-native (csub, Rp) layout (rows = columns, lanes =
+    gather rows) for consumers that reduce along the stream."""
     return _ring_gather_impl(src, sched.bases, sched.pbases,
                              sched.dmas, sched.idx, sched.targets,
                              sched.uncov, sched.n_steps,
                              sched.n_patch, sched.span, sched.n_rows,
-                             interpret)
+                             interpret, cps=sched.cps,
+                             transposed_out=transposed_out)

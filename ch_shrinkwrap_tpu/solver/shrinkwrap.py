@@ -74,6 +74,40 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
     # clean (8, 128) tiling of both the source and the gather output
     fn = jnp.concatenate(
         [f, vnormals, jnp.zeros((Vp, 2), f.dtype)], axis=1)  # (Vp, 8)
+    if ring_sched is not None and getattr(ring_sched, 'kmaj_block', 0):
+        # blocked k-major stream: the whole prior computes with the
+        # VERTEX axis on lanes (full 128-lane utilization) — the plain
+        # (Vp, K, C) layouts below run their K-reductions on C<=8 of
+        # 128 lanes (~25 GB/s effective, the 40 ms compute_ncc line of
+        # the 656k per-op profile)
+        from ..ops.pallas_gather import ring_gather
+        B = ring_sched.kmaj_block
+        nb = Vp // B
+        gt = ring_gather(fn, ring_sched,
+                         transposed_out=True)       # (8, Rp)
+        g = gt[:6, :Vp * K].reshape(6, nb, K, B)
+        nmask_t = (ring_sched.care.reshape(nb, K, B)
+                   & v_mask.reshape(nb, 1, B))      # (nb, K, B)
+        ms_t = nmask_t.sum(1)                       # (nb, B)
+        ms_safe_t = jnp.maximum(ms_t, 1)
+        mf = nmask_t.astype(f.dtype)
+        pos = g[0:3] * mf[None]                     # (3, nb, K, B)
+        nrm = g[3:6]
+        vc_t = pos.sum(2) / ms_safe_t[None]         # (3, nb, B)
+        # alpha_j = ((pos_k - vc) . n_k) / sqrt(2 (max(n.n_k, 0) + 1))
+        t_pos = (pos * nrm).sum(0)                  # (nb, K, B)
+        t_vc = (vc_t[:, :, None, :] * nrm).sum(0)   # (nb, K, B)
+        vn_t = (vnormals.T).reshape(3, nb, B)
+        ndn = (nrm * vn_t[:, :, None, :]).sum(0)    # (nb, K, B)
+        denom = jnp.sqrt(2.0 * (jnp.maximum(ndn, 0.0) + 1.0))
+        alpha_t = ((t_pos - t_vc * mf) / denom
+                   * mf).sum(1) / ms_safe_t         # (nb, B)
+        pi_t = point_influence.reshape(nb, B)
+        alpha_t = alpha_t * jnp.minimum(pi_t ** 2, 1.0)
+        out_t = vc_t + alpha_t[None] * vn_t         # (3, nb, B)
+        empty = (ms_t == 0)
+        out_t = jnp.where(empty[None], (f.T).reshape(3, nb, B), out_t)
+        return out_t.reshape(3, Vp).T
     if ring_sched is not None:
         # large-table path: sliding-ring Mosaic gather (XLA's gather
         # falls off a cache cliff above ~300k source rows)

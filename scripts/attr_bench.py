@@ -46,7 +46,11 @@ def main():
     v, f = icosphere(n_sub, radius=R)
     v_cap = os.environ.get('ATTR_V_CAP')
     f_cap = os.environ.get('ATTR_F_CAP')
-    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=1024,
+    mesh = TriangleMesh(v, f)
+    # the fit driver hilbert-sorts before every from_mesh; the ring
+    # schedules' fixed patch budget assumes that locality
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False,
                             v_cap=int(v_cap) if v_cap else None,
                             f_cap=int(f_cap) if f_cap else None)
     d = rng.normal(size=(N, 3))
@@ -116,6 +120,41 @@ def main():
     timeit("Hc/Gc einsums (N,3,s)",
            jax.jit(lambda a: (jnp.einsum('nik,nil->kl', a, a),
                               jnp.einsum('nik,ni->k', a, res))), ASm)
+
+    if os.environ.get('ATTR_RING', '1') == '1' and Vp > 32768:
+        # ---- the production ring-path pieces (what the >32k fit
+        # actually runs per iteration) ----
+        from ch_shrinkwrap_tpu.ops.pallas_gather import ring_gather
+        from ch_shrinkwrap_tpu.solver.shrinkwrap import compute_ncc
+        print('building ring schedules...', flush=True)
+        ring_tri, ring_ncc, ring_fold = meshdata.fit_ring_schedules(ma)
+        assert ring_tri is not None
+
+        timeit("ring: tri = f[faces] gather (3Fp rows)",
+               jax.jit(lambda p: ring_gather(p, ring_tri)
+                       .reshape(Fp, 3, 3)), fpos)
+        fn8 = jnp.concatenate([fpos, vn, jnp.zeros((Vp, 2), fpos.dtype)],
+                              axis=1)
+        timeit("ring: ncc gather (Vp*K rows, 8 cols)",
+               jax.jit(lambda x: ring_gather(x, ring_ncc)
+                       .reshape(Vp, 20, 8)), fn8)
+        timeit("ring: compute_ncc full (gather + alpha math)",
+               jax.jit(lambda p: compute_ncc(p, nbr_v, vn, pi, v_mask,
+                                             ring_sched=ring_ncc)), fpos)
+        f_sched, inc_mask, ov_rows, ov_verts = ring_fold
+        face_rows = jnp.zeros((Fp * 3, 9), jnp.float32) + 0.1
+
+        def ring_fold_fn(fr):
+            g = ring_gather(fr, f_sched).reshape(Vp, 8, 9)
+            out = (g * inc_mask[..., None]).sum(1)
+            ov = fr[ov_rows] * (ov_rows >= 0)[:, None]
+            return out.at[ov_verts].add(
+                jnp.where((ov_rows >= 0)[:, None], ov, 0.0))
+        timeit("ring: A^T fold gather+sum (Vp x 8 x 9)",
+               jax.jit(ring_fold_fn), face_rows)
+        timeit("vertex_normals (fold path as in block)",
+               jax.jit(lambda p: _normals.vertex_normals(
+                   p, faces, f_mask, Vp, tri=None)), fpos)
 
 
 if __name__ == '__main__':

@@ -403,3 +403,70 @@ def test_incidence_native_matches_numpy():
             native._lib = lib_save
         for x, y, name in zip(a, b, ('inc', 'ov_rows', 'ov_verts')):
             np.testing.assert_array_equal(x, y, err_msg=f'K={K} {name}')
+
+
+def test_blocked_kmajor_stream_order_and_care():
+    rng = np.random.default_rng(3)
+    V, K, B = 4096, 20, 1024
+    tbl = rng.integers(0, V, size=(V, K)).astype(np.int32)
+    care_t = rng.random((V, K)) < 0.8
+    idx, care = pg.blocked_kmajor_stream(tbl, care_t, block=B)
+    nb = V // B
+    # row r = blk*K*B + k*B + off  ->  tbl[blk*B + off, k]
+    r = rng.integers(0, V * K, size=500)
+    blk, rem = r // (K * B), r % (K * B)
+    k, off = rem // B, rem % B
+    assert (idx[r] == tbl[blk * B + off, k]).all()
+    assert (care[r] == care_t[blk * B + off, k]).all()
+
+
+def test_compute_ncc_blocked_matches_plain():
+    """The blocked k-major compute_ncc path (vertex axis on lanes)
+    must agree with the plain (Vp, K, C) formulation.  The ring kernel
+    itself can't run on CPU; route the gather through a stub that
+    reproduces transposed kernel output from the schedule's stream."""
+    from unittest import mock
+    from ch_shrinkwrap_tpu.solver import shrinkwrap as sw
+
+    rng = np.random.default_rng(7)
+    Vp, K, B = 2048, 20, 1024
+    f = rng.normal(size=(Vp, 3)).astype(np.float32)
+    vn = rng.normal(size=(Vp, 3)).astype(np.float32)
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    pi = rng.random(Vp).astype(np.float32)
+    v_mask = np.ones(Vp, bool)
+    v_mask[-37:] = False
+    nbr = rng.integers(0, Vp, size=(Vp, K)).astype(np.int32)
+    nbr[rng.random((Vp, K)) < 0.3] = -1
+    nbr[5] = -1                                  # an isolated vertex
+
+    import jax.numpy as jnp
+    plain = np.asarray(sw.compute_ncc(
+        jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(vn),
+        jnp.asarray(pi), jnp.asarray(v_mask)))
+
+    idx, care = pg.blocked_kmajor_stream(
+        np.clip(nbr, 0, None), nbr >= 0, block=B)
+    sched = pg.RingGatherSchedule(
+        bases=None, pbases=None, dmas=None,
+        idx=jnp.asarray(idx), targets=None, uncov=None,
+        n_steps=-(-idx.shape[0] // (16 * 128)), n_patch=128,
+        span=384, n_rows=idx.shape[0], cps=16, kmaj_block=B,
+        care=jnp.asarray(care))
+
+    def fake_ring_gather(src, s, interpret=False, transposed_out=False):
+        assert transposed_out
+        vals = np.asarray(src)[np.asarray(s.idx)]      # (R, C)
+        csub = 8
+        Rp = s.n_steps * 16 * 128
+        out = np.zeros((csub, Rp), np.float32)
+        out[:vals.shape[1], :vals.shape[0]] = vals.T
+        return jnp.asarray(out)
+
+    with mock.patch('ch_shrinkwrap_tpu.ops.pallas_gather.ring_gather',
+                    fake_ring_gather):
+        blocked = np.asarray(sw.compute_ncc(
+            jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(vn),
+            jnp.asarray(pi), jnp.asarray(v_mask), ring_sched=sched))
+
+    np.testing.assert_allclose(blocked, plain, rtol=2e-5, atol=2e-5)
