@@ -387,7 +387,8 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     f_sched = ring_gather_schedule(
         np.clip(inc, 0, None).reshape(-1),
         (inc >= 0).reshape(-1), 3 * faces_np.shape[0],
-        span=256, fixed_layout=True, fixed_patch_frac=1 / 8)
+        span=256, fixed_layout=True, fixed_patch_frac=1 / 8,
+        care_out=True)
     if (ring_tri is None or ring_ncc is None or f_sched is None
             or len(ov_r) > ov_cap):
         return None, None, None

@@ -295,10 +295,18 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
              n_patch_rows, n_uncov) = nat
             if n_patch_rows > budget or n_uncov > fixed_uncov:
                 return None
+            # uncov is None in the (overwhelmingly common) zero case:
+            # the compiled program then carries NO fixup op at all —
+            # the transposed-output fixup is a minor-axis scatter that
+            # costs a full-buffer copy (~15 ms at 656k, measured).  A
+            # mid-fit topology that DOES produce uncovered rows gets
+            # the fixup variant as a separate (lazily compiled) cache
+            # entry — a one-time service stall, never wrong results.
             return RingGatherSchedule(
                 bases=jnp.asarray(bases), pbases=jnp.asarray(pbases),
                 dmas=jnp.asarray(dmas), idx=jnp.asarray(idx_p),
-                targets=jnp.asarray(targets), uncov=jnp.asarray(uncov),
+                targets=jnp.asarray(targets),
+                uncov=(jnp.asarray(uncov) if n_uncov > 0 else None),
                 n_steps=-(-R // (cps * 128)), n_patch=n_patch,
                 span=span, n_rows=R, cps=cps, kmaj_block=kmaj_block,
                 care=(jnp.asarray(np.ascontiguousarray(care_mask))
@@ -383,14 +391,17 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
 
     uncov_ids = np.flatnonzero(uncov_rows.reshape(-1)[:R])
     if fixed_layout:
-        # capacity-constant fixup array (possibly all -1): the program
-        # carries one tiny masked scatter unconditionally, so its
-        # shape never depends on the data
+        # None in the zero case (program carries no fixup op — see
+        # the native-path comment above); else the fixed 2048-wide
+        # -1-padded array so the fixup program shape is data-free
         if len(uncov_ids) > fixed_uncov:
             return None
-        uncov = np.full(fixed_uncov, -1, np.int32)
-        uncov[:len(uncov_ids)] = uncov_ids
-        uncov = jnp.asarray(uncov)
+        if len(uncov_ids) == 0:
+            uncov = None
+        else:
+            uncov = np.full(fixed_uncov, -1, np.int32)
+            uncov[:len(uncov_ids)] = uncov_ids
+            uncov = jnp.asarray(uncov)
     elif len(uncov_ids):
         u_pad = -(-len(uncov_ids) // 1024) * 1024
         uncov = np.full(u_pad, -1, np.int32)

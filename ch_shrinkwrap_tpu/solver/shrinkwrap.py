@@ -365,8 +365,44 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             from ..ops.pallas_gather import ring_gather
             f_sched, inc_mask, ov_rows, ov_verts = ring_fold
             KI = inc_mask.shape[1]
-            vg7 = ring_gather(fused, f_sched).reshape(Vp, KI, 7)
-            out7 = (vg7 * inc_mask[..., None]).sum(1)      # (Vp, 7)
+            if f_sched.care is not None and KI == 8 \
+                    and f_sched.n_rows == Vp * KI \
+                    and f_sched.n_rows % (f_sched.cps * 128) == 0:
+                # masked KI-group sum on the kernel-native transposed
+                # layout: lanes = stream rows (full utilization), and
+                # the adjacent-8-lane group sum is a (128, 16) 0/1
+                # matmul on the MXU — the row-major (Vp, KI, 7) masked
+                # sum ran on 7 of 128 lanes (~10 ms of the 656k
+                # per-iter profile)
+                Rf = f_sched.n_rows
+                # strip the in-gather uncov fixup (a minor-axis
+                # scatter on the big transposed buffer = full-buffer
+                # copy); uncovered rows read 0 from the kernel, so the
+                # exact fixup is a tiny scatter-ADD on the folded
+                # output below
+                gt = ring_gather(fused, f_sched._replace(uncov=None),
+                                 transposed_out=True)     # (8, Rf)
+                cm = f_sched.care.astype(fused.dtype)
+                gt = (gt * cm[None, :]).reshape(8, Rf // 128, 128)
+                gm = (jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
+                      // KI
+                      == jax.lax.broadcasted_iota(jnp.int32, (128, 16),
+                                                  1)
+                      ).astype(fused.dtype)
+                out7t = jax.lax.dot_general(
+                    gt, gm, (((2,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                out7 = (out7t.reshape(8, Vp)[:7]).T        # (Vp, 7)
+                if f_sched.uncov is not None:
+                    u = f_sched.uncov
+                    um = u >= 0
+                    uv = fused[f_sched.idx.reshape(-1)[
+                        jnp.clip(u, 0, Rf - 1)]] * um[:, None]
+                    out7 = out7.at[jnp.where(um, u // KI, Vp)].add(
+                        uv, mode='drop')
+            else:
+                vg7 = ring_gather(fused, f_sched).reshape(Vp, KI, 7)
+                out7 = (vg7 * inc_mask[..., None]).sum(1)  # (Vp, 7)
             if ov_rows is not None:
                 # -1-padded fixed-width overflow lists (capacity-
                 # constant program layout): padding rows contribute
