@@ -376,13 +376,31 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     # ncc rides the block-interleaved k-major stream: compute_ncc then
     # reduces over K with the vertex axis on lanes (2.5% patch @ span
     # 384 measured on sorted fit meshes, vs 40 ms of ~6%-lane math in
-    # the row-major layout at 656k)
+    # the row-major layout at 656k).  The stream carries only the
+    # first NCC_K=12 neighbor slots — remeshed fit meshes max out at
+    # valence 8 (measured; the table's K=20 is the reference's struct
+    # padding, membrane_mesh_utils.h:26) — so the kernel scans 40%
+    # fewer rows; the rare valence>12 neighbors ride a fixed-width
+    # overflow pair list handled exactly by compute_ncc.
     from .pallas_gather import blocked_kmajor_stream
+    NCC_K = 12
+    nbr12 = nbr_np[:, :NCC_K]
     ncc_idx, ncc_care = blocked_kmajor_stream(
-        np.clip(nbr_np, 0, None), nbr_np >= 0, block=1024)
+        np.clip(nbr12, 0, None), nbr12 >= 0, block=1024)
     ring_ncc = ring_gather_schedule(
         ncc_idx, ncc_care, Vp, span=384, fixed_layout=True,
         kmaj_block=1024, care_out=True)
+    if ring_ncc is not None:
+        ov_extra = nbr_np[:, NCC_K:]
+        ev, ek = np.nonzero(ov_extra >= 0)
+        if len(ev) > ov_cap:
+            ring_ncc = None     # absurd topology; atomic fallback
+        else:
+            nv = np.full(ov_cap, -1, np.int32)
+            nu = np.zeros(ov_cap, np.int32)
+            nv[:len(ev)] = ev
+            nu[:len(ev)] = ov_extra[ev, ek]
+            ring_ncc = (ring_ncc, jnp.asarray(nv), jnp.asarray(nu))
     inc, ov_r, ov_v = incidence_table(faces_np, f_mask_np, Vp)
     f_sched = ring_gather_schedule(
         np.clip(inc, 0, None).reshape(-1),

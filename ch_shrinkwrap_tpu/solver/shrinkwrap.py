@@ -74,6 +74,13 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
     # clean (8, 128) tiling of both the source and the gather output
     fn = jnp.concatenate(
         [f, vnormals, jnp.zeros((Vp, 2), f.dtype)], axis=1)  # (Vp, 8)
+    ov_v = ov_u = None
+    if isinstance(ring_sched, tuple) \
+            and not hasattr(ring_sched, 'kmaj_block'):
+        # plain 3-tuple (RingGatherSchedule is itself a NamedTuple):
+        # (schedule over the first Kn neighbor slots, fixed-width
+        # overflow pair lists for the rare valence > Kn vertices)
+        ring_sched, ov_v, ov_u = ring_sched
     if ring_sched is not None and getattr(ring_sched, 'kmaj_block', 0):
         # blocked k-major stream: the whole prior computes with the
         # VERTEX axis on lanes (full 128-lane utilization) — the plain
@@ -82,26 +89,50 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
         # the 656k per-op profile)
         from ..ops.pallas_gather import ring_gather
         B = ring_sched.kmaj_block
+        Kn = ring_sched.n_rows // Vp    # stream neighbor slots (<= K)
         nb = Vp // B
         gt = ring_gather(fn, ring_sched,
                          transposed_out=True)       # (8, Rp)
-        g = gt[:6, :Vp * K].reshape(6, nb, K, B)
-        nmask_t = (ring_sched.care.reshape(nb, K, B)
-                   & v_mask.reshape(nb, 1, B))      # (nb, K, B)
-        ms_t = nmask_t.sum(1)                       # (nb, B)
-        ms_safe_t = jnp.maximum(ms_t, 1)
+        g = gt[:6, :Vp * Kn].reshape(6, nb, Kn, B)
+        nmask_t = (ring_sched.care.reshape(nb, Kn, B)
+                   & v_mask.reshape(nb, 1, B))      # (nb, Kn, B)
         mf = nmask_t.astype(f.dtype)
-        pos = g[0:3] * mf[None]                     # (3, nb, K, B)
+        pos = g[0:3] * mf[None]                     # (3, nb, Kn, B)
         nrm = g[3:6]
-        vc_t = pos.sum(2) / ms_safe_t[None]         # (3, nb, B)
+        ms_t = nmask_t.sum(1).astype(f.dtype)       # (nb, B)
+        sum_pos_t = pos.sum(2)                      # (3, nb, B)
+        if ov_v is not None:
+            # exact overflow contributions (valence > Kn slots of the
+            # K-wide table; fixed-width -1-padded lists keep the
+            # program capacity-constant).  All ops are O(16384).
+            ovm = (ov_v >= 0) & v_mask[jnp.clip(ov_v, 0, Vp - 1)]
+            sv = jnp.where(ovm, ov_v, 0)
+            su = jnp.where(ovm, ov_u, 0)
+            ovf = ovm.astype(f.dtype)
+            pos_u = f[su] * ovf[:, None]            # (O, 3)
+            ov_pos = jax.ops.segment_sum(pos_u, sv, num_segments=Vp)
+            ov_cnt = jax.ops.segment_sum(ovf, sv, num_segments=Vp)
+            sum_pos_t = sum_pos_t + ov_pos.T.reshape(3, nb, B)
+            ms_t = ms_t + ov_cnt.reshape(nb, B)
+        ms_safe_t = jnp.maximum(ms_t, 1.0)
+        vc_t = sum_pos_t / ms_safe_t[None]          # (3, nb, B)
         # alpha_j = ((pos_k - vc) . n_k) / sqrt(2 (max(n.n_k, 0) + 1))
-        t_pos = (pos * nrm).sum(0)                  # (nb, K, B)
-        t_vc = (vc_t[:, :, None, :] * nrm).sum(0)   # (nb, K, B)
+        t_pos = (pos * nrm).sum(0)                  # (nb, Kn, B)
+        t_vc = (vc_t[:, :, None, :] * nrm).sum(0)   # (nb, Kn, B)
         vn_t = (vnormals.T).reshape(3, nb, B)
-        ndn = (nrm * vn_t[:, :, None, :]).sum(0)    # (nb, K, B)
+        ndn = (nrm * vn_t[:, :, None, :]).sum(0)    # (nb, Kn, B)
         denom = jnp.sqrt(2.0 * (jnp.maximum(ndn, 0.0) + 1.0))
-        alpha_t = ((t_pos - t_vc * mf) / denom
-                   * mf).sum(1) / ms_safe_t         # (nb, B)
+        a_num_t = ((t_pos - t_vc * mf) / denom
+                   * mf).sum(1)                     # (nb, B)
+        if ov_v is not None:
+            vc_rm = vc_t.reshape(3, Vp).T           # (Vp, 3) small
+            n_u = vnormals[su]
+            ndn_o = (n_u * vnormals[sv]).sum(-1)
+            den_o = jnp.sqrt(2.0 * (jnp.maximum(ndn_o, 0.0) + 1.0))
+            t_o = ((f[su] - vc_rm[sv]) * n_u).sum(-1) / den_o * ovf
+            ov_num = jax.ops.segment_sum(t_o, sv, num_segments=Vp)
+            a_num_t = a_num_t + ov_num.reshape(nb, B)
+        alpha_t = a_num_t / ms_safe_t
         pi_t = point_influence.reshape(nb, B)
         alpha_t = alpha_t * jnp.minimum(pi_t ** 2, 1.0)
         out_t = vc_t + alpha_t[None] * vn_t         # (3, nb, B)

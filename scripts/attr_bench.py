@@ -135,9 +135,11 @@ def main():
                        .reshape(Fp, 3, 3)), fpos)
         fn8 = jnp.concatenate([fpos, vn, jnp.zeros((Vp, 2), fpos.dtype)],
                               axis=1)
-        timeit("ring: ncc gather (Vp*K rows, 8 cols)",
-               jax.jit(lambda x: ring_gather(x, ring_ncc)
-                       .reshape(Vp, 20, 8)), fn8)
+        ncc_sched = ring_ncc[0] if isinstance(ring_ncc, tuple) \
+            else ring_ncc
+        timeit("ring: ncc gather (blocked k-major stream)",
+               jax.jit(lambda x: ring_gather(x, ncc_sched,
+                                             transposed_out=True)), fn8)
         timeit("ring: compute_ncc full (gather + alpha math)",
                jax.jit(lambda p: compute_ncc(p, nbr_v, vn, pi, v_mask,
                                              ring_sched=ring_ncc)), fpos)

@@ -274,12 +274,14 @@ def test_fit_ring_schedules_topology_invariant_statics():
     def statics(ma):
         rt, rn, rf = meshdata.fit_ring_schedules(ma)
         assert rt is not None
+        rn, ncc_ov_v, ncc_ov_u = rn     # ncc: (schedule, overflow pair lists)
         f_sched, inc_mask, ov_rows, ov_verts = rf
 
         def ush(s):
             return None if s.uncov is None else s.uncov.shape
         return ((rt.n_steps, rt.n_patch, rt.n_rows, ush(rt)),
-                (rn.n_steps, rn.n_patch, rn.n_rows, ush(rn)),
+                (rn.n_steps, rn.n_patch, rn.n_rows, ush(rn),
+                 rn.kmaj_block, ncc_ov_v.shape, ncc_ov_u.shape),
                 (f_sched.n_steps, f_sched.n_patch, f_sched.n_rows,
                  ush(f_sched)),
                 inc_mask.shape, ov_rows.shape, ov_verts.shape)
@@ -474,3 +476,58 @@ def test_compute_ncc_blocked_matches_plain():
             jnp.asarray(pi), jnp.asarray(v_mask), ring_sched=sched))
 
     np.testing.assert_allclose(blocked, plain, rtol=2e-5, atol=2e-5)
+
+
+def test_compute_ncc_blocked_overflow_matches_plain():
+    """Kn=12-slot blocked stream + fixed-width overflow pair lists
+    (valence > Kn) must reproduce the full K=20 plain computation."""
+    from unittest import mock
+    from ch_shrinkwrap_tpu.solver import shrinkwrap as sw
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    Vp, K, Kn, B = 2048, 20, 12, 1024
+    f = rng.normal(size=(Vp, 3)).astype(np.float32)
+    vn = rng.normal(size=(Vp, 3)).astype(np.float32)
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    pi = rng.random(Vp).astype(np.float32)
+    v_mask = np.ones(Vp, bool)
+    v_mask[-10:] = False
+    nbr = rng.integers(0, Vp, size=(Vp, K)).astype(np.int32)
+    nbr[rng.random((Vp, K)) < 0.4] = -1     # many rows exceed Kn=12
+
+    plain = np.asarray(sw.compute_ncc(
+        jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(vn),
+        jnp.asarray(pi), jnp.asarray(v_mask)))
+
+    nbr12 = nbr[:, :Kn]
+    idx, care = pg.blocked_kmajor_stream(
+        np.clip(nbr12, 0, None), nbr12 >= 0, block=B)
+    sched = pg.RingGatherSchedule(
+        bases=None, pbases=None, dmas=None,
+        idx=jnp.asarray(idx), targets=None, uncov=None,
+        n_steps=-(-idx.shape[0] // (16 * 128)), n_patch=128,
+        span=384, n_rows=idx.shape[0], cps=16, kmaj_block=B,
+        care=jnp.asarray(care))
+    ev, ek = np.nonzero(nbr[:, Kn:] >= 0)
+    cap = 16384
+    nv = np.full(cap, -1, np.int32)
+    nu = np.zeros(cap, np.int32)
+    nv[:len(ev)] = ev
+    nu[:len(ev)] = nbr[:, Kn:][ev, ek]
+
+    def fake_ring_gather(src, s, interpret=False, transposed_out=False):
+        vals = np.asarray(src)[np.asarray(s.idx)]
+        Rp = s.n_steps * 16 * 128
+        out = np.zeros((8, Rp), np.float32)
+        out[:vals.shape[1], :vals.shape[0]] = vals.T
+        return jnp.asarray(out)
+
+    with mock.patch('ch_shrinkwrap_tpu.ops.pallas_gather.ring_gather',
+                    fake_ring_gather):
+        blocked = np.asarray(sw.compute_ncc(
+            jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(vn),
+            jnp.asarray(pi), jnp.asarray(v_mask),
+            ring_sched=(sched, jnp.asarray(nv), jnp.asarray(nu))))
+
+    np.testing.assert_allclose(blocked, plain, rtol=3e-5, atol=3e-5)
