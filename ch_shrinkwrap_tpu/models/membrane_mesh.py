@@ -777,6 +777,19 @@ class MembraneMesh(TriangleMesh):
                                 'falling back to the XLA gather path '
                                 'for this topology (recompile likely)',
                                 ma.positions.shape[0])
+                            dump = os.environ.get('CSW_DUMP_OVERBUDGET')
+                            if dump:
+                                h = ma.host or {}
+                                np.savez_compressed(
+                                    '%s_Vp%d_j%d.npz' % (
+                                        dump, ma.positions.shape[0], j),
+                                    faces=np.asarray(
+                                        h.get('faces', ma.faces)),
+                                    f_mask=np.asarray(
+                                        h.get('f_mask', ma.f_mask)),
+                                    nbr_v=np.asarray(
+                                        h.get('nbr_v', ma.nbr_v)),
+                                    positions=np.asarray(ma.positions))
                     if ring_fold is None and method == 'windowed_pallas':
                         sched = meshdata.fold_schedule(
                             np.asarray(ma.faces), self.faces.shape[0],

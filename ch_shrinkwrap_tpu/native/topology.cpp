@@ -809,6 +809,8 @@ void ring_schedule_native(
 
     // pass 1: per-chunk best-mass bases over the padded row range
     // (pad rows read idx 0 / care 0 via the guards below)
+    std::vector<int64_t> care_chunks;   // chunk ids with >=1 care row
+    std::vector<int64_t> chunk_med;     // per-care-chunk value median
     {
         std::vector<int32_t> buf(128);
         int32_t maxbase = n_al - span > 0 ? n_al - span : 0;
@@ -821,6 +823,8 @@ void ring_schedule_native(
             }
             if (m == 0) { bases[c] = 0; continue; }
             std::sort(buf.begin(), buf.begin() + m);
+            care_chunks.push_back(c);
+            chunk_med.push_back(buf[(m - 1) / 2]);
             int best = 0, bestcnt = -1, hi = 0;
             for (int j = 0; j < m; ++j) {
                 if (hi < j) hi = j;
@@ -832,6 +836,42 @@ void ring_schedule_native(
             if (base > maxbase) base = maxbase;
             if (base < 0) base = 0;
             bases[c] = base;
+        }
+    }
+
+    // pass 1b: anchor clamp — bound each care-chunk's base to the
+    // running lower-median of the surrounding +/-ANCHOR_W care-chunk
+    // medians over the VALID window only (no edge replication: a
+    // replicated edge window lets an outlier at either end of the
+    // stream dominate its own anchor).  Outlier-driven far-ahead
+    // bases drag the monotone prefetch head with them and strip ring
+    // residency from every trailing chunk within the ring span;
+    // clamped, the outliers only cost their own patch rows.  Must
+    // stay bit-identical to ops/pallas_gather._anchor_clamp_bases.
+    {
+        const int64_t W = 16;           // ANCHOR_W
+        const int64_t AHEAD = 4096;     // ANCHOR_AHEAD
+        const int64_t K = (int64_t)care_chunks.size();
+        int64_t maxbase = n_al - span > 0 ? n_al - span : 0;
+        std::vector<int64_t> win;
+        win.reserve(2 * W + 1);
+        for (int64_t i = 0; i < K; ++i) {
+            int64_t lo_i = i - W > 0 ? i - W : 0;
+            int64_t hi_i = i + W < K - 1 ? i + W : K - 1;
+            win.assign(chunk_med.begin() + lo_i,
+                       chunk_med.begin() + hi_i + 1);
+            int64_t mi = (int64_t)(win.size() - 1) / 2;
+            std::nth_element(win.begin(), win.begin() + mi, win.end());
+            int64_t anchor = win[mi];
+            int64_t lo = anchor - AHEAD > 0 ? anchor - AHEAD : 0;
+            int64_t hi = anchor + AHEAD;
+            int64_t b = bases[care_chunks[i]];
+            if (b < lo) b = lo;
+            if (b > hi) b = hi;
+            b = (b / 128) * 128;
+            if (b < 0) b = 0;
+            if (b > maxbase) b = maxbase;
+            bases[care_chunks[i]] = (int32_t)b;
         }
     }
 

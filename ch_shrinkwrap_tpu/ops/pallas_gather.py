@@ -214,6 +214,60 @@ def _best_mass_base(tc, cc, span, n_rows):
     return np.clip(base, 0, max(n_al - span, 0))
 
 
+ANCHOR_W = 16              # care-chunk half-window for the base anchor
+ANCHOR_AHEAD = 4096        # max rows a base may leave its anchor
+
+
+def _anchor_clamp_bases(base, tc, cc, span, n_src_rows):
+    """Clamp each care-chunk's window base to a SMOOTHED local
+    trajectory (running lower-median over the +/-ANCHOR_W surrounding
+    care-chunks' care-value medians, edge-replicated).
+
+    Raw best-mass bases are outlier-fragile on surgered fit meshes: a
+    care-sparse chunk (e.g. a high-k neighbor slot) whose few care
+    values sit tens of thousands of rows ahead gets a far-ahead base,
+    the monotone prefetch head jumps with it, and every trailing chunk
+    within RING_LANES loses residency — measured 156k of 180k patch
+    rows on the j=65 north-star topology came from residency loss, not
+    out-of-span values (debug_out/ob_Vp186368_j65.npz).  Clamped,
+    outliers cost only their own patch entries and the head stays
+    smooth.  Must stay bit-identical to the native pass in
+    topology.cpp:ring_schedule_native."""
+    m = cc.sum(1)
+    carech = m > 0
+    if not carech.any():
+        return base
+    ts = np.sort(np.where(cc, tc, np.int32(0x7fffffff)), axis=1)
+    med = ts[np.arange(len(m)), np.maximum(m - 1, 0) // 2]
+    meds = med[carech].astype(np.int64)
+    K = len(meds)
+    # running lower-median over the VALID window [i-W, i+W] & [0, K)
+    # only — edge-REPLICATED windows let an outlier at either end of
+    # the stream dominate its own anchor (17 of 33 entries become the
+    # outlier itself) and drag the prefetch head exactly the way the
+    # clamp exists to prevent
+    W = ANCHOR_W
+    anchor = np.empty(K, np.int64)
+    if K > 2 * W + 1:
+        win = np.arange(K - 2 * W)[:, None] + np.arange(2 * W + 1)
+        anchor[W:K - W] = np.sort(meds[win], axis=1)[:, W]
+        edges = list(range(W)) + list(range(K - W, K))
+    else:
+        edges = range(K)
+    for i in edges:
+        seg = meds[max(i - W, 0):min(i + W, K - 1) + 1]
+        anchor[i] = np.sort(seg)[(len(seg) - 1) // 2]
+    b = base[carech].astype(np.int64)
+    lo = np.maximum(anchor - ANCHOR_AHEAD, 0)
+    b = np.clip(b, lo, anchor + ANCHOR_AHEAD)
+    b = (b // 128) * 128
+    n_al = -(-n_src_rows // 128) * 128
+    b = np.clip(b, 0, max(n_al - span, 0))
+    out = base.copy()
+    out[carech] = b.astype(base.dtype)
+    return out
+
+
 def _step_dma_descs(step_hi, ring_segs):
     """Per-step ring-advance descriptors [lo, len, lo2, len2] from the
     running per-step head (in segments); splits at the ring wrap and
@@ -294,6 +348,12 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
             (bases, pbases, dmas, idx_p, targets, uncov,
              n_patch_rows, n_uncov) = nat
             if n_patch_rows > budget or n_uncov > fixed_uncov:
+                import logging
+                logging.getLogger(__name__).warning(
+                    'ring schedule over budget: R=%d span=%d '
+                    'patch_rows=%d/budget=%d uncov=%d/cap=%d',
+                    R, span, n_patch_rows, budget, n_uncov,
+                    fixed_uncov)
                 return None
             # uncov is None in the (overwhelmingly common) zero case:
             # the compiled program then carries NO fixup op at all —
@@ -331,6 +391,7 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
     Vp_al = -(-n_src_rows // 128) * 128
 
     base = _best_mass_base(tc, cc, span, n_src_rows).astype(np.int32)
+    base = _anchor_clamp_bases(base, tc, cc, span, n_src_rows)
     off = tc - base[:, None]
     cov = (off >= 0) & (off < span)
 

@@ -346,6 +346,39 @@ def test_fixed_layout_fold_with_padded_overflow():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
 
 
+def _outlier_kmajor_stream(seed=7, n_src=50_000, n_rows=200_000):
+    """Monotone walk with injected care-sparse outlier chunks: every
+    40th chunk keeps only 3 care rows whose targets sit ~30k rows
+    ahead — the shape of high-k neighbor slots on surgered fit meshes
+    (the j=65 north-star topology, debug_out/ob_Vp186368_j65.npz) that
+    used to blow the fixed patch budget through prefetch-head drag."""
+    rng = np.random.default_rng(seed)
+    walk = np.sort(rng.integers(0, n_src, size=n_rows))
+    idx = np.clip(walk + rng.integers(-150, 150, size=n_rows),
+                  0, n_src - 1)
+    care = np.ones(n_rows, bool)
+    for c in range(0, n_rows // 128, 40):
+        care[c * 128:(c + 1) * 128] = False
+        pick = rng.integers(c * 128, (c + 1) * 128, size=3)
+        care[pick] = True
+        idx[pick] = np.clip(idx[pick] + 30_000, 0, n_src - 1)
+    return idx, care
+
+
+def test_ring_schedule_outlier_chunks_stay_in_budget():
+    """Care-sparse far-ahead chunks must cost only their own patch
+    rows (anchor-clamped bases), not strip ring residency from every
+    trailing chunk — pre-clamp this stream lost 131k of 200k rows to
+    residency and the fixed-layout schedule refused."""
+    idx, care = _outlier_kmajor_stream()
+    sched = ring_gather_schedule(idx, care, 50_000, fixed_layout=True)
+    assert sched is not None
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(50_000, 8)).astype(np.float32)
+    out = emulate_ring_gather(src, sched)
+    np.testing.assert_array_equal(out[care], src[idx][care])
+
+
 def test_ring_schedule_native_matches_numpy():
     """The native one-pass schedule builder must reproduce the numpy
     formulation field-for-field (both fixed-layout)."""
@@ -354,12 +387,18 @@ def test_ring_schedule_native_matches_numpy():
         pytest.skip('native engine unavailable')
     import ch_shrinkwrap_tpu.ops.pallas_gather as pg
 
+    cases = []
     for seed, n_src, n_rows, jp in ((0, 30_000, 90_000, 0.03),
                                     (1, 9_001, 40_000, 0.1),
                                     (2, 50_000, 200_000, 0.0)):
         rng = np.random.default_rng(seed)
         idx = hilbertish_indices(rng, n_src, n_rows, jump_p=jp)
         care = rng.random(n_rows) < 0.9
+        cases.append((idx, care, n_src))
+    # anchor-clamp path: outlier chunks exercise pass 1b in both
+    idx, care = _outlier_kmajor_stream()
+    cases.append((idx, care, 50_000))
+    for idx, care, n_src in cases:
         s_nat = ring_gather_schedule(idx, care, n_src,
                                      fixed_layout=True)
         # force the numpy path by hiding the native lib
