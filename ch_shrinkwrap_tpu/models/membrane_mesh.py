@@ -197,11 +197,40 @@ class MembraneMesh(TriangleMesh):
 
     def _curv(self, key):
         if self._curv_state is None:
-            self._populate_curvature_grad()
+            if key == 'K' and getattr(self, 'use_native_neck_k', True):
+                # K-only fast path for the boundary neck diagnostic
+                # (remove_necks, pyx:1212-1213 consumes only K): the
+                # native host kernel avoids both the folded device
+                # curvature in the CG block and the standalone
+                # curvature program — together ~9 MB of TPU executable
+                # through the remote service (scripts/
+                # probe_exec_census.py) — at ~0.1 s/boundary host cost.
+                from .. import native
+                V = self.vertices.shape[0]
+                nbr_v = None
+                cached = getattr(self, '_diag_ma_cache', None)
+                if cached is not None and cached[0] == self._topo_rev:
+                    h = cached[1].host or {}
+                    nv_h = h.get('nbr_v')
+                    if nv_h is not None and nv_h.shape[0] >= V:
+                        nbr_v = nv_h[:V]
+                K_nat = native.gaussian_k(self.vertices, self.faces,
+                                          nbr_v=nbr_v)
+                if K_nat is not None:
+                    self._curv_state = {'_native_K': K_nat}
+            if self._curv_state is None:
+                self._populate_curvature_grad()
         st = self._curv_state
         if key not in st:
-            if getattr(st['_dev'], key) is None:
-                # fit-donated partial state (only K): repopulate fully
+            if '_dev' not in st or getattr(st['_dev'], key) is None:
+                # fit-donated partial state (only K) or the native
+                # K-only seed: repopulate fully on any other field
+                if key == 'K' and '_native_K' in st:
+                    out = st['_native_K'][:self.vertices.shape[0]]
+                    if self.smooth_curvature:
+                        out = self.smooth_per_vertex_data(out)
+                    st[key] = out
+                    return st[key]
                 st = self._populate_curvature_grad()
             V = self.vertices.shape[0]
             out = np.asarray(getattr(st['_dev'], key))[:V]
@@ -374,7 +403,9 @@ class MembraneMesh(TriangleMesh):
         reference sequence exactly."""
         import time as _time
         t0 = _time.time()
-        if os.environ.get('CSW_FINE_TIMERS') and self._curv_state is None:
+        if (os.environ.get('CSW_FINE_TIMERS')
+                and self._curv_state is None
+                and not getattr(self, 'use_native_neck_k', True)):
             self._populate_curvature_grad()
             jax.block_until_ready(self._curv_state['_dev'].K)
             logger.info('necks fine: curv dispatch+device %.2fs',
@@ -631,6 +662,21 @@ class MembraneMesh(TriangleMesh):
         if dr:
             ni_static = min(ni_static, self.delaunay_remesh_frequency)
 
+        # neck removal reads Gaussian curvature at every remesh
+        # boundary.  With the native host kernel available the
+        # boundary computes K itself (~40 ms, native.gaussian_k via
+        # the _curv fast path) and the block carries NO curvature
+        # program — the folded device K was measured at ~4.2 MB of
+        # the block executable plus a 4.9 MB standalone program
+        # (scripts/probe_exec_census.py), i.e. ~15 s of remote-service
+        # load per fit at its ~0.6 MB/s.  Without the native library
+        # the old fold is kept (diag.K, no standalone dispatch).
+        from .. import native as _native
+        have_native_k = (getattr(self, 'use_native_neck_k', True)
+                         and _native.get_lib() is not None)
+        want_K = bool(r and neck_first_iter > 0 and dmesh is None
+                      and not have_native_k)
+
         # Overlap the predictable capacity-bucket compiles with the
         # running fit: a daemon thread climbs the bucket ladder ahead
         # of the mesh, issuing dummy cg_block/curvature calls whose
@@ -672,18 +718,17 @@ class MembraneMesh(TriangleMesh):
                 ring_min_verts=int(getattr(self, 'ring_gather_min_verts',
                                            32768)),
                 uniform_weights=uniform_weights,
-                want_curv_K=bool(r and neck_first_iter > 0
-                                 and dmesh is None))
+                want_curv_K=want_K,
+                # the native boundary K makes the standalone device
+                # curvature program dead weight — don't queue its
+                # compile/load on the service
+                warm_curvature=not have_native_k)
         self._prewarm_cancel = prewarm_cancel
 
         j = 0
         topo_dirty = True
         dev_state = None        # cached (ma, schedules...) per topology
         f_dev = None            # device positions matching dev_state
-        # neck removal reads Gaussian curvature at every remesh
-        # boundary: fold that K evaluation into the block program
-        # (diag.K) so the boundary pays no separate curvature dispatch
-        want_K = bool(r and neck_first_iter > 0 and dmesh is None)
         while j < n_iter:
             n_it = n_iter - j
             if r:

@@ -118,6 +118,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
     lib.hilbert_codes_native.restype = None
+    lib.gaussian_k_native.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        f32p]
+    lib.gaussian_k_native.restype = None
     _lib = lib
     return lib
 
@@ -348,3 +352,34 @@ def incidence(faces, f_mask, n_vertices, K=8, ov_cap=None):
     if n_ov.value > ov_cap:
         return None
     return inc, ov_rows[:n_ov.value].copy(), ov_verts[:n_ov.value].copy()
+
+
+def gaussian_k(vertices, faces, nbr_v=None):
+    """Native per-vertex Gaussian curvature (the K-only subset of
+    ops.curvature.curvature_grad, method='lsq'); returns (V,) f32 or
+    None if the library is unavailable.
+
+    The fit driver uses this for the boundary neck diagnostic
+    (remove_necks consumes only K — counterpart of the reference's
+    curvature recompute at pyx:1212) so the CG block need not carry
+    the folded device curvature program (~9 MB of TPU executable
+    through the remote compile service's ~0.6 MB/s load path).
+    ``nbr_v`` (V, K) -1-padded one-ring table; built natively when
+    omitted.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    nv = len(v)
+    if nbr_v is None:
+        tables = build_tables(f, nv)
+        if tables is None:
+            return None
+        nbr_v = tables[0]
+    nb = np.ascontiguousarray(nbr_v, dtype=np.int32)
+    K_out = np.empty(nv, np.float32)
+    lib.gaussian_k_native(_f32p(v), nv, _i32p(f), len(f),
+                          _i32p(nb), nb.shape[1], _f32p(K_out))
+    return K_out

@@ -1256,4 +1256,135 @@ void hilbert_codes_native(const uint32_t* Xin, int64_t n, int bits,
     }
 }
 
+// Gaussian curvature per vertex: host C++ twin of the K-only subset of
+// ops/curvature.py::curvature_grad (method='lsq', itself the rebuild
+// of the reference's c_curvature_grad one-ring Taubin pass,
+// /root/reference/ch_shrinkwrap/membrane_mesh_utils.c:915-1250).  The
+// fit driver uses it for the neck diagnostic at remesh boundaries
+// (remove_necks consumes only K, pyx:1201-1219) so the CG block does
+// not need the folded device curvature program — measured 4.2 MB of
+// TPU executable (a ~7 s load through the remote compile service) plus
+// per-block device time, vs ~40 ms/boundary here.
+//
+// verts: (nv,3) f32; faces: (nf,3) i32 (no padding rows);
+// nbr_v: (nv,K) i32 one-ring neighbor ids, -1 padded; K_out: (nv) f32.
+void gaussian_k_native(const float* verts, int nv,
+                       const int32_t* faces, int nf,
+                       const int32_t* nbr_v, int K,
+                       float* K_out) {
+    const Vec3* pos = reinterpret_cast<const Vec3*>(verts);
+    // angle-weighted vertex normals (ops/normals.py::vertex_normals)
+    std::vector<Vec3> vn(nv, Vec3{0.f, 0.f, 0.f});
+    for (int f = 0; f < nf; ++f) {
+        int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+        Vec3 tri[3] = {pos[a], pos[b], pos[c]};
+        Vec3 n = (tri[1] - tri[0]).cross(tri[2] - tri[0]);
+        float nn = n.norm();
+        if (nn < 1e-12f) continue;
+        Vec3 fn = n * (1.f / nn);
+        int vid[3] = {a, b, c};
+        for (int k = 0; k < 3; ++k) {
+            Vec3 e_next = tri[(k + 1) % 3] - tri[k];
+            Vec3 e_prev = tri[(k + 2) % 3] - tri[k];
+            float dot = e_next.dot(e_prev);
+            float sin = e_next.cross(e_prev).norm();
+            float ang = std::atan2(sin, dot);
+            vn[vid[k]] = vn[vid[k]] + fn * ang;
+        }
+    }
+    for (int v = 0; v < nv; ++v) {
+        float nn = vn[v].norm();
+        vn[v] = nn > 1e-12f ? vn[v] * (1.f / nn) : Vec3{0.f, 0.f, 0.f};
+    }
+
+    for (int v = 0; v < nv; ++v) {
+        const Vec3 vi = pos[v], Nvi = vn[v];
+        // Householder tangent frame (curvature.py:57-74)
+        float sign = Nvi.x >= 0.f ? 1.f : -1.f;
+        Vec3 u{Nvi.x + sign, Nvi.y, Nvi.z};
+        float uu = u.norm2() > 1e-24f ? u.norm2() : 1.f;
+        Vec3 e1{-2.f * u.x * u.y / uu, 1.f - 2.f * u.y * u.y / uu,
+                -2.f * u.z * u.y / uu};
+        Vec3 e2{-2.f * u.x * u.z / uu, -2.f * u.y * u.z / uu,
+                1.f - 2.f * u.z * u.z / uu};
+
+        float t1[32], t2[32], ke[32], w_r[32];
+        int m = 0;
+        float r_sum = 0.f;
+        for (int j = 0; j < K; ++j) {
+            int32_t nj = nbr_v[(int64_t)v * K + j];
+            if (nj < 0) continue;
+            Vec3 dv = pos[nj] - vi;
+            float ld = dv.norm();
+            float inv = 1.f / (ld > 1e-12f ? ld : 1e-12f);
+            r_sum += inv;
+            Vec3 dh = dv * inv;
+            float ndotdv = Nvi.dot(dv);
+            // tangent direction: -(dv - (N.dv) N), normalized
+            Vec3 T = (dv - Nvi * ndotdv) * -1.f;
+            float tn = T.norm();
+            Vec3 Tij = tn > 1e-12f ? T * (1.f / tn) : Vec3{0.f, 0.f, 0.f};
+            // chord-length normal difference (curvature.py:142-147)
+            float d = Nvi.dot(dh);
+            float inner = std::sqrt(std::fmax(0.f,
+                              std::fmin(1.f, 1.f - d * d)));
+            float ndiff = std::sqrt(std::fmax(0.f, 2.f - 2.f * inner));
+            float kj = 2.f * (ndotdv > 0.f ? -1.f
+                              : (ndotdv < 0.f ? 1.f : 0.f))
+                       * ndiff * inv;
+            t1[m] = Tij.dot(e1);
+            t2[m] = Tij.dot(e2);
+            ke[m] = kj;
+            w_r[m] = inv;
+            ++m;
+        }
+        if (m == 0) { K_out[v] = 0.f; continue; }
+
+        // weighted LSQ of the second fundamental form (normal
+        // equations via 3x3 adjugate, curvature.py:180-221)
+        double g00 = 0, g01 = 0, g02 = 0, g11 = 0, g12 = 0, g22 = 0;
+        double r0 = 0, r1 = 0, r2 = 0;
+        double m00 = 0, m01 = 0, m11 = 0;
+        for (int j = 0; j < m; ++j) {
+            double w = w_r[j] / r_sum;
+            double X0 = (double)t1[j] * t1[j];
+            double X1 = 2.0 * t1[j] * t2[j];
+            double X2 = (double)t2[j] * t2[j];
+            double y = ke[j];
+            g00 += w * X0 * X0; g01 += w * X0 * X1; g02 += w * X0 * X2;
+            g11 += w * X1 * X1; g12 += w * X1 * X2; g22 += w * X2 * X2;
+            r0 += w * X0 * y; r1 += w * X1 * y; r2 += w * X2 * y;
+            double wk = w * y;
+            m00 += wk * X0;         // wk * t1 * t1
+            m01 += wk * t1[j] * t2[j];
+            m11 += wk * X2;
+        }
+        double c00 = g11 * g22 - g12 * g12;
+        double c01 = g02 * g12 - g01 * g22;
+        double c02 = g01 * g12 - g02 * g11;
+        double c11 = g00 * g22 - g02 * g02;
+        double c12 = g01 * g02 - g00 * g12;
+        double c22 = g00 * g11 - g01 * g01;
+        double det = g00 * c00 + g01 * c01 + g02 * c02;
+        double a, b, c;
+        if (std::fabs(det) > 1e-10) {
+            double invd = 1.0 / det;
+            a = (c00 * r0 + c01 * r1 + c02 * r2) * invd;
+            b = (c01 * r0 + c11 * r1 + c12 * r2) * invd;
+            c = (c02 * r0 + c12 * r1 + c22 * r2) * invd;
+        } else {
+            // Taubin fallback on singular rings (curvature.py:211-219)
+            double disc = std::sqrt((m00 - m11) * (m00 - m11)
+                                    + 4.0 * m01 * m01);
+            double l1 = 0.5 * (m00 + m11 - disc);
+            double l2 = 0.5 * (m00 + m11 + disc);
+            a = 3.0 * l1 - l2;
+            b = 0.0;
+            c = 3.0 * l2 - l1;
+        }
+        // K = k0 * k1 = det of the 2x2 form [[a, b], [b, c]]
+        K_out[v] = (float)(a * c - b * b);
+    }
+}
+
 }  // extern "C"

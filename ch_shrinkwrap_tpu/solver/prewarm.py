@@ -108,7 +108,8 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
                     face_chunk, corr_method, kc, kg, c0,
                     ring_min_verts=32768, quantum=1024,
                     cancel=None, skip_first_block=True,
-                    want_curv_K=False, uniform_weights=True):
+                    want_curv_K=False, uniform_weights=True,
+                    warm_curvature=True):
     """Compile/load the cg_block + curvature executables for every
     bucket in ``ladder``; runs synchronously (call on a thread).
 
@@ -193,10 +194,16 @@ def prewarm_buckets(ladder, pts_j, sig_j, w_j, pmask,
             # and f_cap are powers of two already).  Warmed even under
             # want_curv_K: a topology-changing punch at a boundary
             # invalidates the block-donated K and remove_necks falls
-            # back to this standalone program.
-            st = _curv.curvature_grad(positions, faces, f_mask, v_mask,
-                                      nbr_v, nbr_f, kc=kc, kg=kg, c0=c0)
-            st.K.block_until_ready()
+            # back to this standalone program.  Skipped entirely when
+            # the driver computes the boundary K natively on the host
+            # (warm_curvature=False) — the device program would never
+            # be dispatched, and its compile+load (~5-17 MB per bucket,
+            # probe_exec_census.py) only clogs the service queue.
+            if warm_curvature:
+                st = _curv.curvature_grad(positions, faces, f_mask,
+                                          v_mask, nbr_v, nbr_f,
+                                          kc=kc, kg=kg, c0=c0)
+                st.K.block_until_ready()
             logger.info('prewarm: bucket (%d, %d) ready', v_cap, f_cap)
         except Exception:
             logger.exception('prewarm: bucket (%d, %d) failed '

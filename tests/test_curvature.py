@@ -162,3 +162,35 @@ def test_curvature_cylinder():
     lo = np.minimum(k0, k1)
     np.testing.assert_allclose(hi, 1.0 / R, atol=5e-3)
     np.testing.assert_allclose(lo, 0.0, atol=5e-3)
+
+
+def test_native_gaussian_k_matches_device_kernel():
+    """The host C++ K (native.gaussian_k — the boundary neck
+    diagnostic's fast path) must agree with the JAX kernel's K on both
+    a curved and a deformed surface, and with the analytic sphere
+    value.  Counterpart of the reference's single C implementation
+    (membrane_mesh_utils.c:915-1250) consumed by remove_necks
+    (pyx:1212-1213)."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('native toolchain unavailable')
+    rng = np.random.default_rng(11)
+    R = 50.0
+    v, f = icosphere(3, radius=R)
+    # break the symmetry so the test sees irregular rings too
+    v = (v + rng.normal(scale=0.02 * R, size=v.shape)).astype(np.float32)
+    mesh = TriangleMesh(v, f)
+    ma, st = compute_state(mesh)
+    K_dev = np.asarray(st.K)[:len(v)]
+    K_nat = native.gaussian_k(v, f)
+    scale = np.abs(K_dev).max()
+    np.testing.assert_allclose(K_nat, K_dev, atol=2e-3 * scale)
+    # explicit nbr_v reuse path (the fit driver passes the cached
+    # padded table sliced to the real rows)
+    K_nat2 = native.gaussian_k(v, f, nbr_v=np.asarray(ma.nbr_v)[:len(v)])
+    np.testing.assert_allclose(K_nat2, K_dev, atol=2e-3 * scale)
+
+    # analytic: clean sphere K ~ 1/R^2 at the reference tolerance
+    v, f = icosphere(4, radius=R)
+    K_nat = native.gaussian_k(v, f)
+    np.testing.assert_almost_equal(K_nat * R * R, 1.0, decimal=2)

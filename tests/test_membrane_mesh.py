@@ -149,6 +149,9 @@ def test_fit_donated_partial_curvature_state_repopulates():
 
     v, f = icosphere(2, radius=50.0)
     mesh = MembraneMesh(v, f)
+    # exercise the device-donation machinery (the fallback when the
+    # native host K is unavailable), not the native K fast path
+    mesh.use_native_neck_k = False
     K_full = mesh.curvature_gaussian.copy()   # ground truth, full state
     # simulate the driver's donation: same positions, K-only state
     st = mesh._curv_state['_dev']
@@ -186,3 +189,21 @@ def test_diag_meshdata_keeps_capacity_across_topology_change():
     # and the rebuilt tables are correct for the new topology
     K = mesh.curvature_gaussian
     assert K.shape == (len(mesh.vertices),) and np.isfinite(K).all()
+
+
+def test_native_k_fast_path_seeds_curvature_state():
+    """With no cached curvature state, reading K takes the native host
+    path (no device program); reading another field afterwards
+    repopulates the full device state transparently."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('native toolchain unavailable')
+    v, f = icosphere(2, radius=50.0)
+    mesh = MembraneMesh(v, f)
+    assert mesh._curv_state is None
+    K = mesh.curvature_gaussian
+    assert '_native_K' in mesh._curv_state
+    np.testing.assert_almost_equal(
+        np.median(K) * 50.0 ** 2, 1.0, decimal=1)
+    H = mesh.curvature_mean           # forces full repopulation
+    assert np.isfinite(H).all() and H.shape == (len(mesh.vertices),)
