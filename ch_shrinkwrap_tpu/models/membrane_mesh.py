@@ -186,6 +186,11 @@ class MembraneMesh(TriangleMesh):
 
     def _populate_curvature_grad(self):
         ma = self._padded_meshdata()
+        if (ma.host or {}).get('lazy_tables'):
+            # fit-donated meshdata with lazy (never-uploaded) neighbor
+            # tables: the device curvature kernel reads them for real
+            ma = meshdata.materialize_tables(ma)
+            self._diag_ma_cache = (self._topo_rev, ma, self._geom_rev)
         st = _curv.curvature_grad(
             ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
             ma.nbr_f, kc=self.kc, kg=self.kg, c0=self.c0)
@@ -777,10 +782,23 @@ class MembraneMesh(TriangleMesh):
                 if _ft:
                     _t_sort = _ft() - _ts
                     _ts = _ft()
-                # spatial_sort already hilbert-ordered the faces
+                # spatial_sort already hilbert-ordered the faces.
+                # With the ring-gather path on and the boundary K
+                # native, the device nbr_v/nbr_f/face_nbrs content is
+                # dead (compute_ncc streams its own schedule, polish
+                # off) — skip their ~35 MB/boundary tunnel upload;
+                # materialized below if the schedules fall back.
+                _want_ring = (getattr(self, 'use_ring_gather', True)
+                              and dmesh is None
+                              and jax.default_backend() == 'tpu')
+                _lazy = (_want_ring and not want_K
+                         and (v_cap or self.vertices.shape[0])
+                         > int(getattr(self, 'ring_gather_min_verts',
+                                       32768)))
                 ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
                                         quantum=self.pad_quantum,
-                                        hilbert_faces=False)
+                                        hilbert_faces=False,
+                                        lazy_tables=_lazy)
                 if _ft:
                     _t_build = _ft() - _ts
                 fold_starts = fold_uncov = None
@@ -859,6 +877,12 @@ class MembraneMesh(TriangleMesh):
                             block_size=16384)
                         if gs2 is not None:
                             ng_starts, ng_uncov = gs2
+                if (ma.host or {}).get('lazy_tables') \
+                        and ring_ncc is None:
+                    # the lazy guess was wrong (schedules over budget
+                    # or ring path not engaged): the XLA ncc fallback
+                    # reads the device nbr_v for real — upload it now
+                    ma = meshdata.materialize_tables(ma)
                 positions, faces, f_mask, v_mask, nbr_v, face_nbrs = (
                     ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
                     ma.face_nbrs)

@@ -103,7 +103,8 @@ def neighbor_tables(faces: np.ndarray, n_vertices: int, K: int = NEIGHBORSIZE):
 
 def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
               quantum: int = 1024, K: int = NEIGHBORSIZE,
-              hilbert_faces: bool = True) -> MeshArrays:
+              hilbert_faces: bool = True,
+              lazy_tables: bool = False) -> MeshArrays:
     """Pad a host TriangleMesh into device MeshArrays.
 
     ``hilbert_faces`` reorders the face list by the Hilbert code of the
@@ -111,6 +112,18 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     invariant the windowed correspondence kernel
     (correspondence.nearest_face_windowed) relies on.  Face order
     carries no semantics, so this is free.
+
+    ``lazy_tables`` skips the device UPLOAD of nbr_v / nbr_f /
+    face_nbrs (device-side -1 fills of the right shape instead,
+    host copies kept): in the production fit configuration their
+    device content is dead — compute_ncc's k-major ring stream
+    carries its own index schedule, the boundary neck K is computed
+    natively on the host, and correspondence polish is off — but the
+    upload is ~35 MB per remesh boundary through the TPU tunnel
+    (nbr_v+nbr_f (Vp,20) i32 + face_nbrs (Fp,3)), a measured chunk of
+    the warm e2e's per-boundary 'build' phase.  Callers that do need
+    device content (XLA-gather fallback, device curvature) call
+    :func:`materialize_tables` first.
     """
     v = np.asarray(mesh.vertices, dtype=np.float32)
     f = np.asarray(mesh.faces, dtype=np.int32)
@@ -148,12 +161,34 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     fn = np.full((Fp, 3), -1, np.int32)
     fn[:F] = fadj
 
+    host = {'faces': faces, 'f_mask': f_mask, 'nbr_v': nbr_v,
+            'nbr_f': nbr_f, 'face_nbrs': fn,
+            'lazy_tables': bool(lazy_tables)}
+    if lazy_tables:
+        # device-side fills: no tunnel transfer, shape-only stand-ins
+        nbr_dev = jnp.full((Vp, K), -1, jnp.int32)
+        fn_dev = jnp.full((Fp, 3), -1, jnp.int32)
+        return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
+                          jnp.asarray(faces), jnp.asarray(f_mask),
+                          nbr_dev, nbr_dev, fn_dev, host=host)
     return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
                       jnp.asarray(faces), jnp.asarray(f_mask),
                       jnp.asarray(nbr_v), jnp.asarray(nbr_f),
-                      jnp.asarray(fn),
-                      host={'faces': faces, 'f_mask': f_mask,
-                            'nbr_v': nbr_v})
+                      jnp.asarray(fn), host=host)
+
+
+def materialize_tables(ma: MeshArrays) -> MeshArrays:
+    """Upload the real nbr_v / nbr_f / face_nbrs of a
+    ``lazy_tables`` MeshArrays (no-op otherwise)."""
+    h = ma.host or {}
+    if not h.get('lazy_tables'):
+        return ma
+    h = dict(h)
+    h['lazy_tables'] = False
+    return ma._replace(nbr_v=jnp.asarray(h['nbr_v']),
+                       nbr_f=jnp.asarray(h['nbr_f']),
+                       face_nbrs=jnp.asarray(h['face_nbrs']),
+                       host=h)
 
 
 def face_adjacency(faces: np.ndarray) -> np.ndarray:
