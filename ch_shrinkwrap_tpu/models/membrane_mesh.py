@@ -509,6 +509,16 @@ class MembraneMesh(TriangleMesh):
         """Outer fit loop (pyx:1427-1560): CG blocks of ``rf``
         iterations on device, topology passes between blocks, linear
         edge-length refinement schedule."""
+        import time as _time
+        _ft0 = os.environ.get('CSW_FINE_TIMERS') and _time.time
+        _pre = {'t': _ft0 and _ft0()}
+
+        def _mark(name):
+            if _ft0:
+                now = _ft0()
+                logger.info('pre-loop: %s %.2fs', name, now - _pre['t'])
+                _pre['t'] = now
+
         r = (self.remesh_frequency != 0) and (self.remesh_frequency <= max_iter)
         dr = ((self.delaunay_remesh_frequency != 0)
               and (self.delaunay_remesh_frequency <= max_iter))
@@ -580,46 +590,23 @@ class MembraneMesh(TriangleMesh):
             # Mosaic custom calls don't SPMD-partition; the pure-XLA
             # windowed path shards cleanly over the points axis
             method = 'windowed'
-        if method in ('blocked', 'windowed', 'windowed_pallas'):
-            from ..ops.correspondence import fit_point_order
-            order = fit_point_order(points)
-            points = np.ascontiguousarray(points[order])
-            sigma_inv = sigma_inv[order]
-            res_weights = res_weights[order]
-            self._points = points       # diagnostics follow this order
-
         # face-side normal equations need strictly positive weights on
         # every coordinate (zero-weight coords require the per-point
         # el_mask in the N-row path) — one host check per fit
+        # (order-invariant: computed before the locality sort so the
+        # compile prewarmer below can start ahead of it)
         uniform_weights = bool(np.all(res_weights > 0))
 
-        if dmesh is not None:
-            # localization axis sharded over the device mesh; vertex
-            # state is placed replicated below and GSPMD inserts the
-            # psums for the A^T scatter-adds (SURVEY §2 census: TP row)
-            from ..parallel.sharding import shard_points
-            pts_j, sig_j, w_j, pmask = shard_points(
-                dmesh, points, sigma_inv, res_weights)
-        else:
-            pts_j = jnp.asarray(points)
-            sig_j = jnp.asarray(sigma_inv)
-            w_j = jnp.asarray(res_weights)
-            pmask = jnp.ones(N, bool)
-
-        from ..utils.tracing import FitTrace
-        import time as _time
-        if getattr(self, 'trace', None) is None:
-            self.trace = FitTrace()
-
-        # Device-array capacity policy.  'bucketed' (default): pad
-        # each block to the next power-of-two bucket above the CURRENT
-        # mesh (monotone) — early blocks of a growing fit then run at
-        # small static shapes (device ops, meshdata padding, and ring
+        # Device-array capacity policy.  'bucketed': pad each block to
+        # the next power-of-two bucket above the CURRENT mesh
+        # (monotone) — early blocks of a growing fit then run at small
+        # static shapes (device ops, meshdata padding, and ring
         # schedules all scale with the PADDED size, and the <=
         # log2(growth) distinct shapes are all persistently cached).
-        # 'final': one shape for the whole fit, predicted from the
-        # edge-length schedule (the round-2 behavior — one compile per
-        # fit, but every block pays final-size host+device cost).
+        # 'final' (default): one shape for the whole fit, predicted
+        # from the edge-length schedule — one compile + ONE executable
+        # load per fit, but every block pays final-size host+device
+        # cost.
         cap_mode = getattr(self, 'capacity_mode', 'final')
         if r and cap_mode == 'final':
             # the finest edge length the fit will actually remesh to is
@@ -652,7 +639,6 @@ class MembraneMesh(TriangleMesh):
         else:
             v_cap = f_cap = None
 
-        last_area = self.area()
         # static compiled block length: blocks run to the next surgery
         # boundary with the tail skipped at runtime (cg_block
         # active_iters) — one compiled shape per capacity bucket
@@ -682,13 +668,14 @@ class MembraneMesh(TriangleMesh):
         want_K = bool(r and neck_first_iter > 0 and dmesh is None
                       and not have_native_k)
 
-        # Overlap the predictable capacity-bucket compiles with the
-        # running fit: a daemon thread climbs the bucket ladder ahead
-        # of the mesh, issuing dummy cg_block/curvature calls whose
-        # shapes+statics match the real blocks (solver.prewarm).  The
-        # remote compile service's per-bucket stall (15-55 s even on
-        # persistent-cache hits) then lands in the background instead
-        # of serializing the fit.
+        # Overlap the predictable compiles/loads with host work: a
+        # daemon thread issues dummy cg_block(/curvature) calls whose
+        # shapes+statics match the real blocks (solver.prewarm),
+        # started BEFORE the cloud is ordered/uploaded — single-program
+        # fits then hide their one executable load (~7.5 s through the
+        # remote service even on persistent-cache hits) behind the
+        # pre-loop host work and first boundary build; bucketed fits
+        # climb the capacity ladder ahead of the growing mesh.
         # cancel any prewarmer left over from a previous fit call
         if getattr(self, '_prewarm_cancel', None) is not None:
             self._prewarm_cancel.set()
@@ -696,11 +683,8 @@ class MembraneMesh(TriangleMesh):
         if (getattr(self, 'prewarm_compiles', True) and dmesh is None
                 and jax.default_backend() == 'tpu'):
             from ..solver import prewarm as _prewarm
-            if cap_mode == 'final' and v_cap is not None:
-                # single-program fit: the one cg_block executable is
-                # requested by the real first block immediately; the
-                # ladder's only rung just warms the matching curvature
-                # program for the first neck boundary
+            single = cap_mode == 'final' and v_cap is not None
+            if single:
                 ladder = [(v_cap, f_cap)]
             else:
                 if r:
@@ -711,24 +695,60 @@ class MembraneMesh(TriangleMesh):
                 ladder = _prewarm.bucket_ladder(
                     self.vertices.shape[0], self.faces.shape[0], vf, ff,
                     quantum=self.pad_quantum)
-            ni_pre = n_iter
-            if r:
-                ni_pre = min(ni_pre, self.remesh_frequency)
-            if dr:
-                ni_pre = min(ni_pre, self.delaunay_remesh_frequency)
             _, prewarm_cancel = _prewarm.start_prewarm_thread(
-                ladder, pts_j, sig_j, w_j, pmask, lam0, shrink_lam,
-                int(ni_pre), use_shrink, self.face_chunk, method,
+                ladder, N, lam0, shrink_lam,
+                int(ni_static), use_shrink, self.face_chunk, method,
                 self.kc, self.kg, self.c0, quantum=self.pad_quantum,
                 ring_min_verts=int(getattr(self, 'ring_gather_min_verts',
                                            32768)),
                 uniform_weights=uniform_weights,
                 want_curv_K=want_K,
+                # single-program fit: the prewarm's dummy call IS the
+                # fit's one compile — issue it immediately and don't
+                # skip it.  Bucketed: the driver requests ladder[0]
+                # itself right away; warming it would duplicate the
+                # service request in front of the one the fit waits on.
+                skip_first_block=not single,
+                initial_wait=0.0 if single else 2.0,
                 # the native boundary K makes the standalone device
                 # curvature program dead weight — don't queue its
                 # compile/load on the service
                 warm_curvature=not have_native_k)
         self._prewarm_cancel = prewarm_cancel
+        _mark('cappred+prewarm_start')
+
+        if method in ('blocked', 'windowed', 'windowed_pallas'):
+            from ..ops.correspondence import fit_point_order
+            order = fit_point_order(points)
+            points = np.ascontiguousarray(points[order])
+            sigma_inv = sigma_inv[order]
+            res_weights = res_weights[order]
+            self._points = points       # diagnostics follow this order
+
+        _mark('sigma+order')
+
+        if dmesh is not None:
+            # localization axis sharded over the device mesh; vertex
+            # state is placed replicated below and GSPMD inserts the
+            # psums for the A^T scatter-adds (SURVEY §2 census: TP row)
+            from ..parallel.sharding import shard_points
+            pts_j, sig_j, w_j, pmask = shard_points(
+                dmesh, points, sigma_inv, res_weights)
+        else:
+            pts_j = jnp.asarray(points)
+            sig_j = jnp.asarray(sigma_inv)
+            w_j = jnp.asarray(res_weights)
+            _mark('upload_pts')
+            pmask = jnp.ones(N, bool)
+            if _ft0:
+                pmask.block_until_ready()
+                _mark('pmask_fill')
+
+        from ..utils.tracing import FitTrace
+        if getattr(self, 'trace', None) is None:
+            self.trace = FitTrace()
+
+        last_area = self.area()
 
         j = 0
         topo_dirty = True

@@ -68,10 +68,13 @@ def test_prewarm_buckets_populates_jit_cache():
     pmask = jnp.ones((N,), bool)
 
     ladder = [(64, 128)]
+    # the prewarmer builds its own dummy point arrays from n_points —
+    # the REAL arrays below must still be a trace-cache hit (pjit keys
+    # on shape/dtype, not buffer identity)
     prewarm.prewarm_buckets(
-        ladder, pts, sig, w, pmask, 0.1, 0.0, 2, False,
+        ladder, N, 0.1, 0.0, 2, False,
         64, 'dense', 0.0, 0.0, 0.0, quantum=64,
-        skip_first_block=False)
+        skip_first_block=False, initial_wait=0.0)
 
     n_traces = sw.cg_block._cache_size()
     # identical shapes + statics through the SHARED call site: must
