@@ -815,10 +815,25 @@ class MembraneMesh(TriangleMesh):
                          and (v_cap or self.vertices.shape[0])
                          > int(getattr(self, 'ring_gather_min_verts',
                                        32768)))
+                # reuse the capacity-sized pad buffers across
+                # boundaries; the diag cache may still hold the
+                # PREVIOUS boundary's meshdata whose host tables these
+                # buffers back — drop it (stale topology anyway).
+                # TPU-only: on the CPU backend jnp.asarray may ALIAS
+                # the numpy buffer (zero-copy), and a reused scratch
+                # would silently corrupt the previous device arrays.
+                scratch = None
+                if jax.default_backend() == 'tpu':
+                    scratch = getattr(self, '_build_scratch', None)
+                    if scratch is None:
+                        scratch = self._build_scratch = {}
+                    elif getattr(self, '_diag_ma_cache', None) is not None:
+                        self._diag_ma_cache = None
                 ma = meshdata.from_mesh(self, v_cap=v_cap, f_cap=f_cap,
                                         quantum=self.pad_quantum,
                                         hilbert_faces=False,
-                                        lazy_tables=_lazy)
+                                        lazy_tables=_lazy,
+                                        scratch=scratch)
                 if _ft:
                     _t_build = _ft() - _ts
                 fold_starts = fold_uncov = None

@@ -104,7 +104,8 @@ def neighbor_tables(faces: np.ndarray, n_vertices: int, K: int = NEIGHBORSIZE):
 def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
               quantum: int = 1024, K: int = NEIGHBORSIZE,
               hilbert_faces: bool = True,
-              lazy_tables: bool = False) -> MeshArrays:
+              lazy_tables: bool = False,
+              scratch: Optional[dict] = None) -> MeshArrays:
     """Pad a host TriangleMesh into device MeshArrays.
 
     ``hilbert_faces`` reorders the face list by the Hilbert code of the
@@ -124,6 +125,16 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     the warm e2e's per-boundary 'build' phase.  Callers that do need
     device content (XLA-gather fallback, device curvature) call
     :func:`materialize_tables` first.
+
+    ``scratch``: an opaque caller-held dict reusing the capacity-sized
+    host pad buffers across calls AT THE SAME CAPACITY (the fit driver
+    rebuilds these every remesh boundary; the ~50 MB of fresh
+    np.zeros/np.full allocations cost ~0.1 s per boundary on a 1-core
+    host).  Only the rows a previous call wrote are re-padded.  The
+    caller must treat earlier returned MeshArrays' ``host`` tables as
+    INVALIDATED once a newer call reuses the scratch (the fit driver's
+    dev_state does: it drops the previous boundary's meshdata whenever
+    topology changes).
     """
     v = np.asarray(mesh.vertices, dtype=np.float32)
     f = np.asarray(mesh.faces, dtype=np.int32)
@@ -137,13 +148,34 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     if Vp < V or Fp < F:
         raise ValueError('capacity below current size')
 
-    pos = np.zeros((Vp, 3), np.float32)
+    def _buf(name, shape, dtype, fill, n_valid):
+        """Capacity-keyed reusable pad buffer; rows [n_valid:prev]
+        are re-padded with ``fill``, rows [:n_valid] are left for the
+        caller to overwrite."""
+        if scratch is None:
+            a = np.full(shape, fill, dtype) if fill else \
+                np.zeros(shape, dtype)
+            return a
+        key = (name, shape)
+        ent = scratch.get(key)
+        if ent is None:
+            a = np.full(shape, fill, dtype) if fill else \
+                np.zeros(shape, dtype)
+            scratch[key] = [a, n_valid]
+            return a
+        a, prev = ent
+        if prev > n_valid:
+            a[n_valid:prev] = fill
+        ent[1] = n_valid
+        return a
+
+    pos = _buf('pos', (Vp, 3), np.float32, 0, V)
     pos[:V] = v
-    v_mask = np.zeros(Vp, bool)
+    v_mask = _buf('v_mask', (Vp,), bool, False, V)
     v_mask[:V] = True
-    faces = np.zeros((Fp, 3), np.int32)
+    faces = _buf('faces', (Fp, 3), np.int32, 0, F)
     faces[:F] = f
-    f_mask = np.zeros(Fp, bool)
+    f_mask = _buf('f_mask', (Fp,), bool, False, F)
     f_mask[:F] = True
 
     from .. import native
@@ -153,12 +185,12 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     else:
         nv, nf = neighbor_tables(f, V, K)
         fadj = face_adjacency(f)
-    nbr_v = np.full((Vp, K), -1, np.int32)
+    nbr_v = _buf('nbr_v', (Vp, K), np.int32, -1, V)
     nbr_v[:V] = nv
-    nbr_f = np.full((Vp, K), -1, np.int32)
+    nbr_f = _buf('nbr_f', (Vp, K), np.int32, -1, V)
     nbr_f[:V] = nf
 
-    fn = np.full((Fp, 3), -1, np.int32)
+    fn = _buf('face_nbrs', (Fp, 3), np.int32, -1, F)
     fn[:F] = fadj
 
     host = {'faces': faces, 'f_mask': f_mask, 'nbr_v': nbr_v,

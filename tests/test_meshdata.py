@@ -29,3 +29,36 @@ def test_lazy_tables_materialize():
                                   np.asarray(ma_full.face_nbrs))
     # no-op on an already-materialized build
     assert meshdata.materialize_tables(ma_mat) is ma_mat
+
+
+def test_from_mesh_scratch_reuse_repads():
+    """Reused scratch pad buffers must be re-padded exactly: a SMALLER
+    second mesh at the same capacity may not see stale rows from the
+    first build (fit-driver contract: one scratch dict per fit,
+    topology shrinks after neck/punch surgery)."""
+    import numpy as np
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v1, f1 = icosphere(3, radius=10.0)
+    v2, f2 = icosphere(2, radius=7.0)
+    cap_v, cap_f = 1024, 2048
+    scratch = {}
+    ma1 = meshdata.from_mesh(TriangleMesh(v1, f1), v_cap=cap_v,
+                             f_cap=cap_f, lazy_tables=True,
+                             scratch=scratch)
+    ma2 = meshdata.from_mesh(TriangleMesh(v2, f2), v_cap=cap_v,
+                             f_cap=cap_f, lazy_tables=True,
+                             scratch=scratch)
+    ref = meshdata.from_mesh(TriangleMesh(v2, f2), v_cap=cap_v,
+                             f_cap=cap_f, lazy_tables=True)
+    for key in ('faces', 'f_mask', 'nbr_v', 'nbr_f', 'face_nbrs'):
+        np.testing.assert_array_equal(ma2.host[key], ref.host[key],
+                                      err_msg=key)
+    np.testing.assert_array_equal(np.asarray(ma2.positions),
+                                  np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(ma2.v_mask),
+                                  np.asarray(ref.v_mask))
+    # the second build reused (mutated) the first build's host buffers
+    assert ma1.host['faces'] is ma2.host['faces']
