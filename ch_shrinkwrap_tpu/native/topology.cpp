@@ -15,7 +15,10 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
+#include <chrono>
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
@@ -407,10 +410,13 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
     const float high2 = (4.f / 3.f * target) * (4.f / 3.f * target);
     const float low2 = (4.f / 5.f * target) * (4.f / 5.f * target);
     std::vector<int32_t> ra, rb, ring;
+    const bool dbg = std::getenv("CSW_REMESH_DEBUG") != nullptr;
+    using clk = std::chrono::steady_clock;
 
     for (int pass = 0; pass < n_passes; ++pass) {
         // split pass: iterate faces, split the longest over-long edge
-        long n_edit = 0;
+        auto t0 = clk::now();
+        long n_edit = 0, n_split = 0, n_coll = 0;
         size_t nf_now = m.faces.size();
         for (size_t fi = 0; fi < nf_now; ++fi) {
             if (!m.face_live[fi]) continue;
@@ -421,14 +427,37 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                     (m.pos[a] - m.pos[b]).norm2() > high2) {
                     m.split(a, b);
                     ++n_edit;
+                    ++n_split;
                 }
             }
         }
+        auto t1 = clk::now();
 
         // collapse pass: sequential greedy over vertices' short edges
-        // (result-guarded: may not create an edge above 4/3 target)
+        // (result-guarded: may not create an edge above 4/3 target).
+        // Candidate prefilter: one face scan marks vertices carrying a
+        // short edge; the greedy loop then ring-walks only those.  A
+        // collapse repositions only the KEPT vertex, so any NEW short
+        // edge is incident to it and its own while(again) loop catches
+        // it — behavior-identical to scanning every vertex, but the
+        // fit's incremental growth remeshes (few shorts, many splits)
+        // skip the ~V ring() walks that dominated the pass (measured
+        // 60-70% of remesh wall-clock).
+        std::vector<uint8_t> short_cand(m.pos.size(), 0);
+        nf_now = m.faces.size();
+        for (size_t fi = 0; fi < nf_now; ++fi) {
+            if (!m.face_live[fi]) continue;
+            for (int k = 0; k < 3; ++k) {
+                int a = m.faces[fi][k];
+                int b = m.faces[fi][(k + 1) % 3];
+                if (a < b && (m.pos[a] - m.pos[b]).norm2() < low2) {
+                    short_cand[a] = 1;
+                    short_cand[b] = 1;
+                }
+            }
+        }
         for (size_t v = 0; v < m.pos.size(); ++v) {
-            if (!m.vert_live[v]) continue;
+            if (!m.vert_live[v] || !short_cand[v]) continue;
             bool again = true;
             int guard = 8;
             while (again && guard-- > 0) {
@@ -440,23 +469,55 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                                        high2)) {
                             again = true;
                             ++n_edit;
+                            ++n_coll;
                             break;
                         }
                     }
                 }
             }
         }
+        auto t2 = clk::now();
 
-        // flip pass
-        nf_now = m.faces.size();
-        for (size_t fi = 0; fi < nf_now; ++fi) {
-            if (!m.face_live[fi]) continue;
-            for (int k = 0; k < 3; ++k) {
-                int a = m.faces[fi][k];
-                int b = m.faces[fi][(k + 1) % 3];
-                if (a < b) m.flip(a, b, ra);
+        // flip pass.  Candidate prefilter: a flip strictly reduces
+        // Sum (valence-6)^2 over the 4 involved vertices (a, b and the
+        // two opposite vertices c, d), so it needs at least one of
+        // them irregular.  c and d are both adjacent to a AND b, so
+        // one face-scan dilation (mark every vertex of a face
+        // containing an irregular vertex) makes irr2[a] || irr2[b] an
+        // exact superset test at pass start — converged passes then
+        // skip the ~E edge_faces() walks that dominated them.
+        // Valences drift as flips land, so a mid-pass flip can in
+        // rare cases make an UNMARKED vertex irregular (its opposite
+        // vertex across a flipped edge); a second-order flip through
+        // it waits for the next pass's fresh scan — acceptable in a
+        // fixed-point heuristic re-run every pass and every remesh
+        // boundary.
+        long n_flip = 0;
+        {
+            std::vector<int32_t> val(m.pos.size(), 0);
+            nf_now = m.faces.size();
+            for (size_t fi = 0; fi < nf_now; ++fi) {
+                if (!m.face_live[fi]) continue;
+                for (int k = 0; k < 3; ++k) ++val[m.faces[fi][k]];
+            }
+            std::vector<uint8_t> irr2(m.pos.size(), 0);
+            for (size_t fi = 0; fi < nf_now; ++fi) {
+                if (!m.face_live[fi]) continue;
+                const auto& F = m.faces[fi];
+                if (val[F[0]] != 6 || val[F[1]] != 6 || val[F[2]] != 6)
+                    irr2[F[0]] = irr2[F[1]] = irr2[F[2]] = 1;
+            }
+            for (size_t fi = 0; fi < nf_now; ++fi) {
+                if (!m.face_live[fi]) continue;
+                for (int k = 0; k < 3; ++k) {
+                    int a = m.faces[fi][k];
+                    int b = m.faces[fi][(k + 1) % 3];
+                    if (a < b && (irr2[a] || irr2[b]))
+                        n_flip += m.flip(a, b, ra) ? 1 : 0;
+                }
             }
         }
+        auto t3 = clk::now();
 
         if (n_relax > 0) m.relax(l, n_relax);
 
@@ -466,6 +527,20 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
             size_t dead = 0;
             for (auto fl : m.face_live) dead += !fl;
             if (dead * 3 > m.faces.size()) m.rebuild_compact();
+        }
+        auto t4 = clk::now();
+        if (dbg) {
+            auto ms = [](clk::time_point a, clk::time_point b) {
+                return std::chrono::duration<double, std::milli>(
+                    b - a).count();
+            };
+            std::fprintf(stderr,
+                         "remesh pass %d: split %.1fms (%ld) collapse "
+                         "%.1fms (%ld) flip %.1fms (%ld) tail %.1fms "
+                         "F=%zu\n",
+                         pass, ms(t0, t1), n_split, ms(t1, t2), n_coll,
+                         ms(t2, t3), n_flip, ms(t3, t4),
+                         m.faces.size());
         }
 
         // converged: remaining edits are churn, not progress
