@@ -98,7 +98,10 @@ def main():
                         face_hcgc=(ma.positions.shape[0] > int(
                             os.environ.get('BENCH_HCGC_AT', 300_000))
                             and ring_tri is not None
-                            and bool(np.all(weights > 0))))
+                            and bool(np.all(weights > 0))),
+                        corr_fv=(ma.positions.shape[0] > int(
+                            os.environ.get('BENCH_CORR_FV_AT',
+                                           300_000))))
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

@@ -963,7 +963,11 @@ class MembraneMesh(TriangleMesh):
                 face_hcgc=(method == 'windowed_pallas'
                            and ring_tri is not None
                            and positions.shape[0] > 300_000
-                           and uniform_weights))
+                           and uniform_weights),
+                # in-kernel winner-corner extraction replaces the
+                # (N, 9) tri-table gather — the same >300k cliff
+                corr_fv=(method == 'windowed_pallas'
+                         and positions.shape[0] > 300_000))
             if _ft:
                 _t_disp = _ft() - _ts
                 _ts = _ft()

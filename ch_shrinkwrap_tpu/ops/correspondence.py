@@ -539,6 +539,30 @@ def windowed_anchor_starts(points, centers, f_mask, block_size=256,
     return starts.astype(jnp.int32)
 
 
+class WindowedPointsPrep(NamedTuple):
+    """Point-side invariants of ``nearest_face_windowed`` (Pallas
+    path): points never move during a fit, so the padding, the
+    (nb, 3, B) block transpose and the |p|^2 row can be computed once
+    per solver BLOCK and reused across its iterations (the in-scan
+    recompute was ~6 ms/iter of pure relayout at 1e6 points)."""
+    blocks_t: jax.Array      # (nb, 3, B) f32
+    p2: jax.Array            # (nb, B) f32
+
+
+@partial(jax.jit, static_argnames=('block_size',))
+def windowed_points_prep(points, block_size=256):
+    N = points.shape[0]
+    nblocks = -(-N // block_size)
+    Npad = nblocks * block_size
+    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+    if Npad != N:
+        p = p.at[N:].set(points[N - 1])
+    blocks = p.reshape(nblocks, block_size, 3)
+    return WindowedPointsPrep(
+        blocks_t=jnp.transpose(blocks, (0, 2, 1)),
+        p2=(blocks * blocks).sum(-1))
+
+
 @partial(jax.jit,
          static_argnames=('block_size', 'window', 'block_chunk',
                           'n_subsample', 'use_pallas', 'pallas_interpret',
@@ -546,7 +570,8 @@ def windowed_anchor_starts(points, centers, f_mask, block_size=256,
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
                           window=2048, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False,
-                          return_meta=False, n_anchors=3, starts=None):
+                          return_meta=False, n_anchors=3, starts=None,
+                          tri9_t=None, prep=None):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
 
@@ -573,10 +598,11 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
     nblocks = -(-N // block_size)
     Npad = nblocks * block_size
 
-    p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
-    if Npad != N:
-        p = p.at[N:].set(points[N - 1])
-    blocks = p.reshape(nblocks, block_size, 3)
+    if prep is None or not use_pallas:
+        p = jnp.zeros((Npad, 3), jnp.float32).at[:N].set(points)
+        if Npad != N:
+            p = p.at[N:].set(points[N - 1])
+        blocks = p.reshape(nblocks, block_size, 3)
 
     # hashed subsample for the fallback (and anchors when not given)
     sub_ids = _subsample_ids(Fp, n_subsample)
@@ -590,27 +616,45 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
             window=window, n_subsample=n_subsample,
             n_anchors=n_anchors)
 
-    n_bchunks = -(-nblocks // block_chunk)
-    nb_pad = n_bchunks * block_chunk
-    blocks_p = jnp.zeros((nb_pad, block_size, 3), jnp.float32
-                         ).at[:nblocks].set(blocks)
-    starts_p = jnp.zeros((nb_pad, n_anchors), jnp.int32
-                         ).at[:nblocks].set(starts.astype(jnp.int32))
+    if not use_pallas:
+        n_bchunks = -(-nblocks // block_chunk)
+        nb_pad = n_bchunks * block_chunk
+        blocks_p = jnp.zeros((nb_pad, block_size, 3), jnp.float32
+                             ).at[:nblocks].set(blocks)
+        starts_p = jnp.zeros((nb_pad, n_anchors), jnp.int32
+                             ).at[:nblocks].set(starts.astype(jnp.int32))
 
     fmask_f = f_mask.astype(jnp.float32)
 
     if use_pallas:
-        from .pallas_kernels import window_min_pallas
-        blocks_t = jnp.transpose(blocks, (0, 2, 1))       # (nb, 3, B)
+        from .pallas_kernels import window_min_pallas, window_min_fv_pallas
+        if prep is not None:
+            blocks_t, p2b = prep.blocks_t, prep.p2
+        else:
+            blocks_t = jnp.transpose(blocks, (0, 2, 1))   # (nb, 3, B)
+            p2b = (blocks * blocks).sum(-1)               # (nb, B)
         centers_t = centers.T                             # (3, Fp)
         c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
-        # the kernel merges the subsample fallback in-VMEM
-        d2k, fidk, jsk = window_min_pallas(
-            blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
-            sub_ids.astype(jnp.int32), window=window,
-            n_anchors=n_anchors, interpret=pallas_interpret)
-        p2 = (blocks * blocks).sum(-1)                    # (nb, B)
-        d2f = (d2k + p2).reshape(-1)[:N]
+        w_out = af_out = None
+        if tri9_t is not None:
+            # fused variant: the kernel also extracts the winning
+            # face's corners from its VMEM windows and computes the
+            # corner weights + forward map on-chip — replaces the
+            # (N, 9) gather from the 3Fp-row tri table (on the >300k
+            # cache cliff at fit scale, ~79 ms/iter at 656k verts)
+            d2k, fidk, jsk, w3, af3 = window_min_fv_pallas(
+                blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
+                tri9_t, sub_ids.astype(jnp.int32), window=window,
+                n_anchors=n_anchors, interpret=pallas_interpret)
+            w_out = jnp.transpose(w3, (0, 2, 1)).reshape(-1, 3)[:N]
+            af_out = jnp.transpose(af3, (0, 2, 1)).reshape(-1, 3)[:N]
+        else:
+            # the kernel merges the subsample fallback in-VMEM
+            d2k, fidk, jsk = window_min_pallas(
+                blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
+                sub_ids.astype(jnp.int32), window=window,
+                n_anchors=n_anchors, interpret=pallas_interpret)
+        d2f = (d2k + p2b).reshape(-1)[:N]
         fidf = fidk.reshape(-1)[:N]
         d_out = jnp.sqrt(jnp.maximum(d2f, 0.0))
         if return_meta:
@@ -621,7 +665,11 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
             meta = WindowedMeta(
                 starts=starts_al, js=jsk.reshape(-1)[:N],
                 sub_ids=sub_ids.astype(jnp.int32))
+            if tri9_t is not None:
+                return d_out, fidf, meta, w_out, af_out
             return d_out, fidf, meta
+        if tri9_t is not None:
+            return d_out, fidf, w_out, af_out
         return d_out, fidf
 
     def per_chunk(chunk):

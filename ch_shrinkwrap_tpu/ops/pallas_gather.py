@@ -489,22 +489,41 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
 
 @partial(jax.jit, static_argnames=('n_steps', 'n_patch', 'span',
                                    'n_rows', 'interpret', 'cps',
-                                   'transposed_out'))
+                                   'transposed_out', 'n_src_rows',
+                                   'also_transposed'))
 def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
                       n_steps, n_patch, span, n_rows, interpret,
-                      cps=CHUNKS_PER_STEP, transposed_out=False):
+                      cps=CHUNKS_PER_STEP, transposed_out=False,
+                      n_src_rows=None, also_transposed=False):
     R = n_rows
-    Vp, C = src.shape
-    csub = _c_sub(C)
+    if n_src_rows is not None:
+        # pre-transposed source: src is (csub, n_src_rows) lane-major
+        # (rows = table columns).  Producers that already hold the
+        # lane-major form (the solver's fused fold input) then skip
+        # the (R, C)->T relayout and patch-row gather below — measured
+        # ~6 ms/iter at the 656k fold (scripts/attr_inblock.py).
+        csub, C = src.shape[0], src.shape[0]
+        Vp = n_src_rows
+    else:
+        Vp, C = src.shape
+        csub = _c_sub(C)
     Vp_al = -(-Vp // 128) * 128
     step_rows = cps * 128
     Rp = n_steps * step_rows
 
-    # staged source: transposed table + per-call patch values
-    patch_vals = src[targets]                          # (n_patch, C)
-    src_t = jnp.zeros((csub, Vp_al + n_patch), jnp.float32)
-    src_t = src_t.at[:C, :Vp].set(src.T.astype(jnp.float32))
-    src_t = src_t.at[:C, Vp_al:].set(patch_vals.T.astype(jnp.float32))
+    if n_src_rows is not None:
+        safe_t = jnp.clip(targets, 0, Vp - 1)
+        patch_t = src[:, safe_t] * (targets >= 0)[None, :]
+        src_t = jnp.zeros((csub, Vp_al + n_patch), jnp.float32)
+        src_t = src_t.at[:, :Vp].set(src.astype(jnp.float32))
+        src_t = src_t.at[:, Vp_al:].set(patch_t.astype(jnp.float32))
+    else:
+        # staged source: transposed table + per-call patch values
+        patch_vals = src[targets]                      # (n_patch, C)
+        src_t = jnp.zeros((csub, Vp_al + n_patch), jnp.float32)
+        src_t = src_t.at[:C, :Vp].set(src.T.astype(jnp.float32))
+        src_t = src_t.at[:C, Vp_al:].set(
+            patch_vals.T.astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -537,12 +556,20 @@ def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
         if uncov is not None:
             tgt = jnp.where(uncov >= 0, uncov, Rp)
             flat = idx.reshape(-1)
-            uval = src[flat[jnp.clip(uncov, 0, Rp - 1)]]
-            res = res.at[:C, tgt].set(uval.T.astype(src.dtype),
+            urows = flat[jnp.clip(uncov, 0, Rp - 1)]
+            if n_src_rows is not None:
+                uval_t = src[:, urows]
+            else:
+                uval_t = src[urows].T
+            res = res.at[:C, tgt].set(uval_t.astype(src.dtype),
                                       mode='drop')
         return res
 
+    if n_src_rows is not None:
+        raise ValueError('pre-transposed sources require '
+                         'transposed_out=True')
     res = out_t[:C, :R].T.astype(src.dtype)
+    res_t = out_t.astype(src.dtype) if also_transposed else None
 
     if uncov is not None:
         # exact fixup of patch-capacity evictions (normally absent)
@@ -550,18 +577,34 @@ def _ring_gather_impl(src, bases, pbases, dmas, idx, targets, uncov,
         flat = idx.reshape(-1)
         uval = src[flat[jnp.clip(uncov, 0, Rp - 1)]]
         res = res.at[tgt].set(uval, mode='drop')
+        if also_transposed:
+            tgt_t = jnp.where(uncov >= 0, uncov, Rp)
+            res_t = res_t.at[:C, tgt_t].set(uval.T, mode='drop')
+    if also_transposed:
+        return res, res_t
     return res
 
 
-def ring_gather(src, sched, interpret=False, transposed_out=False):
+def ring_gather(src, sched, interpret=False, transposed_out=False,
+                src_rows=None, also_transposed=False):
     """``src[idx_flat]`` for a (Vp, C<=16) f32 table via the
     sliding-ring kernel; ``sched`` from ``ring_gather_schedule`` built
     on the same (static) index array.  ``transposed_out=True`` returns
     the kernel-native (csub, Rp) layout (rows = columns, lanes =
-    gather rows) for consumers that reduce along the stream."""
+    gather rows) for consumers that reduce along the stream.
+
+    ``src_rows``: pass the table's ROW count to mark ``src`` as
+    already lane-major (csub, src_rows) — skips the internal (R, C)
+    transpose relayout (requires ``transposed_out=True``).
+
+    ``also_transposed``: with row-major output, ALSO return the
+    kernel-native transposed form (it exists anyway — the row-major
+    result is its .T) as (res, res_t)."""
     return _ring_gather_impl(src, sched.bases, sched.pbases,
                              sched.dmas, sched.idx, sched.targets,
                              sched.uncov, sched.n_steps,
                              sched.n_patch, sched.span, sched.n_rows,
                              interpret, cps=sched.cps,
-                             transposed_out=transposed_out)
+                             transposed_out=transposed_out,
+                             n_src_rows=src_rows,
+                             also_transposed=also_transposed)

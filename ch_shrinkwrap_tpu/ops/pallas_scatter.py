@@ -228,7 +228,7 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
 
 def _call_scatter(blocks, starts_al, sub_ids, num_segments,
                   block_size, window, factored, interpret,
-                  discard_sub=False, cp=16):
+                  discard_sub=False, cp=16, transposed_out=False):
     """Shared driver: sorts (block, anchor) steps and invokes the
     sliding-ring kernel.  ``blocks`` is (Cp, nb+1, B) with the last
     block all-zero (pad-step target)."""
@@ -303,6 +303,17 @@ def _call_scatter(blocks, starts_al, sub_ids, num_segments,
         interpret=interpret,
     )(seq.reshape(-1), starts_sc, blocks, eh, ec, acc_zero)
 
+    if transposed_out:
+        # lane-major (Cp, faces) output: major-axes transpose only
+        # (the 128-lane minor stays), vs the row-major form's full
+        # (chunk, 128, Cp) retile — consumers assembling the fold
+        # source keep everything lane-major (solver lane-major path)
+        acc_t = jnp.transpose(acc, (1, 0, 2)).reshape(Cp, -1)
+        if discard_sub:
+            return acc_t[:, :num_segments]
+        sub_t = acc_t[:, sub_base:sub_base + nsub]
+        return acc_t[:, :num_segments].at[:, sub_ids].add(sub_t)
+
     acc2 = jnp.transpose(acc, (0, 2, 1)).reshape(-1, Cp)
     if discard_sub:
         # rows the windows didn't claim are the caller's concern
@@ -353,9 +364,10 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
 
 @partial(jax.jit,
          static_argnames=('num_segments', 'block_size', 'window',
-                          'interpret'))
+                          'interpret', 'transposed_out'))
 def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
-                       block_size=256, window=2048, interpret=False):
+                       block_size=256, window=2048, interpret=False,
+                       transposed_out=False):
     """A^T accumulation with the per-corner products formed in-kernel:
     ``segment_sum((w[:, :, None] * concat([res, 1])[:, None, :])
     .reshape(N, 12), fid)`` without materializing the (N, 12) operand
@@ -387,15 +399,17 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
 
     starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                        Bsz, window, 'ah', interpret)
-    return out[:, :12]
+                        Bsz, window, 'ah', interpret,
+                        transposed_out=transposed_out)
+    return out[:12] if transposed_out else out[:, :12]
 
 
 @partial(jax.jit,
          static_argnames=('num_segments', 'block_size', 'window',
-                          'interpret'))
+                          'interpret', 'transposed_out'))
 def windowed_w2_pallas(w, fid, js, starts, sub_ids, num_segments,
-                       block_size=256, window=2048, interpret=False):
+                       block_size=256, window=2048, interpret=False,
+                       transposed_out=False):
     """Per-face sums of the 6 unique correspondence-weight products
     ``segment_sum(w_j * w_j', fid)`` with the products formed
     in-kernel — the W2 operand of the solver's face-side subspace
@@ -423,5 +437,6 @@ def windowed_w2_pallas(w, fid, js, starts, sub_ids, num_segments,
 
     starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
     out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
-                        Bsz, window, 'w2', interpret)
-    return out[:, :6]
+                        Bsz, window, 'w2', interpret,
+                        transposed_out=transposed_out)
+    return out[:6] if transposed_out else out[:, :6]

@@ -172,7 +172,7 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
                           'corr_method', 'polish_iters',
                           'pallas_interpret', 'face_hcgc',
-                          'want_curv_K'))
+                          'want_curv_K', 'corr_fv'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
@@ -184,7 +184,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              ncc_gather_starts=None, ncc_gather_uncov=None,
              ring_tri=None, ring_ncc=None, ring_fold=None,
              face_hcgc=False, active_iters=None,
-             nbr_f=None, want_curv_K=False):
+             nbr_f=None, want_curv_K=False, corr_fv=False):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -263,13 +263,42 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     # Saves the per-iteration median/top_k/greedy small-op tail
     # (~25 ms/iter at 1e6 pts — BASELINE.md per-op table).
     corr_starts = None
+    corr_prep = None
     if corr_method in ('windowed', 'windowed_pallas'):
         centers0 = positions[faces].mean(1)
         corr_starts = corr.windowed_anchor_starts(points, centers0,
                                                   f_mask)
+        if corr_method == 'windowed_pallas':
+            # point-side padding/transpose/|p|^2 are iteration-
+            # invariant too (~6 ms/iter of relayout at 1e6 points)
+            corr_prep = corr.windowed_points_prep(points)
 
     ai = jnp.asarray(num_iters if active_iters is None
                      else active_iters, jnp.int32)
+
+    # lane-major face pipeline (EXPERIMENTAL, default OFF —
+    # CSW_LANE_FOLD=1 enables): assemble the fold source in the
+    # kernels' native lane-major (C, rows) layouts end-to-end.  The
+    # row-major assembly (perm + (Fp,12)->(3Fp,4) reshape + 7-col
+    # concat) measures ~18 ms/iter of tiling-relayout tax at 656k
+    # standalone (scripts/attr_inblock.py), and an isolated A/B of the
+    # fold stage won by 6 ms — but the FULL in-block variant measured
+    # a net LOSS (0.907 -> 0.971 s/block at 656k, 2026-08-19): the
+    # transposed accumulator retile, the f-major lane interleave and
+    # the patch-region LANE gather (656k columns from an (8, 5.2M)
+    # table; XLA lane gathers are pathological where row gathers are
+    # not) cost more in context than the relayouts they replace.
+    # Kept (tested: CPU vnc_t parity + TPU A/B identical-convergence
+    # harness) as the documented negative result.
+    import os as _os
+    _lm_fold = False
+    if ring_fold is not None and corr_method == 'windowed_pallas' \
+            and _os.environ.get('CSW_LANE_FOLD'):
+        _fs = ring_fold[0]
+        _lm_fold = (_fs.care is not None
+                    and ring_fold[1].shape[1] == 8
+                    and _fs.n_rows == positions.shape[0] * 8
+                    and _fs.n_rows % (_fs.cps * 128) == 0)
 
     def iteration_live(carry, it):
         f, S_last, tests_hist, halted, _prev_diag = carry
@@ -277,9 +306,18 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # one f[faces] gather shared by centers + face/vertex normals;
         # the vertex-normal scatter is deferred and fused into the A^T
         # scatter below (same faces.reshape(-1) index)
+        tri_t = None
         if ring_tri is not None:
             from ..ops.pallas_gather import ring_gather
-            tri = ring_gather(f, ring_tri).reshape(-1, 3, 3)
+            if _lm_fold:
+                # the transposed form is the kernel's native output —
+                # taking it too is free and feeds the lane-major
+                # corner-normal build below
+                tri2d, tri_t = ring_gather(f, ring_tri,
+                                           also_transposed=True)
+                tri = tri2d.reshape(-1, 3, 3)
+            else:
+                tri = ring_gather(f, ring_tri).reshape(-1, 3, 3)
         elif vtx_gather_starts is not None:
             from ..ops.windowed_gather import windowed_gather
             tri = windowed_gather(
@@ -289,8 +327,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         else:
             tri = f[faces]
         centers = tri.mean(1)
-        vn_corners = _normals.vertex_normal_corners(f, faces, f_mask,
-                                                    tri=tri)
+        if not _lm_fold:
+            vn_corners = _normals.vertex_normal_corners(
+                f, faces, f_mask, tri=tri)
 
         # --- correspondence (rebuilt once per iteration, like calc_w)
         if corr_method == 'grid':
@@ -306,10 +345,25 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                                                    f_mask,
                                                    starts=corr_starts)
         elif corr_method == 'windowed_pallas':
-            dmean, fi, corr_meta = corr.nearest_face_windowed(
-                points, centers, f_mask, use_pallas=True,
-                return_meta=True, pallas_interpret=pallas_interpret,
-                starts=corr_starts)
+            if corr_fv:
+                # fused variant: the kernel extracts the winning
+                # face's corners from its VMEM windows and emits the
+                # corner weights + forward map directly — replaces
+                # the (N, 9) tri-table gather below (the >300k-row
+                # cache cliff's largest remaining op, ~79 ms/iter at
+                # 656k padded verts)
+                dmean, fi, corr_meta, w_k, af_k = \
+                    corr.nearest_face_windowed(
+                        points, centers, f_mask, use_pallas=True,
+                        return_meta=True,
+                        pallas_interpret=pallas_interpret,
+                        starts=corr_starts, prep=corr_prep,
+                        tri9_t=tri.reshape(-1, 9).T)
+            else:
+                dmean, fi, corr_meta = corr.nearest_face_windowed(
+                    points, centers, f_mask, use_pallas=True,
+                    return_meta=True, pallas_interpret=pallas_interpret,
+                    starts=corr_starts, prep=corr_prep)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
@@ -318,23 +372,28 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             dmean, fi = corr.refine_correspondence(points, centers,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
-        # weights + forward map reuse the face-side ``tri`` gather.
-        # Gather through a 2-D row-major view and KEEP the flat (N, 9)
-        # layout — XLA-TPU lowers >2-D gathers with a minor-most batch
-        # dim ~8x slower (56.6 vs 7.1 ms at 1M rows, scripts/
-        # probe_layout.py), and the (N,9)->(N,3,3) reshape is a paid
-        # relayout
-        fv9 = tri.reshape(-1, 9)[fi]                     # (N, 9)
-        fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
-        dvert = jnp.stack(
-            [jnp.sqrt(((fj - points) ** 2).sum(-1)) for fj in fvj],
-            axis=-1)                                     # (N, 3)
-        w = 1.0 / jnp.maximum(dvert, 1e-6)
-        w = w / w.sum(-1, keepdims=True)
-        w = w * pmask3
+        if corr_method == 'windowed_pallas' and corr_fv:
+            # corner weights + forward map computed in-kernel
+            w = w_k * pmask3
+            Af = af_k
+        else:
+            # weights + forward map reuse the face-side ``tri``
+            # gather.  Gather through a 2-D row-major view and KEEP
+            # the flat (N, 9) layout — XLA-TPU lowers >2-D gathers
+            # with a minor-most batch dim ~8x slower (56.6 vs 7.1 ms
+            # at 1M rows, scripts/probe_layout.py), and the
+            # (N,9)->(N,3,3) reshape is a paid relayout
+            fv9 = tri.reshape(-1, 9)[fi]                 # (N, 9)
+            fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
+            dvert = jnp.stack(
+                [jnp.sqrt(((fj - points) ** 2).sum(-1)) for fj in fvj],
+                axis=-1)                                 # (N, 3)
+            w = 1.0 / jnp.maximum(dvert, 1e-6)
+            w = w / w.sum(-1, keepdims=True)
+            w = w * pmask3
+            Af = sum(fvj[j] * w[:, j:j + 1] for j in range(3))
 
         # --- weighted residuals (mesh_conj_grad.py:222-248)
-        Af = sum(fvj[j] * w[:, j:j + 1] for j in range(3))
         res = weights * (points - Af)
         w_dist = 1.0 / (dmean[:, None] * sigma_inv / 2.0 + 1.0)
         res = res * w_dist * pmask3
@@ -350,6 +409,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # columns — one column + sqrt(3) at readout is the same
         # number; scatter cost grows ~3.3 ms/column at this scale)
         W2 = None
+        W2_t = None
+        acc_t = None
         if corr_method == 'windowed_pallas':
             # scatter-free: route rows through their block's sorted
             # windows in the sliding-ring Pallas kernel (XLA scatter
@@ -357,25 +418,39 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # per-corner products form in-kernel, so the (N, 12)
             # operand never materializes.  Column order: 0..8 =
             # w_j * res_c (j-major), 9..11 = w_j
-            from ..ops.pallas_scatter import windowed_ah_pallas
-            acc = windowed_ah_pallas(
-                w, res, fi, corr_meta.js,
-                corr_meta.starts, corr_meta.sub_ids,
-                num_segments=Fp,
-                interpret=pallas_interpret)                  # (Fp, 12)
-            # reorder to the (j, [res, 1]) 4-wide layout shared with
-            # the segment_sum branch (static permutation, free)
-            perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
-            face_acc = acc[:, jnp.array(perm)]
+            from ..ops.pallas_scatter import (windowed_ah_pallas,
+                                              windowed_w2_pallas)
+            if _lm_fold:
+                acc_t = windowed_ah_pallas(
+                    w, res, fi, corr_meta.js,
+                    corr_meta.starts, corr_meta.sub_ids,
+                    num_segments=Fp, interpret=pallas_interpret,
+                    transposed_out=True)                     # (12, Fp)
+            else:
+                acc = windowed_ah_pallas(
+                    w, res, fi, corr_meta.js,
+                    corr_meta.starts, corr_meta.sub_ids,
+                    num_segments=Fp,
+                    interpret=pallas_interpret)              # (Fp, 12)
+                # reorder to the (j, [res, 1]) 4-wide layout shared
+                # with the segment_sum branch
+                perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
+                face_acc = acc[:, jnp.array(perm)]
             if face_hcgc:
                 # second pass: per-face sums of the 6 unique
                 # w_j * w_j' products (a widened 18-col single pass
                 # was measured 3x slower — Cp=32 stalls the kernel)
-                from ..ops.pallas_scatter import windowed_w2_pallas
-                W2 = windowed_w2_pallas(
-                    w, fi, corr_meta.js, corr_meta.starts,
-                    corr_meta.sub_ids, num_segments=Fp,
-                    interpret=pallas_interpret)              # (Fp, 6)
+                if _lm_fold:
+                    W2_t = windowed_w2_pallas(
+                        w, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids, num_segments=Fp,
+                        interpret=pallas_interpret,
+                        transposed_out=True)                 # (6, Fp)
+                else:
+                    W2 = windowed_w2_pallas(
+                        w, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids, num_segments=Fp,
+                        interpret=pallas_interpret)          # (Fp, 6)
         else:
             ah_in = jnp.concatenate([res, ones_pts[:, :1]],
                                     axis=1)                  # (N, 4)
@@ -383,11 +458,54 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             face_acc = jax.ops.segment_sum(
                 per_corner.reshape(N, 12), fi,
                 num_segments=Fp)                             # (Fp, 12)
-        # the vertex-normal corners ride the same scatter (7-col rows)
-        fused = jnp.concatenate(
-            [vn_corners.reshape(Fp * 3, 3),
-             face_acc.reshape(Fp * 3, 4)], axis=1)           # (Fp*3, 7)
-        if ring_fold is not None:
+        if _lm_fold:
+            # fold source assembled fully lane-major: row-shuffle the
+            # (12, Fp) accumulator into the (corner, [res,1]) order,
+            # interleave to f-major columns, and stack the transposed
+            # corner normals on top — all major-axis moves (the
+            # 128-lane minor never retiles)
+            from ..ops.pallas_gather import ring_gather
+            f_sched, inc_mask, ov_rows, ov_verts = ring_fold
+            Rf = f_sched.n_rows
+            perm_r = jnp.array([0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11])
+            a4t = jnp.transpose(acc_t[perm_r].reshape(3, 4, Fp),
+                                (1, 2, 0)).reshape(4, 3 * Fp)
+            vnc_t = _normals.vertex_normal_corners_t(tri_t, f_mask)
+            fused_t = jnp.concatenate(
+                [vnc_t, a4t, jnp.zeros((1, 3 * Fp), a4t.dtype)],
+                axis=0)                                    # (8, 3Fp)
+            gt = ring_gather(fused_t, f_sched._replace(uncov=None),
+                             transposed_out=True,
+                             src_rows=3 * Fp)              # (8, Rf)
+            cm = f_sched.care.astype(fused_t.dtype)
+            gt = (gt * cm[None, :]).reshape(8, Rf // 128, 128)
+            gm = (jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
+                  // 8
+                  == jax.lax.broadcasted_iota(jnp.int32, (128, 16), 1)
+                  ).astype(fused_t.dtype)
+            out7t = jax.lax.dot_general(
+                gt, gm, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            out7 = (out7t.reshape(8, Vp)[:7]).T            # (Vp, 7)
+            if f_sched.uncov is not None:
+                u = f_sched.uncov
+                um = u >= 0
+                urows = f_sched.idx.reshape(-1)[jnp.clip(u, 0, Rf - 1)]
+                uv = fused_t[:7, urows].T * um[:, None]
+                out7 = out7.at[jnp.where(um, u // 8, Vp)].add(
+                    uv, mode='drop')
+            if ov_rows is not None:
+                ovm = ov_rows >= 0
+                ovals = (fused_t[:7, jnp.clip(ov_rows, 0, 3 * Fp - 1)].T
+                         * ovm[:, None])
+                out7 = out7.at[jnp.where(ovm, ov_verts, Vp)].add(
+                    ovals, mode='drop')
+        elif ring_fold is not None:
+            # the vertex-normal corners ride the same scatter
+            # (7-col rows)
+            fused = jnp.concatenate(
+                [vn_corners.reshape(Fp * 3, 3),
+                 face_acc.reshape(Fp * 3, 4)], axis=1)       # (Fp*3, 7)
             # scatter-free fold: gather each vertex's incident rows
             # (static incidence table, host-inverted) through the
             # sliding-ring kernel and sum — beats both XLA's cliff
@@ -447,6 +565,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # static 3-band window schedule (host-verified): the
             # sliding-ring kernel accumulates in-band rows; the ~1%
             # uncovered tail lands via a tiny exact scatter
+            fused = jnp.concatenate(
+                [vn_corners.reshape(Fp * 3, 3),
+                 face_acc.reshape(Fp * 3, 4)], axis=1)       # (Fp*3, 7)
             from ..ops.pallas_scatter import windowed_segment_sum_pallas
             tgt = faces.reshape(-1)
             out7 = windowed_segment_sum_pallas(
@@ -458,6 +579,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             uvals = fused[safe_u] * (fold_uncov >= 0)[:, None]
             out7 = out7.at[tgt[safe_u]].add(uvals)           # (Vp, 7)
         else:
+            fused = jnp.concatenate(
+                [vn_corners.reshape(Fp * 3, 3),
+                 face_acc.reshape(Fp * 3, 4)], axis=1)       # (Fp*3, 7)
             out7 = jax.ops.segment_sum(fused, faces.reshape(-1),
                                        num_segments=Vp)      # (Vp, 7)
         vn = _normals.normalize_vertex_normals(out7[:, :3])
@@ -521,7 +645,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         else:
             S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
                      .reshape(Fp, 9 * s_size))             # (Fp, 9s)
-        if W2 is not None:
+        if W2 is not None or W2_t is not None:
             # face-side normal equations: AS[n,i,k] =
             # sum_j w_nj S_tri[fi_n, j, i, k], so with
             # E[f,j,i]   = sum_{n: fi=f} w_nj res_ni   (= A^T cols)
@@ -541,15 +665,23 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             ks = 3 * s_size
             Sc = [S_tri[:, ks * a:ks * (a + 1)].reshape(Fp, 3, s_size)
                   for a in range(3)]
-            E = acc[:, :9]                      # w_j * res_i, j-major
-            Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
-                                E[:, 3 * j:3 * j + 3])
-                     for j in range(3))
+            if _lm_fold:
+                # transposed accumulators (12/6, Fp): einsum contracts
+                # the transposed operand in place — no (Fp, C) retile
+                Gc = sum(jnp.einsum('fik,if->k', Sc[j],
+                                    acc_t[3 * j:3 * j + 3])
+                         for j in range(3))
+            else:
+                E = acc[:, :9]                  # w_j * res_i, j-major
+                Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
+                                    E[:, 3 * j:3 * j + 3])
+                         for j in range(3))
             pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
                         (0, 1): 3, (0, 2): 4, (1, 2): 5}
             Hc = 0.0
             for (a, b), col in pair_col.items():
-                Za = Sc[a] * W2[:, col][:, None, None]
+                w2col = W2_t[col] if _lm_fold else W2[:, col]
+                Za = Sc[a] * w2col[:, None, None]
                 Hab = jnp.einsum('fik,fil->kl', Za, Sc[b])
                 Hc = Hc + (Hab if a == b else Hab + Hab.T)
         else:
@@ -656,7 +788,8 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                vtx_gather_starts=None, vtx_gather_uncov=None,
                ncc_gather_starts=None, ncc_gather_uncov=None,
                ring_tri=None, ring_ncc=None, ring_fold=None,
-               nbr_f=None, want_curv_K=False, face_hcgc=False):
+               nbr_f=None, want_curv_K=False, face_hcgc=False,
+               corr_fv=False):
     """The single call-shape for ``cg_block`` shared by the fit driver
     and the compile prewarmer.
 
@@ -692,7 +825,8 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                  active_iters=active_iters, cell_size=cell_size),
             dict(num_iters=num_iters, use_shrink=use_shrink,
                  face_chunk=face_chunk, corr_method=corr_method,
-                 want_curv_K=want_curv_K, face_hcgc=face_hcgc))
+                 want_curv_K=want_curv_K, face_hcgc=face_hcgc,
+                 corr_fv=corr_fv))
     return cg_block(
         positions, faces, f_mask, v_mask, nbr_v,
         points, sigma_inv, weights, point_mask,
@@ -707,7 +841,8 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
         ncc_gather_starts=ncc_gather_starts,
         ncc_gather_uncov=ncc_gather_uncov,
         ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
-        nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc)
+        nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc,
+        corr_fv=corr_fv)
 
 
 _AOT_COMPILED = {}

@@ -522,3 +522,101 @@ def test_cg_block_want_curv_K_matches_standalone():
     K_ref = curvature_grad(f_k, ma.faces, ma.f_mask, ma.v_mask,
                            ma.nbr_v, ma.nbr_f).K
     np.testing.assert_array_equal(np.asarray(d_k.K), np.asarray(K_ref))
+
+
+def test_nearest_face_windowed_fv_interpret():
+    """The fused winner-corner extraction variant (corr_fv) must agree
+    with the plain kernel on (d, fid) and reproduce the XLA-path corner
+    weights / forward map computed from its own winners."""
+    rng = np.random.default_rng(11)
+    v, f = icosphere(4, radius=50.0)
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
+    tri = np.asarray(ma.positions)[np.asarray(ma.faces)]   # (Fp, 3, 3)
+    centers = jnp.asarray(tri.mean(1))
+
+    d = rng.normal(size=(3000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape))
+    far = rng.uniform(-120, 120, (100, 3))
+    allp = np.vstack([pts, far]).astype(np.float32)
+    allp = allp[corr.fit_point_order(allp)]
+    jp = jnp.asarray(allp)
+    tri9_t = jnp.asarray(tri.reshape(-1, 9).T)
+
+    d_p, i_p = corr.nearest_face_windowed(
+        jp, centers, ma.f_mask, window=1024, use_pallas=True,
+        pallas_interpret=True)
+    d_f, i_f, w_f, af_f = corr.nearest_face_windowed(
+        jp, centers, ma.f_mask, window=1024, use_pallas=True,
+        pallas_interpret=True, tri9_t=tri9_t)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_p),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_p))
+
+    # XLA-path corner weights from the kernel's own winners
+    fv9 = tri.reshape(-1, 9)[np.asarray(i_f)]
+    fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
+    dvert = np.stack(
+        [np.sqrt(((fj - allp) ** 2).sum(-1)) for fj in fvj], axis=-1)
+    w_ref = 1.0 / np.maximum(dvert, 1e-6)
+    w_ref = w_ref / w_ref.sum(-1, keepdims=True)
+    af_ref = sum(fvj[j] * w_ref[:, j:j + 1] for j in range(3))
+    np.testing.assert_allclose(np.asarray(w_f), w_ref,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(af_f), af_ref,
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_cg_block_corr_fv_matches_plain():
+    """A cg_block with corr_fv=True (interpret mode) must converge to
+    the same positions as the plain windowed_pallas block."""
+    rng = np.random.default_rng(3)
+    v, f = icosphere(3, radius=40.0)
+    mesh = TriangleMesh(v.astype(np.float32), f)
+    mesh.spatial_sort()
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(mesh, quantum=256, hilbert_faces=False)
+    N = 4096
+    d = rng.normal(size=(N, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 40.0 + rng.normal(scale=1.5, size=d.shape)).astype(
+        np.float32)
+    pts = pts[corr.fit_point_order(pts)]
+    pts_j = jnp.asarray(pts)
+    sig = jnp.full((N, 3), 1.5, jnp.float32)
+    w = jnp.ones((N, 3), jnp.float32)
+    pm = jnp.ones(N, bool)
+
+    from ch_shrinkwrap_tpu.solver.shrinkwrap import cg_block
+    out = {}
+    for fv in (False, True):
+        f1, diag = cg_block(
+            ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
+            pts_j, 1.0 / sig, w, pm, 0.5, num_iters=2,
+            corr_method='windowed_pallas', face_nbrs=ma.face_nbrs,
+            pallas_interpret=True, corr_fv=fv)
+        out[fv] = np.asarray(f1)
+    np.testing.assert_allclose(out[True], out[False],
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_vertex_normal_corners_t_matches_row_major():
+    """The lane-major corner-normal build (vertex_normal_corners_t on
+    the transposed tri table) must reproduce vertex_normal_corners."""
+    from ch_shrinkwrap_tpu.ops import normals as _normals
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    rng = np.random.default_rng(5)
+    v, f = icosphere(2, radius=20.0)
+    v = (v + rng.normal(scale=0.5, size=v.shape)).astype(np.float32)
+    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
+    tri = np.asarray(ma.positions)[np.asarray(ma.faces)]   # (Fp, 3, 3)
+    Fp = tri.shape[0]
+    vnc = np.asarray(_normals.vertex_normal_corners(
+        ma.positions, ma.faces, ma.f_mask, tri=jnp.asarray(tri)))
+    # kernel-native transposed tri: rows x/y/z, columns 3f + corner
+    tri_t = jnp.asarray(tri.reshape(3 * Fp, 3).T)
+    vnc_t = np.asarray(_normals.vertex_normal_corners_t(
+        tri_t, ma.f_mask))
+    np.testing.assert_allclose(
+        vnc_t, vnc.reshape(3 * Fp, 3).T, rtol=1e-5, atol=1e-6)
