@@ -99,9 +99,7 @@ def main():
                             os.environ.get('BENCH_HCGC_AT', 300_000))
                             and ring_tri is not None
                             and bool(np.all(weights > 0))),
-                        corr_fv=(ma.positions.shape[0] > int(
-                            os.environ.get('BENCH_CORR_FV_AT',
-                                           300_000))))
+                        corr_fv=bool(os.environ.get('CSW_CORR_FV')))
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

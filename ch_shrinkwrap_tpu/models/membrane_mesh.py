@@ -964,10 +964,12 @@ class MembraneMesh(TriangleMesh):
                            and ring_tri is not None
                            and positions.shape[0] > 300_000
                            and uniform_weights),
-                # in-kernel winner-corner extraction replaces the
-                # (N, 9) tri-table gather — the same >300k cliff
-                corr_fv=(method == 'windowed_pallas'
-                         and positions.shape[0] > 300_000))
+                # in-kernel winner-corner extraction: measured a net
+                # LOSS (+32 ms kernel vs the 9.3 ms 2-D gather it
+                # replaces — the HIGHEST-precision one-hot extraction
+                # dominates; scripts/attr_inblock.py 2026-08-19).
+                # Kept available, default off.
+                corr_fv=bool(os.environ.get('CSW_CORR_FV')))
             if _ft:
                 _t_disp = _ft() - _ts
                 _ts = _ft()

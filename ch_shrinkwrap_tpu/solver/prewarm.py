@@ -201,8 +201,8 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
                     ring_fold=ring_fold,
                     nbr_f=nbr_f if want_curv_K else None,
                     want_curv_K=want_curv_K, face_hcgc=face_hcgc,
-                    corr_fv=(corr_method == 'windowed_pallas'
-                             and v_cap > 300_000))
+                    corr_fv=bool(__import__('os').environ.get(
+                        'CSW_CORR_FV')))
                 out[0].block_until_ready()
             # the boundary-time neck diagnostic runs curvature_grad on
             # exact-pow2 diagnostic buckets; same shapes here (v_cap
