@@ -47,7 +47,11 @@ def main():
     v, f = icosphere(n_sub, radius=500.0)
     mesh = TriangleMesh(v, f)
     mesh.spatial_sort()
-    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    v_cap = os.environ.get('ATTR_V_CAP')
+    f_cap = os.environ.get('ATTR_F_CAP')
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False,
+                            v_cap=int(v_cap) if v_cap else None,
+                            f_cap=int(f_cap) if f_cap else None)
     d = rng.normal(size=(N, 3))
     d /= np.linalg.norm(d, axis=1)[:, None]
     pts = (d * 500 + rng.normal(scale=5.0, size=d.shape)).astype(np.float32)
