@@ -99,7 +99,24 @@ def main():
             nbr_f=ma.nbr_f if want_K else None,
             want_curv_K=want_K, face_hcgc=hcgc)
 
-    # the e2e's exact program first (cache-warm if e2e ran): K on
+    if rt is not None:
+        # the e2e's exact program (ring schedules active above 32k
+        # verts, hcgc off below 300k, want_K on): time it FIRST —
+        # cache-warm if the e2e ran at these caps
+        t5r = timeit('FIT active=5 ring want_K', lambda: block(5, True, ring=True))
+        t1r = timeit('FIT active=1 ring want_K', lambda: block(1, True, ring=True))
+        print(f'FIT per-iteration (marginal): {(t5r-t1r)/4*1000:8.1f} ms',
+              flush=True)
+        t5rn = timeit('    active=5 ring no-K  ', lambda: block(5, False, ring=True))
+        t1rn = timeit('    active=1 ring no-K  ', lambda: block(1, False, ring=True))
+        print(f'    per-iteration (no K):     {(t5rn-t1rn)/4*1000:8.1f} ms')
+        print(f'    fixed per block:          '
+              f'{(t1rn-(t5rn-t1rn)/4)*1000:8.1f} ms')
+        print(f'    curvature-K per block:    '
+              f'{((t5r-t5rn)+(t1r-t1rn))/2*1000:8.1f} ms', flush=True)
+        if os.environ.get('PROBE_FIT_ONLY'):
+            return
+
     t5k = timeit('active=5 want_K=True ', lambda: block(5, True))
     t1k = timeit('active=1 want_K=True ', lambda: block(1, True))
     t5 = timeit('active=5 want_K=False', lambda: block(5, False))
