@@ -419,6 +419,11 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     combinations would each be their own compiled program).
     """
     from .pallas_gather import ring_gather_schedule
+    import os as _os
+    # grid-step width (128-row chunks per Pallas step): fewer steps =
+    # less per-step DMA wait/start overhead; 32 measured best at the
+    # 656k tri/ncc/fold streams (scripts/probe_ring_cost.py)
+    cps = int(_os.environ.get('CSW_RING_CPS', 32))
     Vp = ma.positions.shape[0]
     h = ma.host or {}
     faces_np = h.get('faces')
@@ -436,7 +441,7 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     # fold 11% @ 256 (1/8 budget) — sweep 2026-08-18, icosphere 7/8).
     ring_tri = ring_gather_schedule(
         faces_np.reshape(-1), np.repeat(f_mask_np, 3), Vp,
-        span=384, fixed_layout=True)
+        span=384, fixed_layout=True, cps=cps)
     nbr_np = h.get('nbr_v')
     if nbr_np is None:
         nbr_np = np.asarray(ma.nbr_v)
@@ -456,7 +461,7 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
         np.clip(nbr12, 0, None), nbr12 >= 0, block=1024)
     ring_ncc = ring_gather_schedule(
         ncc_idx, ncc_care, Vp, span=384, fixed_layout=True,
-        kmaj_block=1024, care_out=True)
+        kmaj_block=1024, care_out=True, cps=cps)
     if ring_ncc is not None:
         ov_extra = nbr_np[:, NCC_K:]
         ev, ek = np.nonzero(ov_extra >= 0)
@@ -473,7 +478,7 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
         np.clip(inc, 0, None).reshape(-1),
         (inc >= 0).reshape(-1), 3 * faces_np.shape[0],
         span=256, fixed_layout=True, fixed_patch_frac=1 / 8,
-        care_out=True)
+        care_out=True, cps=cps)
     if (ring_tri is None or ring_ncc is None or f_sched is None
             or len(ov_r) > ov_cap):
         return None, None, None

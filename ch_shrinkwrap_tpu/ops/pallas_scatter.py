@@ -138,6 +138,26 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
                 axis=0)                          # (C, B)
             fid = raw[6, :].astype(jnp.int32)    # exact for < 2^24
             js = raw[7, :].astype(jnp.int32)
+        elif factored == 'ahw2':
+            # rows [w0 w1 w2 | res0 res1 res2 | fid js]: both passes'
+            # products in one sweep — 9 w_j*res_c + 3 w_j (the AH
+            # accumulator) and the 6 unique w_j*w_j' (the W2 Gram).
+            # 18 live columns need c_cols=24; the earlier 18-col
+            # attempt used Cp=32 and stalled 3x (solver comment) —
+            # at 24 the ring update and part matmul grow only 1.5x
+            # while the second kernel's full per-step cost disappears.
+            rows = [raw[j:j + 1] * raw[3 + c:4 + c]
+                    for j in range(3) for c in range(3)]
+            rows += [raw[j:j + 1] for j in range(3)]
+            rows += [raw[j:j + 1] * raw[jp:jp + 1]
+                     for (j, jp) in ((0, 0), (1, 1), (2, 2),
+                                     (0, 1), (0, 2), (1, 2))]
+            valT = jnp.concatenate(
+                rows + [jnp.zeros((c_cols - len(rows), B),
+                                  jnp.float32)],
+                axis=0)                          # (C, B)
+            fid = raw[6, :].astype(jnp.int32)
+            js = raw[7, :].astype(jnp.int32)
         elif factored == 'w2':
             # rows [w0 w1 w2 | fid js]: the 6 unique w_j * w_j'
             # products — summed per face they let the solver contract
@@ -402,6 +422,48 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
                         Bsz, window, 'ah', interpret,
                         transposed_out=transposed_out)
     return out[:12] if transposed_out else out[:, :12]
+
+
+@partial(jax.jit,
+         static_argnames=('num_segments', 'block_size', 'window',
+                          'interpret', 'transposed_out'))
+def windowed_ahw2_pallas(w, res, fid, js, starts, sub_ids,
+                         num_segments, block_size=256, window=2048,
+                         interpret=False, transposed_out=False):
+    """One-sweep fusion of ``windowed_ah_pallas`` and
+    ``windowed_w2_pallas``: the two kernels stream identical
+    (block, anchor) steps over identical packed inputs, and the
+    per-step cost is dominated by step machinery, not live columns —
+    a single pass with c_cols=24 (18 live) replaces both.  Returns
+    ``(ah, w2)`` with the same shapes/column orders as the two
+    separate calls."""
+    N = w.shape[0]
+    nb = starts.shape[0]
+    Bsz = block_size
+    Fp_al = -(-num_segments // 128) * 128
+    W = min(window, Fp_al)
+    Npad = nb * Bsz
+
+    def blockify(x2, rows):
+        xp = jnp.zeros((Npad, rows), jnp.float32).at[:N].set(x2)
+        return jnp.transpose(xp.reshape(nb, Bsz, rows), (0, 2, 1))
+
+    blocks = jnp.concatenate([
+        blockify(w, 3),
+        blockify(res, 3),
+        blockify(fid.astype(jnp.float32)[:, None], 1),
+        blockify(js.astype(jnp.float32)[:, None], 1),
+    ], axis=1)                                           # (nb, 8, B)
+    blocks = jnp.concatenate(
+        [blocks, jnp.zeros((1, 8, Bsz), jnp.float32)])   # (nb+1,8,B)
+
+    starts_al = jnp.clip((starts // 128) * 128, 0, max(Fp_al - W, 0))
+    out = _call_scatter(blocks, starts_al, sub_ids, num_segments,
+                        Bsz, window, 'ahw2', interpret,
+                        cp=24, transposed_out=transposed_out)
+    if transposed_out:
+        return out[:12], out[12:18]
+    return out[:, :12], out[:, 12:18]
 
 
 @partial(jax.jit,

@@ -419,8 +419,27 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # operand never materializes.  Column order: 0..8 =
             # w_j * res_c (j-major), 9..11 = w_j
             from ..ops.pallas_scatter import (windowed_ah_pallas,
-                                              windowed_w2_pallas)
-            if _lm_fold:
+                                              windowed_ahw2_pallas)
+            if face_hcgc:
+                # both accumulators in ONE kernel sweep: the AH and
+                # W2 passes stream identical (block, anchor) steps
+                # over identical packed inputs, and per-step cost
+                # scales only mildly with live columns (Cp 16 -> 24:
+                # 14 + 14 -> 19 ms at 656k, bit-exact —
+                # scripts/probe_ahw2.py; the previously noted 3x
+                # stall was a Cp=32 cliff, not the fusion)
+                if _lm_fold:
+                    acc_t, W2_t = windowed_ahw2_pallas(
+                        w, res, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids, num_segments=Fp,
+                        interpret=pallas_interpret,
+                        transposed_out=True)        # (12, Fp), (6, Fp)
+                else:
+                    acc, W2 = windowed_ahw2_pallas(
+                        w, res, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids, num_segments=Fp,
+                        interpret=pallas_interpret)  # (Fp,12), (Fp,6)
+            elif _lm_fold:
                 acc_t = windowed_ah_pallas(
                     w, res, fi, corr_meta.js,
                     corr_meta.starts, corr_meta.sub_ids,
@@ -432,25 +451,11 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                     corr_meta.starts, corr_meta.sub_ids,
                     num_segments=Fp,
                     interpret=pallas_interpret)              # (Fp, 12)
+            if not _lm_fold:
                 # reorder to the (j, [res, 1]) 4-wide layout shared
                 # with the segment_sum branch
                 perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
                 face_acc = acc[:, jnp.array(perm)]
-            if face_hcgc:
-                # second pass: per-face sums of the 6 unique
-                # w_j * w_j' products (a widened 18-col single pass
-                # was measured 3x slower — Cp=32 stalls the kernel)
-                if _lm_fold:
-                    W2_t = windowed_w2_pallas(
-                        w, fi, corr_meta.js, corr_meta.starts,
-                        corr_meta.sub_ids, num_segments=Fp,
-                        interpret=pallas_interpret,
-                        transposed_out=True)                 # (6, Fp)
-                else:
-                    W2 = windowed_w2_pallas(
-                        w, fi, corr_meta.js, corr_meta.starts,
-                        corr_meta.sub_ids, num_segments=Fp,
-                        interpret=pallas_interpret)          # (Fp, 6)
         else:
             ah_in = jnp.concatenate([res, ones_pts[:, :1]],
                                     axis=1)                  # (N, 4)

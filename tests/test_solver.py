@@ -429,6 +429,48 @@ def test_windowed_segment_sum_matches_segment_sum():
                                atol=1e-4 * float(jnp.abs(ref).max()))
 
 
+def test_windowed_ahw2_fused_matches_separate_passes():
+    """The one-sweep AH+W2 kernel (c_cols=24, 18 live columns) must
+    reproduce the two separate kernel passes exactly — same routing
+    data, same packed inputs, products formed in-kernel."""
+    import jax
+    from ch_shrinkwrap_tpu.ops.pallas_scatter import (
+        windowed_ah_pallas, windowed_w2_pallas, windowed_ahw2_pallas)
+    rng = np.random.default_rng(9)
+    v, f = icosphere(4, radius=50.0)
+    from ch_shrinkwrap_tpu.ops import meshdata as md
+    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
+    centers = jnp.asarray(
+        np.asarray(ma.positions)[np.asarray(ma.faces)].mean(1))
+    Fp = centers.shape[0]
+
+    d = rng.normal(size=(6000, 3))
+    d /= np.linalg.norm(d, axis=1)[:, None]
+    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape))
+    allp = pts.astype(np.float32)[corr.fit_point_order(pts)]
+    _, fid, meta = corr.nearest_face_windowed(
+        jnp.asarray(allp), centers, ma.f_mask, window=1024,
+        use_pallas=True, pallas_interpret=True, return_meta=True)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (allp.shape[0], 3))
+                    .astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(allp.shape[0], 3))
+                      .astype(np.float32))
+    kw = dict(num_segments=Fp, window=1024, interpret=True)
+    ah = windowed_ah_pallas(w, res, fid, meta.js, meta.starts,
+                            meta.sub_ids, **kw)
+    w2 = windowed_w2_pallas(w, fid, meta.js, meta.starts,
+                            meta.sub_ids, **kw)
+    ahf, w2f = windowed_ahw2_pallas(w, res, fid, meta.js, meta.starts,
+                                    meta.sub_ids, **kw)
+    np.testing.assert_array_equal(np.asarray(ahf), np.asarray(ah))
+    np.testing.assert_array_equal(np.asarray(w2f), np.asarray(w2))
+    aht, w2t = windowed_ahw2_pallas(w, res, fid, meta.js, meta.starts,
+                                    meta.sub_ids, transposed_out=True,
+                                    **kw)
+    np.testing.assert_array_equal(np.asarray(aht.T), np.asarray(ah))
+    np.testing.assert_array_equal(np.asarray(w2t.T), np.asarray(w2))
+
+
 def test_cg_block_windowed_pallas_matches_brute():
     """Full solver block through the Pallas correspondence + windowed
     A^T accumulator (interpret mode) converges identically to the
