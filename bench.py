@@ -63,14 +63,14 @@ def main():
     # once the table leaves cache (~300k padded verts); switch to the
     # kernel fold + banded window gathers (same gating as the driver)
     fold_starts = fold_uncov = None
-    ring_tri = ring_ncc = ring_fold = None
+    ring_tri = ring_ncc = ring_fold = ring_cb = None
     # matches the driver's ring_gather_min_verts default: the ring
     # kernels win from ~32k padded verts up (probe_block_cost.py)
     ring_at = int(os.environ.get('BENCH_RING_AT', 32768))
     if ma.positions.shape[0] > ring_at:
         if os.environ.get('BENCH_RING_GATHER', '1') == '1':
             # same capacity-constant schedule layout as the fit driver
-            ring_tri, ring_ncc, ring_fold = \
+            ring_tri, ring_ncc, ring_fold, ring_cb = \
                 meshdata.fit_ring_schedules(ma)
         if ring_fold is None:
             sched = meshdata.fold_schedule(np.asarray(ma.faces),
@@ -91,12 +91,13 @@ def main():
                         face_nbrs=ma.face_nbrs,
                         fold_starts=fold_starts, fold_uncov=fold_uncov,
                         ring_tri=ring_tri, ring_ncc=ring_ncc,
-                        ring_fold=ring_fold,
+                        ring_fold=ring_fold, ring_tri_cb=ring_cb,
                         # pays off only once the (N, 9s) AS gather is
                         # on the >300k cliff; below it the extra w2
                         # kernel pass costs more than the gather
                         face_hcgc=(ma.positions.shape[0] > int(
-                            os.environ.get('BENCH_HCGC_AT', 300_000))
+                            os.environ.get('BENCH_HCGC_AT',
+                                           meshdata.HCGC_MIN_VP))
                             and ring_tri is not None
                             and bool(np.all(weights > 0))),
                         corr_fv=bool(os.environ.get('CSW_CORR_FV')))

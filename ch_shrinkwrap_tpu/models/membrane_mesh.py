@@ -617,8 +617,17 @@ class MembraneMesh(TriangleMesh):
             # 5.33 vs 5.0, a 14% face-count overprediction
             last_remesh_iter = (n_iter // self.remesh_frequency) \
                 * self.remesh_frequency
-            pred_final_len = max(
-                float(initial_length + m * (last_remesh_iter + 1)), 1e-3)
+            # clamp to the schedule's own endpoints: when n_iter is an
+            # exact multiple of remesh_frequency the linear schedule
+            # evaluates PAST final_length at the last boundary (the
+            # reference leaves this unclamped, pyx:1541-1546 — with a
+            # steep schedule the target goes NEGATIVE and the capacity
+            # prediction explodes; fixed here and in the loop below,
+            # SURVEY §5 quirk policy)
+            pred_final_len = max(float(np.clip(
+                initial_length + m * (last_remesh_iter + 1),
+                min(initial_length, final_length),
+                max(initial_length, final_length))), 1e-3)
             # F = area / equilateral-triangle-area(l), times a measured
             # ~1.15 irregularity factor (real remeshed meshes carry more
             # faces than the equilateral estimate at their mean length);
@@ -773,7 +782,7 @@ class MembraneMesh(TriangleMesh):
                 (ma, positions, faces, f_mask, v_mask, nbr_v,
                  face_nbrs, fold_starts, fold_uncov, vg_starts,
                  vg_uncov, ng_starts, ng_uncov, ring_tri, ring_ncc,
-                 ring_fold) = dev_state
+                 ring_fold, ring_cb) = dev_state
                 positions = f_dev
                 if _ft:
                     _t_sort = _t_build = 0.0
@@ -838,7 +847,7 @@ class MembraneMesh(TriangleMesh):
                     _t_build = _ft() - _ts
                 fold_starts = fold_uncov = None
                 vg_starts = vg_uncov = ng_starts = ng_uncov = None
-                ring_tri = ring_ncc = ring_fold = None
+                ring_tri = ring_ncc = ring_fold = ring_cb = None
                 if ma.positions.shape[0] > int(getattr(
                         self, 'ring_gather_min_verts', 32768)):
                     # the sliding-ring Mosaic gather kernel
@@ -865,7 +874,7 @@ class MembraneMesh(TriangleMesh):
                         # at all (mixed combinations would each be a
                         # separate compile)
                         _tr = _ft and _ft()
-                        ring_tri, ring_ncc, ring_fold = \
+                        ring_tri, ring_ncc, ring_fold, ring_cb = \
                             meshdata.fit_ring_schedules(ma)
                         if _ft:
                             _t_build += _ft() - _tr
@@ -938,7 +947,7 @@ class MembraneMesh(TriangleMesh):
                 dev_state = (ma, positions, faces, f_mask, v_mask,
                              nbr_v, face_nbrs, fold_starts, fold_uncov,
                              vg_starts, vg_uncov, ng_starts, ng_uncov,
-                             ring_tri, ring_ncc, ring_fold)
+                             ring_tri, ring_ncc, ring_fold, ring_cb)
             _ts = _ft and _ft()
             f_new, diag = block_call(
                 positions, faces, f_mask, v_mask, nbr_v,
@@ -953,7 +962,7 @@ class MembraneMesh(TriangleMesh):
                 vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,
                 ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov,
                 ring_tri=ring_tri, ring_ncc=ring_ncc,
-                ring_fold=ring_fold,
+                ring_fold=ring_fold, ring_tri_cb=ring_cb,
                 nbr_f=ma.nbr_f if want_K else None,
                 want_curv_K=want_K,
                 # pays off only once the (N, 9s) AS gather is on the
@@ -962,7 +971,7 @@ class MembraneMesh(TriangleMesh):
                 # 231k with ring gathers on — probe_block_cost.py)
                 face_hcgc=(method == 'windowed_pallas'
                            and ring_tri is not None
-                           and positions.shape[0] > 300_000
+                           and positions.shape[0] > meshdata.HCGC_MIN_VP
                            and uniform_weights),
                 # in-kernel winner-corner extraction: measured a net
                 # LOSS (+32 ms kernel vs the 9.3 ms 2-D gather it
@@ -981,7 +990,13 @@ class MembraneMesh(TriangleMesh):
             topo_dirty = False
             self._last_diag = diag
             V = self.vertices.shape[0]
-            new_pos = np.asarray(f_new)[:V]
+            # fetch only the live prefix — the pad tail (often 10x the
+            # live count early in the fit) is dead host-side; the slice
+            # length is quantized so the tiny device-slice program is
+            # shared across boundaries (each distinct shape is its own
+            # compile through the remote service)
+            Vq = min(f_new.shape[0], -(-V // 16384) * 16384)
+            new_pos = np.asarray(f_new[:Vq])[:V]
             if not np.isfinite(new_pos).all():
                 # counterpart of the reference's scattered NaN asserts
                 # (mesh_conj_grad.py:548,580,613)
@@ -1036,7 +1051,15 @@ class MembraneMesh(TriangleMesh):
                 self.trace.record('short_edges', j, _time.time() - t0,
                                   self)
                 t0 = _time.time()
-                target_length = initial_length + m * (j + 1)
+                # clamped to the schedule endpoints: at j = n_iter
+                # divisible by rf the unclamped line evaluates past
+                # final_length (negative for steep schedules) — the
+                # reference ships that overshoot (pyx:1541-1546);
+                # fixed here, see the capacity-prediction note above
+                target_length = float(np.clip(
+                    initial_length + m * (j + 1),
+                    min(initial_length, final_length),
+                    max(initial_length, final_length)))
                 self.remesh(5, target_length, 0.5, n_relax=0)
                 self.trace.record('remesh', j, _time.time() - t0, self,
                                   target_length=float(target_length))

@@ -404,19 +404,39 @@ def incidence_table(faces: np.ndarray, f_mask: np.ndarray,
             ssrc[ov].astype(np.int32))
 
 
-def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
-    """The fit driver's (ring_tri, ring_ncc, ring_fold) schedule
-    triple for one padded topology, with CAPACITY-CONSTANT static
-    layout (``fixed_layout=True`` schedules, a fixed-width incidence
-    overflow pad): the compiled solver program is then identical
-    across remesh boundaries within a capacity bucket — schedule
-    statics are part of the jit cache key, and data-sized layouts
-    would recompile cg_block (~60-90 s through the remote service) at
-    every topology change.
+# face_hcgc (face-side subspace normal equations) only wins once the
+# (N, 9s) AS gather is on the >300k XLA gather cliff; shared by the
+# fit driver, the prewarmer and the schedule builder so the compiled
+# program and its schedules cannot disagree
+HCGC_MIN_VP = 300_000
 
-    Returns (None, None, None) when any budget is exceeded (the caller
-    falls back to the XLA gather path atomically — mixed ring/XLA
-    combinations would each be their own compiled program).
+
+def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
+    """The fit driver's (ring_tri, ring_ncc, ring_fold, ring_tri_cb)
+    schedule tuple for one padded topology, with CAPACITY-CONSTANT
+    static layout (``fixed_layout=True`` schedules, a fixed-width
+    incidence overflow pad): the compiled solver program is then
+    identical across remesh boundaries within a capacity bucket —
+    schedule statics are part of the jit cache key, and data-sized
+    layouts would recompile cg_block (~60-90 s through the remote
+    service) at every topology change.
+
+    ``ring_tri_cb`` is the CORNER-BLOCKED variant of the faces-index
+    stream — a tuple of THREE per-corner schedules (faces[:,0],
+    faces[:,1], faces[:,2]) — built only above ``HCGC_MIN_VP``: the
+    face_hcgc subspace path gathers S through each with
+    ``transposed_out=True`` so every corner's (3s, Fp) block comes
+    out lane-major directly (no (R, C) retile, lane-major Gc/Hc
+    contractions).  Three SEPARATE schedules because the ring window
+    only slides FORWARD: a single concatenated j-major stream restarts
+    at vertex ~0 at each corner-block boundary while the ring head is
+    at Vp, so ~40% of its rows fall off the residency window and the
+    schedule blows its patch budget (measured 43% at 41k).  None
+    below the threshold or over budget.
+
+    Returns (None, None, None, None) when any budget is exceeded (the
+    caller falls back to the XLA gather path atomically — mixed
+    ring/XLA combinations would each be their own compiled program).
     """
     from .pallas_gather import ring_gather_schedule
     import os as _os
@@ -481,11 +501,25 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
         care_out=True, cps=cps)
     if (ring_tri is None or ring_ncc is None or f_sched is None
             or len(ov_r) > ov_cap):
-        return None, None, None
+        return None, None, None, None
     ov_rows = np.full(ov_cap, -1, np.int32)
     ov_rows[:len(ov_r)] = ov_r
     ov_verts = np.zeros(ov_cap, np.int32)
     ov_verts[:len(ov_v)] = ov_v
     ring_fold = (f_sched, jnp.asarray(inc >= 0),
                  jnp.asarray(ov_rows), jnp.asarray(ov_verts))
-    return ring_tri, ring_ncc, ring_fold
+    ring_cb = None
+    if Vp > HCGC_MIN_VP:
+        # per-corner streams: faces[:, j] in face order has the same
+        # Hilbert locality as the interleaved stream and stays
+        # monotone for the forward-sliding ring (see docstring)
+        cb = [ring_gather_schedule(
+                  np.ascontiguousarray(faces_np[:, j]), f_mask_np, Vp,
+                  span=384, fixed_layout=True, cps=cps)
+              for j in range(3)]
+        # optional: the fit falls back to the row-major S_tri path
+        # for this topology if any corner stream is over budget (the
+        # other three schedules stay engaged)
+        if all(s is not None for s in cb):
+            ring_cb = tuple(cb)
+    return ring_tri, ring_ncc, ring_fold, ring_cb

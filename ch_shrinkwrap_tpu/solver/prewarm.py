@@ -165,7 +165,7 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
         try:
             (positions, faces, f_mask, v_mask, nbr_v, nbr_f,
              face_nbrs) = _dummy_block_args(v_cap, f_cap)
-            ring_tri = ring_ncc = ring_fold = None
+            ring_tri = ring_ncc = ring_fold = ring_cb = None
             face_hcgc = False
             if v_cap > ring_min_verts:
                 import numpy as _np
@@ -180,11 +180,12 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
                           'nbr_v': _np.full(
                               (v_cap, meshdata.NEIGHBORSIZE), -1,
                               _np.int32)})
-                ring_tri, ring_ncc, ring_fold = \
+                ring_tri, ring_ncc, ring_fold, ring_cb = \
                     meshdata.fit_ring_schedules(ma)
                 face_hcgc = (corr_method == 'windowed_pallas'
                              and ring_tri is not None
-                             and v_cap > 300_000 and uniform_weights)
+                             and v_cap > meshdata.HCGC_MIN_VP
+                             and uniform_weights)
             if not (i == 0 and skip_first_block):
                 # block_call (NOT cg_block directly): explicit-vs-
                 # omitted kwargs are distinct pjit cache entries, so
@@ -198,7 +199,7 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
                     corr_method=corr_method, cell_size=1.0,
                     face_nbrs=face_nbrs,
                     ring_tri=ring_tri, ring_ncc=ring_ncc,
-                    ring_fold=ring_fold,
+                    ring_fold=ring_fold, ring_tri_cb=ring_cb,
                     nbr_f=nbr_f if want_curv_K else None,
                     want_curv_K=want_curv_K, face_hcgc=face_hcgc,
                     corr_fv=bool(__import__('os').environ.get(

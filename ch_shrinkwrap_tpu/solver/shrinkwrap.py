@@ -184,7 +184,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              ncc_gather_starts=None, ncc_gather_uncov=None,
              ring_tri=None, ring_ncc=None, ring_fold=None,
              face_hcgc=False, active_iters=None,
-             nbr_f=None, want_curv_K=False, corr_fv=False):
+             nbr_f=None, want_curv_K=False, corr_fv=False,
+             ring_tri_cb=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -234,6 +235,13 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         corr_method='windowed_pallas' AND when every unmasked point
         has strictly positive weights in all coordinates (the caller
         checks; zero-weight coordinates need the per-point el_mask).
+    ring_tri_cb : optional corner-blocked (j-major) variant of
+        ``ring_tri`` (``meshdata.fit_ring_schedules``): with face_hcgc
+        active, the S gather runs through it with the kernel-native
+        transposed output so each corner's (3s, Fp) block is a
+        contiguous lane slice and Gc/Hc contract lane-major on the
+        MXU.  Ignored without W2 (the per-point path needs row-major
+        S_tri).
     active_iters : optional RUNTIME iteration count <= num_iters:
         iterations beyond it are skipped through the frozen branch.
         Lets the driver run variable-length blocks (to the next
@@ -637,7 +645,25 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
         # batch dim are ~8x slower — scripts/probe_layout.py); the
         # corner sum runs on flat 2-D slices to avoid 4-D relayouts
-        if ring_tri is not None:
+        use_cb = ((W2 is not None or W2_t is not None)
+                  and ring_tri_cb is not None)
+        if use_cb:
+            # corner-blocked lane-major subspace path: gather S
+            # through the three per-corner streams with the
+            # kernel-native transposed output — each corner's
+            # (3s, Fp) block comes out lane-major directly (no (R, C)
+            # retile of the gather output), and Gc/Hc contract over
+            # faces as MXU matmuls with a tiny diagonal extraction,
+            # replacing the row-major einsums (S_tri 15.3 + hcgc
+            # einsums 7.4 ms/iter at 656k)
+            from ..ops.pallas_gather import ring_gather
+            ks = 3 * s_size
+            S2 = S.reshape(Vp, ks)
+            Sc_t = [ring_gather(S2, ring_tri_cb[a],
+                                transposed_out=True)[:ks, :Fp]
+                    for a in range(3)]                   # (3s, Fp)
+            S_tri = None
+        elif ring_tri is not None:
             from ..ops.pallas_gather import ring_gather
             S_tri = ring_gather(S.reshape(Vp, 3 * s_size),
                                 ring_tri).reshape(Fp, 9 * s_size)
@@ -650,7 +676,48 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         else:
             S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
                      .reshape(Fp, 9 * s_size))             # (Fp, 9s)
-        if W2 is not None or W2_t is not None:
+        if use_cb:
+            # lane-major face-side normal equations (see the comment
+            # on the row-major branch below for the algebra): with
+            # Sc_t[a] = S4[:, a].T laid out (i*s + k, f), the Gc
+            # contraction per corner is one (3s, Fp) @ (Fp, 3) MXU
+            # matmul whose (i, k, i') reshape yields Gc[k] on the
+            # i = i' diagonal; Hab likewise is (3s, Fp) @ (Fp, 3s)
+            # with the (i, k, i, l) diagonal.  Identical weights and
+            # masking semantics: E / W2 are zero on faces without
+            # points, so masked/garbage S rows contribute nothing.
+            ks = 3 * s_size
+            # the contraction dimension is Fp (~10^6): the default MXU
+            # bf16 multiply loses ~1e-3 relative on Gc, which the
+            # subspace solve turns into visible step-direction drift
+            # (probe_cb parity); 'highest' keeps the fp32 mantissa at
+            # ~3x the (tiny) matmul cost
+            _pr = 'highest'
+            Gc = 0.0
+            for j in range(3):
+                if _lm_fold:
+                    Mj = jnp.einsum('af,if->ai', Sc_t[j],
+                                    acc_t[3 * j:3 * j + 3],
+                                    precision=_pr)
+                else:
+                    E = acc[:, :9]              # w_j * res_i, j-major
+                    Mj = jnp.einsum('af,fi->ai', Sc_t[j],
+                                    E[:, 3 * j:3 * j + 3],
+                                    precision=_pr)
+                Gc = Gc + jnp.einsum('iki->k',
+                                     Mj.reshape(3, s_size, 3))
+            pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
+                        (0, 1): 3, (0, 2): 4, (1, 2): 5}
+            Hc = 0.0
+            for (a, b), col in pair_col.items():
+                w2col = W2_t[col] if _lm_fold else W2[:, col]
+                Za_t = Sc_t[a] * w2col[None, :]
+                Mab = jnp.einsum('af,bf->ab', Za_t, Sc_t[b],
+                                 precision=_pr)
+                Hab = jnp.einsum('ikil->kl',
+                                 Mab.reshape(3, s_size, 3, s_size))
+                Hc = Hc + (Hab if a == b else Hab + Hab.T)
+        elif W2 is not None or W2_t is not None:
             # face-side normal equations: AS[n,i,k] =
             # sum_j w_nj S_tri[fi_n, j, i, k], so with
             # E[f,j,i]   = sum_{n: fi=f} w_nj res_ni   (= A^T cols)
@@ -794,7 +861,7 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                ncc_gather_starts=None, ncc_gather_uncov=None,
                ring_tri=None, ring_ncc=None, ring_fold=None,
                nbr_f=None, want_curv_K=False, face_hcgc=False,
-               corr_fv=False):
+               corr_fv=False, ring_tri_cb=None):
     """The single call-shape for ``cg_block`` shared by the fit driver
     and the compile prewarmer.
 
@@ -827,6 +894,7 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                  ncc_gather_uncov=ncc_gather_uncov,
                  ring_tri=ring_tri, ring_ncc=ring_ncc,
                  ring_fold=ring_fold, nbr_f=nbr_f,
+                 ring_tri_cb=ring_tri_cb,
                  active_iters=active_iters, cell_size=cell_size),
             dict(num_iters=num_iters, use_shrink=use_shrink,
                  face_chunk=face_chunk, corr_method=corr_method,
@@ -847,7 +915,7 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
         ncc_gather_uncov=ncc_gather_uncov,
         ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
         nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc,
-        corr_fv=corr_fv)
+        corr_fv=corr_fv, ring_tri_cb=ring_tri_cb)
 
 
 _AOT_COMPILED = {}

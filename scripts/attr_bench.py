@@ -127,7 +127,7 @@ def main():
         from ch_shrinkwrap_tpu.ops.pallas_gather import ring_gather
         from ch_shrinkwrap_tpu.solver.shrinkwrap import compute_ncc
         print('building ring schedules...', flush=True)
-        ring_tri, ring_ncc, ring_fold = meshdata.fit_ring_schedules(ma)
+        ring_tri, ring_ncc, ring_fold, ring_cb = meshdata.fit_ring_schedules(ma)
         assert ring_tri is not None
 
         timeit("ring: tri = f[faces] gather (3Fp rows)",

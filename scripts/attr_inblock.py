@@ -63,7 +63,7 @@ def main():
     Vp, Fp = fpos.shape[0], faces.shape[0]
     s_size = 3
     print(f"Vp={Vp} Fp={Fp} N={N}", flush=True)
-    ring_tri, ring_ncc, ring_fold = meshdata.fit_ring_schedules(ma)
+    ring_tri, ring_ncc, ring_fold, ring_cb = meshdata.fit_ring_schedules(ma)
     assert ring_tri is not None
 
     tri = timeit("tri ring_gather (3Fp, 3)",

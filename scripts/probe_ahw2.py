@@ -55,7 +55,7 @@ def main():
     fpos, faces, f_mask = ma.positions, ma.faces, ma.f_mask
     Vp, Fp = fpos.shape[0], faces.shape[0]
     print(f"Vp={Vp} Fp={Fp} N={N}", flush=True)
-    ring_tri, _, _ = meshdata.fit_ring_schedules(ma)
+    ring_tri = meshdata.fit_ring_schedules(ma)[0]
     tri = ring_gather(fpos, ring_tri).reshape(-1, 3, 3)
     centers = tri.mean(1)
     starts = corr.windowed_anchor_starts(points, centers, f_mask)

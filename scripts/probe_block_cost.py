@@ -81,9 +81,9 @@ def ring_scheds(ma):
 
 def main():
     ma, pts_j, sig_j, w_j, pm = build()
-    rt, rn, rf = (None, None, None)
+    rt, rn, rf, rcb = (None, None, None, None)
     if os.environ.get('PROBE_VARIANTS', '1') == '1':
-        rt, rn, rf = ring_scheds(ma)
+        rt, rn, rf, rcb = ring_scheds(ma)
 
     def block(active, want_K, ring=False, hcgc=False):
         return block_call(
@@ -96,6 +96,7 @@ def main():
             ring_tri=rt if ring else None,
             ring_ncc=rn if ring else None,
             ring_fold=rf if ring else None,
+            ring_tri_cb=rcb if (ring and hcgc) else None,
             nbr_f=ma.nbr_f if want_K else None,
             want_curv_K=want_K, face_hcgc=hcgc)
 

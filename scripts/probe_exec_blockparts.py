@@ -74,7 +74,7 @@ def main():
               'f_mask': np.zeros(f_cap, bool),
               'nbr_v': np.full((v_cap, meshdata.NEIGHBORSIZE), -1,
                                np.int32)})
-    ring_tri, ring_ncc, ring_fold = meshdata.fit_ring_schedules(ma)
+    ring_tri, ring_ncc, ring_fold, _rcb = meshdata.fit_ring_schedules(ma)
 
     def run(tag, **kw):
         args = dict(num_iters=5, active_iters=0, use_shrink=False,

@@ -207,3 +207,32 @@ def test_native_k_fast_path_seeds_curvature_state():
         np.median(K) * 50.0 ** 2, 1.0, decimal=1)
     H = mesh.curvature_mean           # forces full repopulation
     assert np.isfinite(H).all() and H.shape == (len(mesh.vertices),)
+
+
+def test_schedule_clamped_when_max_iter_multiple_of_rf():
+    """With max_iter an exact multiple of remesh_frequency, the linear
+    edge-length schedule evaluates PAST final_length at the last
+    boundary (the reference ships the overshoot unclamped,
+    pyx:1541-1546 — a steep schedule goes NEGATIVE, exploding the
+    final-capacity prediction into TiB allocations).  The rebuild
+    clamps to the schedule endpoints in both the capacity predictor
+    and the loop."""
+    pts, sigma = sphere_cloud(R=100.0, n=4000, sigma=3.0)
+    v, f = icosphere(3, radius=110.0)
+    # steep schedule: initial ~38 nm -> final min(sigma)/2.5 = 1.2 nm,
+    # max_iter=10 divisible by rf=5 -> unclamped target at j=10 < 0
+    mesh = MembraneMesh(
+        v, f, kc=1.0, step_size=4.0, remesh_frequency=5,
+        delaunay_remesh_frequency=0, neck_first_iter=-1)
+    mesh.shrink_wrap(pts, sigma, method='conjugate_gradient',
+                     max_iter=10)
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert abs(r.mean() - 100.0) < 3.0
+    assert mesh.is_manifold
+    # the final remesh targeted final_length (1.2), not a negative
+    # length; the resulting mean edge stays a sane positive value
+    assert mesh._mean_edge_length > 0.5
+    # final target recorded in the trace is the clamped value
+    remesh_recs = [r for r in mesh.trace.records if r.kind == 'remesh']
+    assert remesh_recs, 'remesh must have run'
+    assert all(r.extra['target_length'] >= 1.0 for r in remesh_recs)

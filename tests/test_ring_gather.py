@@ -272,7 +272,7 @@ def test_fit_ring_schedules_topology_invariant_statics():
     from ch_shrinkwrap_tpu.ops import meshdata
 
     def statics(ma):
-        rt, rn, rf = meshdata.fit_ring_schedules(ma)
+        rt, rn, rf, _rcb = meshdata.fit_ring_schedules(ma)
         assert rt is not None
         rn, ncc_ov_v, ncc_ov_u = rn     # ncc: (schedule, overflow pair lists)
         f_sched, inc_mask, ov_rows, ov_verts = rf

@@ -662,3 +662,88 @@ def test_vertex_normal_corners_t_matches_row_major():
         tri_t, ma.f_mask))
     np.testing.assert_allclose(
         vnc_t, vnc.reshape(3 * Fp, 3).T, rtol=1e-5, atol=1e-6)
+
+
+def test_cb_lane_major_subspace_contraction_identity():
+    """The corner-blocked lane-major Gc/Hc construction (matmul over
+    faces + tiny diagonal extraction) must equal the row-major
+    face-side einsums it replaces (cg_block use_cb branch)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    Fp, s_size = 512, 4
+    ks = 3 * s_size
+    S_tri = rng.normal(size=(Fp, 9 * s_size)).astype(np.float32)
+    E = rng.normal(size=(Fp, 9)).astype(np.float32)
+    W2 = rng.normal(size=(Fp, 6)).astype(np.float32)
+
+    # row-major reference (solver shrinkwrap.py W2 branch)
+    Sc = [S_tri[:, ks * a:ks * (a + 1)].reshape(Fp, 3, s_size)
+          for a in range(3)]
+    Gc_ref = sum(np.einsum('fik,fi->k', Sc[j], E[:, 3 * j:3 * j + 3])
+                 for j in range(3))
+    pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
+                (0, 1): 3, (0, 2): 4, (1, 2): 5}
+    Hc_ref = 0.0
+    for (a, b), col in pair_col.items():
+        Za = Sc[a] * W2[:, col][:, None, None]
+        Hab = np.einsum('fik,fil->kl', Za, Sc[b])
+        Hc_ref = Hc_ref + (Hab if a == b else Hab + Hab.T)
+
+    # lane-major construction: Sc_t[a] = (3s, Fp) corner blocks (what
+    # the corner-blocked transposed ring gather yields)
+    Sc_t = [jnp.asarray(S_tri[:, ks * a:ks * (a + 1)].T)
+            for a in range(3)]
+    Ej = jnp.asarray(E)
+    Gc = 0.0
+    for j in range(3):
+        Mj = jnp.einsum('af,fi->ai', Sc_t[j], Ej[:, 3 * j:3 * j + 3],
+                        precision='highest')
+        Gc = Gc + jnp.einsum('iki->k', Mj.reshape(3, s_size, 3))
+    Hc = 0.0
+    for (a, b), col in pair_col.items():
+        Za_t = Sc_t[a] * jnp.asarray(W2[:, col])[None, :]
+        Mab = jnp.einsum('af,bf->ab', Za_t, Sc_t[b],
+                         precision='highest')
+        Hab = jnp.einsum('ikil->kl',
+                         Mab.reshape(3, s_size, 3, s_size))
+        Hc = Hc + (Hab if a == b else Hab + Hab.T)
+
+    np.testing.assert_allclose(np.asarray(Gc), Gc_ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(Gc_ref).max())
+    np.testing.assert_allclose(np.asarray(Hc), Hc_ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(Hc_ref).max())
+
+
+def test_corner_blocked_schedule_stream_order():
+    """fit_ring_schedules' ring_tri_cb is a triple of per-corner
+    schedules: schedule a's row f gathers vertex faces[f, a].  Three
+    SEPARATE schedules because a single concatenated j-major stream
+    restarts at vertex ~0 at each corner boundary, off the
+    forward-sliding ring's residency window (meshdata docstring)."""
+    from ch_shrinkwrap_tpu.mesh.core import TriangleMesh
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.ops import meshdata
+
+    v, f = icosphere(4, radius=100.0)
+    mesh = TriangleMesh(v, f)
+    mesh.spatial_sort()
+    ma = meshdata.from_mesh(mesh, quantum=1024, hilbert_faces=False)
+    faces = np.asarray(ma.faces)
+    fmask = np.asarray(ma.f_mask)
+    Vp = ma.positions.shape[0]
+
+    # below HCGC_MIN_VP the builder skips it; build directly with the
+    # same parameters to validate the per-corner stream construction
+    from ch_shrinkwrap_tpu.ops.pallas_gather import ring_gather_schedule
+    from test_ring_gather import emulate_ring_gather
+    src = np.random.default_rng(0).normal(
+        size=(Vp, 12)).astype(np.float32)
+    for a in range(3):
+        sched = ring_gather_schedule(
+            np.ascontiguousarray(faces[:, a]), fmask, Vp,
+            span=384, fixed_layout=True)
+        assert sched is not None
+        out = emulate_ring_gather(src, sched)
+        exp = src[faces[:, a]] * fmask[:, None]
+        np.testing.assert_array_equal(
+            out[:faces.shape[0]] * fmask[:, None], exp)
