@@ -991,12 +991,14 @@ class MembraneMesh(TriangleMesh):
             self._last_diag = diag
             V = self.vertices.shape[0]
             # fetch only the live prefix — the pad tail (often 10x the
-            # live count early in the fit) is dead host-side; the slice
-            # length is quantized so the tiny device-slice program is
-            # shared across boundaries (each distinct shape is its own
-            # compile through the remote service)
-            Vq = min(f_new.shape[0], -(-V // 16384) * 16384)
-            new_pos = np.asarray(f_new[:Vq])[:V]
+            # live count early in the fit) is dead host-side; slice
+            # lengths come from the capacity-keyed fetch ladder so the
+            # four tiny slice programs are trajectory-independent and
+            # prewarmed (meshdata.fetch_ladder)
+            Vq = next((q for q in meshdata.fetch_ladder(f_new.shape[0])
+                       if q >= V), f_new.shape[0])
+            new_pos = (np.asarray(f_new) if Vq >= f_new.shape[0]
+                       else np.asarray(f_new[:Vq]))[:V]
             if not np.isfinite(new_pos).all():
                 # counterpart of the reference's scattered NaN asserts
                 # (mesh_conj_grad.py:548,580,613)

@@ -47,6 +47,21 @@ struct EditMesh {
     std::vector<uint8_t> face_live;
     std::vector<uint8_t> vert_live;
     std::vector<std::vector<int32_t>> vfaces;   // faces incident to vertex
+    // epoch-stamped vertex marks: O(deg) one-ring dedup / set
+    // intersection instead of the O(deg^2) std::find scans that
+    // dominated the collapse pass (60% of a growth remesh)
+    mutable std::vector<uint32_t> mark_;
+    mutable uint32_t epoch_ = 0;
+
+    inline uint32_t new_epoch() const {
+        if (mark_.size() < pos.size())
+            mark_.resize(pos.size() * 2 + 64, 0);
+        if (++epoch_ == 0) {            // wraparound: clear and restart
+            std::fill(mark_.begin(), mark_.end(), 0u);
+            epoch_ = 1;
+        }
+        return epoch_;
+    }
 
     void build(const float* verts, int nv, const int32_t* f, int nf) {
         pos.resize(nv);
@@ -66,16 +81,31 @@ struct EditMesh {
     // collect one-ring vertices of v into out; returns count
     int ring(int v, std::vector<int32_t>& out) const {
         out.clear();
+        uint32_t e = new_epoch();
+        mark_[v] = e;                    // excludes v itself
         for (int fi : vfaces[v]) {
             if (!face_live[fi]) continue;
             for (int k = 0; k < 3; ++k) {
                 int u = faces[fi][k];
-                if (u != v &&
-                    std::find(out.begin(), out.end(), u) == out.end())
+                if (mark_[u] != e) {
+                    mark_[u] = e;
                     out.push_back(u);
+                }
             }
         }
         return (int)out.size();
+    }
+
+    // does any live face contain both a and b?  (early-exit variant
+    // of edge_faces for existence-only callers — the flip pass's c-d
+    // test walks the full incidence list otherwise)
+    bool has_edge(int a, int b) const {
+        for (int fi : vfaces[a]) {
+            if (!face_live[fi]) continue;
+            const auto& F = faces[fi];
+            if (F[0] == b || F[1] == b || F[2] == b) return true;
+        }
+        return false;
     }
 
     // number of live faces containing both a and b, filling them
@@ -120,20 +150,27 @@ struct EditMesh {
     // split/collapse churn costs ~75% of a growth remesh (measured:
     // 350k splits + 340k collapses per pass with stable output).
     bool collapse(int a, int b, int max_valence, std::vector<int32_t>& ra,
-                  std::vector<int32_t>& rb, float high2 = -1.f) {
+                  std::vector<int32_t>& rb, float high2 = -1.f,
+                  const std::vector<int32_t>* ra_pre = nullptr) {
         int ef[2];
         if (edge_faces(a, b, ef) != 2) return false;
-        ring(a, ra);
+        // ra_pre: caller-precomputed ring(a) — the greedy collapse
+        // loop attempts every short neighbor of a fixed pivot, and
+        // failed attempts leave ring(a) unchanged, so recomputing it
+        // per attempt is pure waste
+        if (ra_pre == nullptr) ring(a, ra);
+        const std::vector<int32_t>& rra = ra_pre ? *ra_pre : ra;
         ring(b, rb);
+        uint32_t e = new_epoch();
+        for (int u : rb) mark_[u] = e;
         int common = 0;
-        for (int u : ra)
-            if (std::find(rb.begin(), rb.end(), u) != rb.end()) ++common;
+        for (int u : rra) common += (mark_[u] == e);
         if (common != 2) return false;
-        if ((int)(ra.size() + rb.size()) - 4 > max_valence) return false;
+        if ((int)(rra.size() + rb.size()) - 4 > max_valence) return false;
 
         Vec3 mid = (pos[a] + pos[b]) * 0.5f;
         if (high2 > 0.f) {
-            for (int u : ra)
+            for (int u : rra)
                 if (u != b && (pos[u] - mid).norm2() > high2) return false;
             for (int u : rb)
                 if (u != a && (pos[u] - mid).norm2() > high2) return false;
@@ -238,8 +275,7 @@ struct EditMesh {
         }
         if (c < 0 || d < 0 || c == d) return false;
         // c-d must not already be an edge
-        int tmp[2];
-        if (edge_faces(c, d, tmp) > 0) return false;
+        if (has_edge(c, d)) return false;
 
         int va = valence(a), vb = valence(b), vc = valence(c),
             vd = valence(d);
@@ -466,7 +502,7 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 for (int u : ring) {
                     if ((m.pos[v] - m.pos[u]).norm2() < low2) {
                         if (m.collapse((int)v, u, max_valence, ra, rb,
-                                       high2)) {
+                                       high2, &ring)) {
                             again = true;
                             ++n_edit;
                             ++n_coll;

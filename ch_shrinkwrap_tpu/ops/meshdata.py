@@ -411,6 +411,18 @@ def incidence_table(faces: np.ndarray, f_mask: np.ndarray,
 HCGC_MIN_VP = 300_000
 
 
+def fetch_ladder(v_cap: int):
+    """Slice lengths the fit driver fetches block results at: a fixed
+    4-rung geometric ladder keyed to the CAPACITY alone, so the set of
+    tiny device-slice programs is trajectory-independent (the
+    prewarmer compiles all four up front).  A per-boundary quantized
+    live count would mint a fresh slice shape at every growth step —
+    measured ~0.5 s compile+load EACH through the remote service on a
+    degraded day (8 shapes per north-star fit)."""
+    return sorted({max(128, -(-(v_cap // d) // 128) * 128)
+                   for d in (8, 4, 2, 1)})
+
+
 def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     """The fit driver's (ring_tri, ring_ncc, ring_fold, ring_tri_cb)
     schedule tuple for one padded topology, with CAPACITY-CONSTANT

@@ -205,6 +205,13 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
                     corr_fv=bool(__import__('os').environ.get(
                         'CSW_CORR_FV')))
                 out[0].block_until_ready()
+                # warm the boundary fetch-slice programs (the driver
+                # fetches block results at the 4-rung capacity ladder;
+                # each distinct slice shape is otherwise a ~0.5 s
+                # compile+load on the first boundary that reaches it)
+                for q in meshdata.fetch_ladder(v_cap):
+                    if q < v_cap:
+                        np.asarray(out[0][:q])
             # the boundary-time neck diagnostic runs curvature_grad on
             # exact-pow2 diagnostic buckets; same shapes here (v_cap
             # and f_cap are powers of two already).  Warmed even under

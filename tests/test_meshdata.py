@@ -62,3 +62,21 @@ def test_from_mesh_scratch_reuse_repads():
                                   np.asarray(ref.v_mask))
     # the second build reused (mutated) the first build's host buffers
     assert ma1.host['faces'] is ma2.host['faces']
+
+
+def test_fetch_ladder_capacity_keyed():
+    """fetch_ladder: 4 fixed rungs keyed to capacity alone (the fit's
+    boundary-fetch slice shapes must be trajectory-independent so the
+    prewarmer can compile all of them up front), 128-aligned, covering
+    every live count up to capacity."""
+    from ch_shrinkwrap_tpu.ops.meshdata import fetch_ladder
+    for cap in (16384, 186368, 231424, 656384):
+        lad = fetch_ladder(cap)
+        assert len(lad) <= 4 and lad == sorted(lad)
+        assert all(q % 128 == 0 for q in lad)
+        assert lad[-1] >= cap          # top rung covers the full pad
+        # every live count maps to a rung within 2x of itself past the
+        # bottom rung (geometric /8 /4 /2 /1 spacing)
+        for v in (1, cap // 10, cap // 3, cap // 2, cap - 1, cap):
+            q = next(x for x in lad if x >= v)
+            assert q >= v and (q <= 2 * v or q == lad[0])
