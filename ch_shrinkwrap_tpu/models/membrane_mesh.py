@@ -956,7 +956,11 @@ class MembraneMesh(TriangleMesh):
                 active_iters=n_it,
                 use_shrink=use_shrink, face_chunk=self.face_chunk,
                 corr_method=method,
-                cell_size=float(2.0 * self._mean_edge_length),
+                # consumed only by the 'grid' search; for the
+                # production windowed paths it's a dead traced scalar,
+                # and computing it forced a mean-edge pass per block
+                cell_size=(float(2.0 * self._mean_edge_length)
+                           if method == 'grid' else 1.0),
                 face_nbrs=face_nbrs,
                 fold_starts=fold_starts, fold_uncov=fold_uncov,
                 vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,

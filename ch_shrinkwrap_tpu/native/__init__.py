@@ -122,6 +122,8 @@ def get_lib():
         f32p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         f32p]
     lib.gaussian_k_native.restype = None
+    lib.mean_edge_native.argtypes = [f32p, i32p, ctypes.c_int]
+    lib.mean_edge_native.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -170,6 +172,16 @@ def remesh(vertices, faces, target, n_passes=5, l=0.5, n_relax=0,
         v_cap = int(-nv_out[0] * 1.3) + 1024
         f_cap = int(-nf_out[0] * 1.3) + 2048
     return None
+
+
+def mean_edge(vertices, faces):
+    """Mean halfedge length (one native pass) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    return float(lib.mean_edge_native(_f32p(v), _i32p(f), len(f)))
 
 
 def build_tables(faces, n_vertices, K=20):

@@ -261,8 +261,13 @@ struct EditMesh {
     }
 
     // Flip the edge (a, b) shared by exactly two faces if it improves
-    // valence regularity and passes geometry guards.
-    bool flip(int a, int b, std::vector<int32_t>& scratch) {
+    // valence regularity and passes geometry guards.  ``val``
+    // (optional): caller-maintained live-valence array — saves the 4
+    // O(deg) vfaces walks per candidate that dominated converged flip
+    // passes; updated in place when the flip lands (a/b lose one
+    // incident face pair, c/d gain).
+    bool flip(int a, int b, std::vector<int32_t>& scratch,
+              std::vector<int32_t>* val = nullptr) {
         int ef[2];
         if (edge_faces(a, b, ef) != 2) return false;
         int f1 = ef[0], f2 = ef[1];
@@ -274,15 +279,19 @@ struct EditMesh {
             if (w != a && w != b) d = w;
         }
         if (c < 0 || d < 0 || c == d) return false;
-        // c-d must not already be an edge
-        if (has_edge(c, d)) return false;
 
-        int va = valence(a), vb = valence(b), vc = valence(c),
-            vd = valence(d);
+        int va = val ? (*val)[a] : valence(a),
+            vb = val ? (*val)[b] : valence(b),
+            vc = val ? (*val)[c] : valence(c),
+            vd = val ? (*val)[d] : valence(d);
         auto dev = [](int v) { return (v - 6) * (v - 6); };
         int before = dev(va) + dev(vb) + dev(vc) + dev(vd);
         int after = dev(va - 1) + dev(vb - 1) + dev(vc + 1) + dev(vd + 1);
         if (after >= before) return false;
+
+        // c-d must not already be an edge (after the cheap valence
+        // reject — this walks an incidence list)
+        if (has_edge(c, d)) return false;
 
         // orientation guard
         Vec3 n_old = face_normal(f1) + face_normal(f2);
@@ -314,6 +323,10 @@ struct EditMesh {
         for (int k = 0; k < 3; ++k) {
             vfaces[nf1[k]].push_back(f1);
             vfaces[nf2[k]].push_back(f2);
+        }
+        if (val) {
+            --(*val)[a]; --(*val)[b];
+            ++(*val)[c]; ++(*val)[d];
         }
         (void)scratch;
         return true;
@@ -549,7 +562,7 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                     int a = m.faces[fi][k];
                     int b = m.faces[fi][(k + 1) % 3];
                     if (a < b && (irr2[a] || irr2[b]))
-                        n_flip += m.flip(a, b, ra) ? 1 : 0;
+                        n_flip += m.flip(a, b, ra, &val) ? 1 : 0;
                 }
             }
         }
@@ -584,6 +597,27 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
             break;
     }
     m.compact(verts_out, faces_out, nv_out, nf_out, v_cap, f_cap);
+}
+
+// Mean halfedge length (== unique-edge mean on closed meshes, each
+// interior edge counted twice) in one streaming pass.  The numpy form
+// allocates three (F, 3, 3) temporaries (~0.1 s at 350k faces) and the
+// halfedge-table route pays a 3F argsort — this is the per-boundary
+// fit-driver query (edge-length schedule logging, grid cell sizing).
+double mean_edge_native(const float* verts, const int32_t* faces,
+                        int nf) {
+    double acc = 0.0;
+    for (int f = 0; f < nf; ++f) {
+        for (int k = 0; k < 3; ++k) {
+            int a = faces[3 * f + k];
+            int b = faces[3 * f + (k + 1) % 3];
+            double dx = (double)verts[3 * a] - verts[3 * b];
+            double dy = (double)verts[3 * a + 1] - verts[3 * b + 1];
+            double dz = (double)verts[3 * a + 2] - verts[3 * b + 2];
+            acc += std::sqrt(dx * dx + dy * dy + dz * dz);
+        }
+    }
+    return nf ? acc / (3.0 * nf) : 0.0;
 }
 
 // Fused neighbor-table build: per-vertex one-ring vertex/face tables

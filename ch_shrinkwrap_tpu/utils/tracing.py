@@ -39,11 +39,21 @@ class FitTrace:
     t_start: float = field(default_factory=time.time)
 
     def record(self, kind, iteration, wall_time, mesh, diag=None, **extra):
+        # area is observability, not control flow: computing it fresh
+        # is a full face-geometry pass (~60 ms at 330k faces, and the
+        # fit invalidates geometry before every record — measured ~1.5 s
+        # of a warm north-star e2e).  Record it when the mesh's cache is
+        # already warm or the mesh is small; -1.0 marks 'not computed'.
+        if (getattr(mesh, '_face_areas_cache', None) is not None
+                or mesh.faces.shape[0] <= 100_000):
+            area = float(mesh.area())
+        else:
+            area = -1.0
         rec = BlockRecord(
             kind=kind, iteration=iteration, wall_time=wall_time,
             n_vertices=int(mesh.vertices.shape[0]),
             n_faces=int(mesh.faces.shape[0]),
-            area=float(mesh.area()),
+            area=area,
             # one bulk fetch per array: per-element float(x) on a
             # device array costs one tunnel round trip PER ELEMENT
             tests=None if diag is None else
