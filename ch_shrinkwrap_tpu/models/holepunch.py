@@ -63,8 +63,20 @@ def find_candidate_faces(mesh, points, eps=10.0, tree=None):
     centers = mesh.vertices[mesh.faces].mean(1)
     if tree is None:
         from .. import native
-        dist = native.knn_field(points, centers, 1, float(eps))
-        if dist is not None:
+        # reuse the grid build across punch calls: the cloud is fit-
+        # constant, and the O(N) build was ~half of every no-op call
+        step = max(1, len(points) // 16)
+        key = (id(points), points.shape, points.dtype.str,
+               points[::step][:16].tobytes())
+        cached = getattr(mesh, '_holepunch_field_cache', None)
+        field = cached[1] if cached is not None and cached[0] == key \
+            else None
+        if field is None:
+            field = native.KnnField.create(points)
+            if field is not None:
+                mesh._holepunch_field_cache = (key, field)
+        if field is not None:
+            dist = field.query(centers, 1, float(eps))
             return np.flatnonzero(dist > eps).astype(np.int32)
     from scipy.spatial import cKDTree
     if tree is None:

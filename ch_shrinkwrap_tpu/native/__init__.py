@@ -83,7 +83,7 @@ def get_lib():
     lib.remesh_native.restype = None
     lib.build_tables_native.argtypes = [
         i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i32p, i32p, i32p]
+        i32p, i32p, i32p, ctypes.c_int]
     lib.build_tables_native.restype = None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.best_mass_bases.argtypes = [
@@ -103,6 +103,14 @@ def get_lib():
         f32p, ctypes.c_int64, f32p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_float, f32p]
     lib.knn_field_native.restype = None
+    lib.knn_field_build_native.argtypes = [f32p, ctypes.c_int64]
+    lib.knn_field_build_native.restype = ctypes.c_void_p
+    lib.knn_field_query_native.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_float, f32p]
+    lib.knn_field_query_native.restype = None
+    lib.knn_field_free_native.argtypes = [ctypes.c_void_p]
+    lib.knn_field_free_native.restype = None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.incidence_native.argtypes = [
         i32p, u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
@@ -184,20 +192,34 @@ def mean_edge(vertices, faces):
     return float(lib.mean_edge_native(_f32p(v), _i32p(f), len(f)))
 
 
-def build_tables(faces, n_vertices, K=20):
+def build_tables(faces, n_vertices, K=20, out=None, want_face_adj=True):
     """Native neighbor tables; returns (nbr_v, nbr_f, face_nbrs) or
-    None if unavailable."""
+    None if unavailable.
+
+    ``out=(nbr_v, nbr_f, face_nbrs)``: write rows [:n_vertices] /
+    [:nf] directly into caller-held (row-capacity >= live count,
+    C-contiguous i32) buffers — the fit driver passes its
+    capacity-sized pad scratch so the tables never pay an extra
+    (Vp, K) memcpy per remesh boundary.  ``want_face_adj=False``
+    skips the twin-matching scan and returns face_nbrs=None."""
     lib = get_lib()
     if lib is None:
         return None
     f = np.ascontiguousarray(faces, dtype=np.int32)
     nf = len(f)
-    nbr_v = np.empty((n_vertices, K), np.int32)
-    nbr_f = np.empty((n_vertices, K), np.int32)
-    face_nbrs = np.empty((nf, 3), np.int32)
+    if out is not None:
+        nbr_v, nbr_f, face_nbrs = out
+    else:
+        nbr_v = np.empty((n_vertices, K), np.int32)
+        nbr_f = np.empty((n_vertices, K), np.int32)
+        face_nbrs = np.empty((nf, 3), np.int32) if want_face_adj else None
+    # the native side never touches face_nbrs when the scan is skipped;
+    # hand it a valid dummy pointer in that case
+    fn_ptr = _i32p(face_nbrs) if face_nbrs is not None else _i32p(nbr_v)
     lib.build_tables_native(_i32p(f), nf, n_vertices, K,
-                            _i32p(nbr_v), _i32p(nbr_f), _i32p(face_nbrs))
-    return nbr_v, nbr_f, face_nbrs
+                            _i32p(nbr_v), _i32p(nbr_f), fn_ptr,
+                            1 if want_face_adj else 0)
+    return nbr_v, nbr_f, (face_nbrs if want_face_adj else None)
 
 
 def halfedge_twins(faces, n_vertices):
@@ -282,6 +304,48 @@ def knn_field(points, queries, k, bound):
                          int(k), ctypes.c_float(float(bound)),
                          _f32p(out))
     return out
+
+
+class KnnField:
+    """Reusable bounded-kNN field over a fixed point set.
+
+    The grid + chessboard-transform build is O(N) and depends only on
+    the points; the punch driver queries the SAME localization cloud at
+    every boundary, so holding one of these across calls amortizes the
+    build (measured ~half the per-call cost at 1e6 points).  None-safe:
+    ``KnnField.create`` returns None when the native engine is absent.
+    """
+
+    def __init__(self, handle, lib):
+        self._h = handle
+        self._lib = lib
+
+    @staticmethod
+    def create(points):
+        lib = get_lib()
+        if lib is None:
+            return None
+        p = np.ascontiguousarray(points, dtype=np.float32)
+        h = lib.knn_field_build_native(_f32p(p), ctypes.c_int64(len(p)))
+        if not h:
+            return None
+        return KnnField(h, lib)
+
+    def query(self, queries, k, bound):
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        out = np.empty(len(q), np.float32)
+        self._lib.knn_field_query_native(
+            self._h, _f32p(q), ctypes.c_int64(len(q)),
+            int(k), ctypes.c_float(float(bound)), _f32p(out))
+        return out
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h:
+            try:
+                self._lib.knn_field_free_native(h)
+            except Exception:
+                pass
 
 
 def hilbert_codes(X, bits):

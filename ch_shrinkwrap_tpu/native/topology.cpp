@@ -623,9 +623,13 @@ double mean_edge_native(const float* verts, const int32_t* faces,
 // Fused neighbor-table build: per-vertex one-ring vertex/face tables
 // (K-capped) + per-face edge-adjacent faces.  Single counting-sort
 // pass — the host-side prep for every device block.
+// want_face_adj=0 skips the twin-matching scan (face_nbrs untouched):
+// the production fit path's face_nbrs content is dead (correspondence
+// polish off, curvature reads nbr_v/nbr_f only) and the scan is a
+// measurable slice of the per-remesh-boundary 'build' phase.
 void build_tables_native(const int32_t* faces, int nf, int nv, int K,
                          int32_t* nbr_v, int32_t* nbr_f,
-                         int32_t* face_nbrs) {
+                         int32_t* face_nbrs, int want_face_adj) {
     // counts per source vertex
     std::vector<int32_t> cnt(nv + 1, 0);
     for (int f = 0; f < nf; ++f)
@@ -660,6 +664,7 @@ void build_tables_native(const int32_t* faces, int nf, int nv, int K,
         }
     }
 
+    if (!want_face_adj) return;
     // face adjacency: for halfedge (src=v, dst=u) find (src=u, dst=v)
     for (int f = 0; f < nf * 3; ++f) face_nbrs[f] = -1;
     for (int v = 0; v < nv; ++v) {
@@ -1159,18 +1164,28 @@ void ring_schedule_native(
 // an O(1) lower bound that rejects interior/exterior nodes
 // immediately, and the survivors run an expanding-ring search with a
 // k-element max-heap and exact cell-AABB pruning.
-void knn_field_native(const float* pts, int64_t n_pts,
-                      const float* queries, int64_t n_q,
-                      int k, float bound, float* out) {
-    const float miss = 2.0f * bound;
-    if (n_q <= 0) return;
-    if (n_pts < k || k <= 0 || bound <= 0) {
-        for (int64_t q = 0; q < n_q; ++q) out[q] = miss;
-        return;
-    }
+// The grid/transform build depends only on the point set; the punch
+// driver queries the SAME 1e6-point cloud at every boundary, so the
+// build is exposed as a reusable handle (knn_field_build/query/free)
+// with knn_field_native kept as the one-shot compatibility wrapper.
+struct KnnFieldHandle {
+    std::vector<float> pts;   // owned copy, (n, 3)
+    int64_t n_pts;
+    float lo[3];
+    float hi[3];
+    float cell;
+    int dims[3];
+    std::vector<int32_t> starts, order, cheb;
+};
 
-    float lo[3] = {pts[0], pts[1], pts[2]};
-    float hi[3] = {pts[0], pts[1], pts[2]};
+void* knn_field_build_native(const float* pts, int64_t n_pts) {
+    if (n_pts <= 0) return nullptr;
+    KnnFieldHandle* h = new KnnFieldHandle();
+    h->pts.assign(pts, pts + 3 * n_pts);
+    h->n_pts = n_pts;
+    float* lo = h->lo;
+    float* hi = h->hi;
+    for (int d = 0; d < 3; ++d) lo[d] = hi[d] = pts[d];
     for (int64_t i = 1; i < n_pts; ++i)
         for (int d = 0; d < 3; ++d) {
             float v = pts[3 * i + d];
@@ -1186,7 +1201,8 @@ void knn_field_native(const float* pts, int64_t n_pts,
     if (target_dim < 4) target_dim = 4;
     float cell = maxext / (float)target_dim;
     if (cell <= 0) cell = 1.0f;
-    int dims[3];
+    h->cell = cell;
+    int* dims = h->dims;
     for (int d = 0; d < 3; ++d) {
         dims[d] = (int)((hi[d] - lo[d]) / cell) + 1;
         if (dims[d] < 1) dims[d] = 1;
@@ -1205,7 +1221,8 @@ void knn_field_native(const float* pts, int64_t n_pts,
 
     // counting sort of points into cells
     std::vector<int32_t> cell_of(n_pts);
-    std::vector<int32_t> starts(ncells + 1, 0);
+    std::vector<int32_t>& starts = h->starts;
+    starts.assign(ncells + 1, 0);
     for (int64_t i = 0; i < n_pts; ++i) {
         int c[3];
         cell_coord(pts + 3 * i, c);
@@ -1214,7 +1231,8 @@ void knn_field_native(const float* pts, int64_t n_pts,
         ++starts[ci + 1];
     }
     for (int64_t c = 0; c < ncells; ++c) starts[c + 1] += starts[c];
-    std::vector<int32_t> order(n_pts);
+    std::vector<int32_t>& order = h->order;
+    order.resize(n_pts);
     {
         std::vector<int32_t> cur(starts.begin(), starts.end() - 1);
         for (int64_t i = 0; i < n_pts; ++i)
@@ -1225,7 +1243,8 @@ void knn_field_native(const float* pts, int64_t n_pts,
     // cell: 2-pass raster scan with the 13+13 half-neighborhoods.  A
     // query in cell c is >= (cheb[c]-1)*cell away from every point.
     const int32_t INF = 1 << 29;
-    std::vector<int32_t> cheb(ncells);
+    std::vector<int32_t>& cheb = h->cheb;
+    cheb.resize(ncells);
     for (int64_t c = 0; c < ncells; ++c)
         cheb[c] = (starts[c + 1] > starts[c]) ? 0 : INF;
     auto relax_pass = [&](bool forward) {
@@ -1265,6 +1284,39 @@ void knn_field_native(const float* pts, int64_t n_pts,
     };
     relax_pass(true);
     relax_pass(false);
+    return h;
+}
+
+void knn_field_free_native(void* hv) {
+    delete static_cast<KnnFieldHandle*>(hv);
+}
+
+void knn_field_query_native(void* hv, const float* queries, int64_t n_q,
+                            int k, float bound, float* out) {
+    const float miss = 2.0f * bound;
+    if (n_q <= 0) return;
+    KnnFieldHandle* h = static_cast<KnnFieldHandle*>(hv);
+    if (h == nullptr || h->n_pts < k || k <= 0 || bound <= 0) {
+        for (int64_t q = 0; q < n_q; ++q) out[q] = miss;
+        return;
+    }
+    const float* pts = h->pts.data();
+    const float* lo = h->lo;
+    const float* hi = h->hi;
+    const float cell = h->cell;
+    const int* dims = h->dims;
+    const int64_t sy = dims[2], sx = (int64_t)dims[1] * dims[2];
+    const std::vector<int32_t>& starts = h->starts;
+    const std::vector<int32_t>& order = h->order;
+    const std::vector<int32_t>& cheb = h->cheb;
+    auto cell_coord = [&](const float* p, int* c) {
+        for (int d = 0; d < 3; ++d) {
+            int v = (int)((p[d] - lo[d]) / cell);
+            if (v < 0) v = 0;
+            if (v >= dims[d]) v = dims[d] - 1;
+            c[d] = v;
+        }
+    };
 
     const float bound2 = bound * bound;
     std::vector<float> heap(k);   // max-heap of squared distances
@@ -1358,6 +1410,21 @@ void knn_field_native(const float* pts, int64_t n_pts,
         out[q] = (hn == k && heap[0] <= bound2)
                      ? std::sqrt(heap[0]) : miss;
     }
+}
+
+// one-shot compatibility wrapper (wrap_start, ad-hoc callers)
+void knn_field_native(const float* pts, int64_t n_pts,
+                      const float* queries, int64_t n_q,
+                      int k, float bound, float* out) {
+    if (n_q <= 0) return;
+    if (n_pts < k || k <= 0 || bound <= 0) {
+        const float miss = 2.0f * bound;
+        for (int64_t q = 0; q < n_q; ++q) out[q] = miss;
+        return;
+    }
+    void* h = knn_field_build_native(pts, n_pts);
+    knn_field_query_native(h, queries, n_q, k, bound, out);
+    knn_field_free_native(h);
 }
 
 // Hilbert codes from pre-quantized (n,3) uint32 coordinates (Skilling,

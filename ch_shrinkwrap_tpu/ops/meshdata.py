@@ -31,6 +31,24 @@ def pow2_bucket(n: int, quantum: int = 1024) -> int:
     return b
 
 
+def _prefix_mask_jit(n, cap):
+    return jnp.arange(cap, dtype=jnp.int32) < n
+
+
+_prefix_mask_cache: dict = {}
+
+
+def _prefix_mask(n: int, cap: int) -> jax.Array:
+    """Device bool mask [True]*n + [False]*(cap-n) without shipping cap
+    bytes through the tunnel: one tiny program per capacity bucket, n a
+    traced scalar."""
+    fn = _prefix_mask_cache.get(cap)
+    if fn is None:
+        fn = _prefix_mask_cache[cap] = jax.jit(
+            lambda m, c=cap: _prefix_mask_jit(m, c))
+    return fn(np.int32(n))
+
+
 def fit_buckets(n_vertices: int, n_faces: int, quantum: int = 1024):
     """THE fit driver's capacity-bucket policy: the (v_cap, f_cap) a
     CG block pads a mesh of this size to (15% headroom, +8 vertex
@@ -178,33 +196,45 @@ def from_mesh(mesh, v_cap: Optional[int] = None, f_cap: Optional[int] = None,
     f_mask = _buf('f_mask', (Fp,), bool, False, F)
     f_mask[:F] = True
 
-    from .. import native
-    tables = native.build_tables(f, V, K)
-    if tables is not None:
-        nv, nf, fadj = tables
-    else:
-        nv, nf = neighbor_tables(f, V, K)
-        fadj = face_adjacency(f)
-    nbr_v = _buf('nbr_v', (Vp, K), np.int32, -1, V)
-    nbr_v[:V] = nv
-    nbr_f = _buf('nbr_f', (Vp, K), np.int32, -1, V)
-    nbr_f[:V] = nf
+    # live entries are prefix-packed, so the device masks are pure
+    # functions of (live count, capacity): build them on device from a
+    # scalar instead of shipping (Vp+Fp) bool bytes per remesh boundary
+    # through the tunnel (the numpy buffers above stay host-side for
+    # the native schedule builders)
+    v_mask_dev = _prefix_mask(V, Vp)
+    f_mask_dev = _prefix_mask(F, Fp)
 
-    fn = _buf('face_nbrs', (Fp, 3), np.int32, -1, F)
-    fn[:F] = fadj
+    from .. import native
+    # face_nbrs content is dead in the lazy (production fit) path —
+    # correspondence polish is off and curvature reads nbr_v/nbr_f —
+    # so skip the native twin-matching scan there; materialize_tables
+    # recomputes it on the rare fallback
+    want_adj = not lazy_tables
+    nbr_v = _buf('nbr_v', (Vp, K), np.int32, -1, V)
+    nbr_f = _buf('nbr_f', (Vp, K), np.int32, -1, V)
+    fn = _buf('face_nbrs', (Fp, 3), np.int32, -1, F) if want_adj \
+        else None
+    tables = native.build_tables(
+        f, V, K, out=(nbr_v, nbr_f, fn), want_face_adj=want_adj)
+    if tables is None:
+        nv, nf = neighbor_tables(f, V, K)
+        nbr_v[:V] = nv
+        nbr_f[:V] = nf
+        if want_adj:
+            fn[:F] = face_adjacency(f)
 
     host = {'faces': faces, 'f_mask': f_mask, 'nbr_v': nbr_v,
-            'nbr_f': nbr_f, 'face_nbrs': fn,
+            'nbr_f': nbr_f, 'face_nbrs': fn, 'V': V, 'F': F,
             'lazy_tables': bool(lazy_tables)}
     if lazy_tables:
         # device-side fills: no tunnel transfer, shape-only stand-ins
         nbr_dev = jnp.full((Vp, K), -1, jnp.int32)
         fn_dev = jnp.full((Fp, 3), -1, jnp.int32)
-        return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
-                          jnp.asarray(faces), jnp.asarray(f_mask),
+        return MeshArrays(jnp.asarray(pos), v_mask_dev,
+                          jnp.asarray(faces), f_mask_dev,
                           nbr_dev, nbr_dev, fn_dev, host=host)
-    return MeshArrays(jnp.asarray(pos), jnp.asarray(v_mask),
-                      jnp.asarray(faces), jnp.asarray(f_mask),
+    return MeshArrays(jnp.asarray(pos), v_mask_dev,
+                      jnp.asarray(faces), f_mask_dev,
                       jnp.asarray(nbr_v), jnp.asarray(nbr_f),
                       jnp.asarray(fn), host=host)
 
@@ -217,6 +247,19 @@ def materialize_tables(ma: MeshArrays) -> MeshArrays:
         return ma
     h = dict(h)
     h['lazy_tables'] = False
+    if h.get('face_nbrs') is None:
+        # the lazy build skipped the twin-matching scan; recompute
+        # into a fresh padded buffer (rare fallback path)
+        F = h['F']
+        faces_live = np.asarray(h['faces'][:F])
+        from .. import native
+        tables = native.build_tables(faces_live, h['V'],
+                                     K=h['nbr_v'].shape[1])
+        fadj = tables[2] if tables is not None \
+            else face_adjacency(faces_live)
+        fn = np.full(h['faces'].shape, -1, np.int32)
+        fn[:F] = fadj
+        h['face_nbrs'] = fn
     return ma._replace(nbr_v=jnp.asarray(h['nbr_v']),
                        nbr_f=jnp.asarray(h['nbr_f']),
                        face_nbrs=jnp.asarray(h['face_nbrs']),

@@ -28,13 +28,36 @@ from ch_shrinkwrap_tpu.ops.pallas_gather import ring_gather
 from ch_shrinkwrap_tpu.solver.shrinkwrap import compute_ncc
 
 
+def _sync(out):
+    # jax.block_until_ready is a no-op under some axon relay builds
+    # (measured: an 8k bf16 matmul "ran" at 9132 TFLOPs); force real
+    # completion by reducing one leaf on device and fetching the scalar.
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, 'dtype')]
+    x = leaves[0]
+    if x.dtype == jnp.bool_ or not jnp.issubdtype(x.dtype, jnp.inexact):
+        np.asarray(_sync_count(x))
+    else:
+        np.asarray(_sync_sum(x))
+
+
+@jax.jit
+def _sync_sum(x):
+    return jnp.sum(jnp.ravel(x)[:1024].astype(jnp.float32))
+
+
+@jax.jit
+def _sync_count(x):
+    return jnp.sum(jnp.ravel(x)[:1024].astype(jnp.int32))
+
+
 def timeit(name, fn, *args, n=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{name:52s} {dt:8.2f} ms", flush=True)
     return out
