@@ -15,6 +15,7 @@ remote-compile service (BASELINE.md).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -23,6 +24,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCKS_PER_PROGRAM = 8
+
+# experiment gate: single-sweep (min, argmin) via an order-preserving
+# int32 key with the lane index packed into the low bits (read at
+# trace time; set before process start)
+_PACKED_SWEEP = os.environ.get('CSW_PACKED_SWEEP', '') not in ('', '0')
+
+
+def _packed_min_argmin(d2):
+    """One min-reduction (min, argmin) over the lane axis.
+
+    jnp.min + jnp.argmin emit two full reduction sweeps over the
+    (B, ncand) tile — the measured bound of the correspondence kernel.
+    This packs the lane index into the low bits of an order-preserving
+    int32 image of the f32 distances (IEEE-754 totally ordered via
+    ``bits ^ ((bits>>31) & 0x7fffffff)``) and takes ONE int min; the
+    decoded distance is quantized down by <= 2^nbits ulps (~1e-3
+    relative at ncand=8192), far inside the correspondence tolerance
+    (the fit is insensitive to brute-vs-windowed argmin differences),
+    and ties resolve to the smallest lane exactly like argmin.
+    """
+    ncand = d2.shape[1]
+    nbits = max(1, (ncand - 1).bit_length())
+    mask = jnp.int32((1 << nbits) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    flip = jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(bits, 31), 1)
+    mono = bits ^ flip
+    key = (mono & ~mask) | lane
+    kmin = jnp.min(key, axis=1)
+    j = kmin & mask
+    mono_min = kmin ^ j
+    flip_min = jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(mono_min, 31), 1)
+    dmin = jax.lax.bitcast_convert_type(mono_min ^ flip_min,
+                                        jnp.float32)
+    return dmin, j.astype(jnp.int32)
 
 
 def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
@@ -86,8 +124,11 @@ def _window_kernel(starts_ref,            # (nb_pad*A,) scalar prefetch
             pts, cw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (B, AW+nsub)
-        j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
-        dmin = jnp.min(d2, axis=1)                    # (B,)
+        if _PACKED_SWEEP:
+            dmin, j = _packed_min_argmin(d2)
+        else:
+            j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
+            dmin = jnp.min(d2, axis=1)                    # (B,)
 
         # map the concatenated column back to a global face id
         anc = j // W                                  # A = sub region
@@ -181,8 +222,11 @@ def _window_fv_kernel(starts_ref,          # (nb_pad*A,) scalar prefetch
             pts, cw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (B, AW+nsub)
-        j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
-        dmin = jnp.min(d2, axis=1)                    # (B,)
+        if _PACKED_SWEEP:
+            dmin, j = _packed_min_argmin(d2)
+        else:
+            j = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (B,)
+            dmin = jnp.min(d2, axis=1)                    # (B,)
 
         anc = j // W
         jw = j - anc * W
