@@ -58,7 +58,9 @@ def main():
     # long-running device program (a big scanned matmul chain)
     a = jnp.ones((4096, 4096), jnp.bfloat16)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def burn(a, n):
         def step(x, _):
             return x @ a * (1.0 / 4096.0), None
