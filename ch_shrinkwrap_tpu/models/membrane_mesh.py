@@ -607,8 +607,17 @@ class MembraneMesh(TriangleMesh):
         # from the edge-length schedule — one compile + ONE executable
         # load per fit, but every block pays final-size host+device
         # cost.
+        # 'two': one mid-size rung (~half the predicted final capacity)
+        # for the growth phase + the final rung, with the final
+        # program prewarmed in the background while the early blocks
+        # run — the growth phase (85 of the north star's 94 active
+        # iterations run below half the final vertex count) pays
+        # mid-capacity device/host cost AND its first executable load
+        # is the ~half-size mid program; the final load overlaps real
+        # fit work instead of the pre-loop only.
         cap_mode = getattr(self, 'capacity_mode', 'final')
-        if r and cap_mode == 'final':
+        self._cap_rungs = []
+        if r and cap_mode in ('final', 'two'):
             # the finest edge length the fit will actually remesh to is
             # the LAST EXECUTED remesh boundary's target (the loop
             # below uses initial + m*(j+1) at j = the largest
@@ -645,6 +654,18 @@ class MembraneMesh(TriangleMesh):
                                              self.pad_quantum)
             v_cap = meshdata.round_up_bucket(int(1.15 * pred_faces / 2) + 8,
                                              self.pad_quantum)
+            if cap_mode == 'two':
+                v_mid = meshdata.round_up_bucket(
+                    max(v_cap // 2, self.vertices.shape[0] + 8),
+                    self.pad_quantum)
+                f_mid = meshdata.round_up_bucket(
+                    max(f_cap // 2, self.faces.shape[0]),
+                    self.pad_quantum)
+                if v_mid < v_cap and f_mid < f_cap:
+                    self._cap_rungs = [(v_cap, f_cap)]
+                    v_cap, f_cap = v_mid, f_mid
+                # else: seed already past half-final — degenerate to
+                # the single final program
         else:
             v_cap = f_cap = None
 
@@ -693,8 +714,12 @@ class MembraneMesh(TriangleMesh):
                 and jax.default_backend() == 'tpu'):
             from ..solver import prewarm as _prewarm
             single = cap_mode == 'final' and v_cap is not None
-            if single:
-                ladder = [(v_cap, f_cap)]
+            eager = (single or (cap_mode == 'two' and v_cap is not None))
+            if eager:
+                # 'final': the one program.  'two': the mid rung the
+                # first block waits on, then the final rung warmed in
+                # the background while the growth phase runs under mid.
+                ladder = [(v_cap, f_cap)] + list(self._cap_rungs)
             else:
                 if r:
                     vf, ff = _prewarm.predict_final_sizes(
@@ -717,8 +742,8 @@ class MembraneMesh(TriangleMesh):
                 # skip it.  Bucketed: the driver requests ladder[0]
                 # itself right away; warming it would duplicate the
                 # service request in front of the one the fit waits on.
-                skip_first_block=not single,
-                initial_wait=0.0 if single else 2.0,
+                skip_first_block=not eager,
+                initial_wait=0.0 if eager else 2.0,
                 # the native boundary K makes the standalone device
                 # curvature program dead weight — don't queue its
                 # compile/load on the service
@@ -790,7 +815,7 @@ class MembraneMesh(TriangleMesh):
                 # index locality for the device gathers/scatters
                 _ts = _ft and _ft()
                 self.spatial_sort()
-                if r and cap_mode != 'final':
+                if r and cap_mode == 'bucketed':
                     # 15% headroom inside the bucket; monotone so a
                     # block never re-pads smaller.  Policy lives in
                     # meshdata.fit_buckets — the compile prewarmer
@@ -800,6 +825,15 @@ class MembraneMesh(TriangleMesh):
                         self.pad_quantum)
                     v_cap = max(v_cap or 0, vb)
                     f_cap = max(f_cap or 0, fb)
+                elif (r and cap_mode == 'two'
+                        and getattr(self, '_cap_rungs', None)
+                        and (self.vertices.shape[0] > v_cap
+                             or self.faces.shape[0] > f_cap)):
+                    # the mesh outgrew the mid rung: advance to the
+                    # (background-prewarmed) final program
+                    vb, fb = self._cap_rungs.pop(0)
+                    v_cap = max(v_cap, vb)
+                    f_cap = max(f_cap, fb)
                 if v_cap is not None and (self.vertices.shape[0] > v_cap
                                           or self.faces.shape[0] > f_cap):
                     # remesh overshot the prediction; grow the bucket

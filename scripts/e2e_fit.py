@@ -55,7 +55,7 @@ ap.add_argument('--neck-threshold-low', type=float, default=-1e-3,
                      'the pyx-internal default -1e-4 flags 10x more')
 ap.add_argument('--neck-threshold-high', type=float, default=1e-2)
 ap.add_argument('--minimum-edge-length', type=float, default=5.0)
-ap.add_argument('--capacity-mode', choices=['final', 'bucketed'],
+ap.add_argument('--capacity-mode', choices=['final', 'two', 'bucketed'],
                 default='final',
                 help="'final' = ONE program for the whole fit (one big "
                      "executable load); 'bucketed' = pow2 capacity "

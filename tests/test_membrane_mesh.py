@@ -236,3 +236,33 @@ def test_schedule_clamped_when_max_iter_multiple_of_rf():
     remesh_recs = [r for r in mesh.trace.records if r.kind == 'remesh']
     assert remesh_recs, 'remesh must have run'
     assert all(r.extra['target_length'] >= 1.0 for r in remesh_recs)
+
+
+def test_capacity_mode_two_advances_rung_and_converges():
+    """capacity_mode='two' runs the growth phase at a mid-size rung and
+    advances to the predicted final capacity when the mesh outgrows it;
+    the fit converges like capacity_mode='final' (the device program
+    differs only in padding).  Driver policy in
+    models/membrane_mesh.py (cap_mode == 'two')."""
+    pts, sigma = sphere_cloud(R=50.0, n=4000, sigma=2.0)
+    radii = {}
+    for mode in ('final', 'two'):
+        v, f = icosphere(2, radius=60.0)
+        mesh = MembraneMesh(v, f, kc=1.0, step_size=4.0,
+                            remesh_frequency=5,
+                            delaunay_remesh_frequency=0,
+                            neck_first_iter=-1)
+        mesh.capacity_mode = mode
+        mesh.pad_quantum = 256
+        mesh.shrink_wrap(pts, sigma, method='conjugate_gradient',
+                         max_iter=12, minimum_edge_length=3.5)
+        r = np.linalg.norm(mesh.vertices, axis=1)
+        radii[mode] = r.mean()
+        assert abs(r.mean() - 50.0) < 3.0, mode
+        assert mesh.is_manifold, mode
+        if mode == 'two':
+            # the growing sphere must have crossed the mid rung and
+            # consumed the final rung
+            assert mesh._cap_rungs == [], \
+                'mid rung never outgrown - test mesh too small'
+    assert abs(radii['two'] - radii['final']) < 1.0
