@@ -909,7 +909,8 @@ class MembraneMesh(TriangleMesh):
                         # separate compile)
                         _tr = _ft and _ft()
                         ring_tri, ring_ncc, ring_fold, ring_cb = \
-                            meshdata.fit_ring_schedules(ma)
+                            meshdata.fit_ring_schedules(
+                                ma, scratch=scratch)
                         if _ft:
                             _t_build += _ft() - _tr
                         if ring_tri is None:

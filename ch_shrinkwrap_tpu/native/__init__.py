@@ -132,6 +132,19 @@ def get_lib():
     lib.gaussian_k_native.restype = None
     lib.mean_edge_native.argtypes = [f32p, i32p, ctypes.c_int]
     lib.mean_edge_native.restype = ctypes.c_double
+    lib.kmaj_stream_clip_native.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, i32p, u8p]
+    lib.kmaj_stream_clip_native.restype = None
+    lib.flat_stream_clip_native.argtypes = [i32p, ctypes.c_int64,
+                                            i32p, u8p]
+    lib.flat_stream_clip_native.restype = None
+    lib.repeat3_mask_native.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.repeat3_mask_native.restype = None
+    lib.strided_col_native.argtypes = [i32p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       i32p]
+    lib.strided_col_native.restype = None
     _lib = lib
     return lib
 
@@ -377,7 +390,13 @@ def ring_schedule(idx, care, n_src, span, ring_segs, patch_segs,
     if lib is None:
         return None
     idx = np.ascontiguousarray(idx, dtype=np.int32)
-    care = np.ascontiguousarray(care, dtype=np.uint8)
+    # contiguous bool arrays reinterpret as uint8 zero-copy (numpy
+    # bool is one byte of 0/1); dtype-converting ascontiguousarray
+    # would copy the full stream per schedule call
+    if care.dtype == np.bool_ and care.flags.c_contiguous:
+        care = care.view(np.uint8)
+    else:
+        care = np.ascontiguousarray(care, dtype=np.uint8)
     R = idx.shape[0]
     step_rows = cps * 128
     n_steps = -(-R // step_rows)
@@ -459,3 +478,84 @@ def gaussian_k(vertices, faces, nbr_v=None):
     lib.gaussian_k_native(_f32p(v), nv, _i32p(f), len(f),
                           _i32p(nb), nb.shape[1], _f32p(K_out))
     return K_out
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def kmaj_stream_clip(tbl, k_take, block, idx_out=None, care_out=None):
+    """Fused block-interleaved k-major stream of ``tbl[:, :k_take]``
+    with negatives clamped to 0 and care = entry >= 0 — one native
+    pass replacing clip copy + mask alloc + the two transpose copies
+    of ``pallas_gather.blocked_kmajor_stream``.  ``tbl`` must be a
+    C-contiguous (V, k_src) int32 table with V % block == 0.  Returns
+    (idx, care_u8) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if tbl.dtype != np.int32 or not tbl.flags.c_contiguous:
+        return None
+    V, k_src = tbl.shape
+    if V % block or k_take > k_src:
+        return None
+    n = V * k_take
+    if idx_out is None or idx_out.shape != (n,):
+        idx_out = np.empty(n, np.int32)
+    if care_out is None or care_out.shape != (n,):
+        care_out = np.empty(n, np.uint8)
+    lib.kmaj_stream_clip_native(_i32p(tbl), V, k_src, int(k_take),
+                                int(block), _i32p(idx_out),
+                                _u8p(care_out))
+    return idx_out, care_out
+
+
+def flat_stream_clip(tbl, idx_out=None, care_out=None):
+    """idx = clip(tbl, 0).ravel(), care = (tbl >= 0).ravel() in one
+    native pass; ``tbl`` C-contiguous int32.  Returns (idx, care_u8)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if tbl.dtype != np.int32 or not tbl.flags.c_contiguous:
+        return None
+    n = int(tbl.size)
+    if idx_out is None or idx_out.shape != (n,):
+        idx_out = np.empty(n, np.int32)
+    if care_out is None or care_out.shape != (n,):
+        care_out = np.empty(n, np.uint8)
+    lib.flat_stream_clip_native(_i32p(tbl.reshape(-1)), n,
+                                _i32p(idx_out), _u8p(care_out))
+    return idx_out, care_out
+
+
+def repeat3_mask(mask, out=None):
+    """np.repeat(mask, 3) as uint8 in one native pass; ``mask`` a
+    C-contiguous bool/uint8 vector.  Returns uint8 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if mask.dtype not in (np.bool_, np.uint8) \
+            or not mask.flags.c_contiguous:
+        return None
+    n = int(mask.shape[0])
+    if out is None or out.shape != (3 * n,):
+        out = np.empty(3 * n, np.uint8)
+    lib.repeat3_mask_native(_u8p(mask.view(np.uint8)), n, _u8p(out))
+    return out
+
+
+def strided_col(tbl, col, out=None):
+    """tbl[:, col] as a fresh contiguous int32 vector (native strided
+    extract); ``tbl`` C-contiguous (n, stride) int32.  Returns the
+    column or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if tbl.dtype != np.int32 or not tbl.flags.c_contiguous:
+        return None
+    n, stride = tbl.shape
+    if out is None or out.shape != (n,):
+        out = np.empty(n, np.int32)
+    lib.strided_col_native(_i32p(tbl), n, stride, int(col), _i32p(out))
+    return out

@@ -1599,4 +1599,64 @@ void gaussian_k_native(const float* verts, int nv,
     }
 }
 
+// ---- fused stream prep for the ring-gather schedules ----
+// (ops/meshdata.fit_ring_schedules).  Each replaces a chain of numpy
+// allocations/copies (clip copy + care-mask alloc + block-interleave
+// transpose copies) with ONE pass into caller-reused scratch buffers
+// (~0.1 s/boundary of the warm e2e was these copies, 2026-08-20
+// cProfile).  Semantics match the numpy formulations exactly.
+
+// Block-interleaved k-major stream of tbl[:, :k_take] (row stride
+// k_src), negatives clamped to 0, care = (entry >= 0):
+//   out[(v/block)*k_take*block + k*block + v%block]
+//     = max(tbl[v*k_src + k], 0)
+// == ops/pallas_gather.blocked_kmajor_stream(clip(tbl[:, :k_take]),
+//                                            tbl[:, :k_take] >= 0).
+void kmaj_stream_clip_native(const int32_t* tbl, int64_t v_rows,
+                             int32_t k_src, int32_t k_take,
+                             int64_t block, int32_t* idx_out,
+                             uint8_t* care_out) {
+    const int64_t nb = v_rows / block;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int32_t* src = tbl + b * block * k_src;
+        int32_t* dst = idx_out + b * block * k_take;
+        uint8_t* cst = care_out + b * block * k_take;
+        for (int64_t k = 0; k < k_take; ++k) {
+            for (int64_t v = 0; v < block; ++v) {
+                int32_t x = src[v * k_src + k];
+                cst[k * block + v] = (uint8_t)(x >= 0);
+                dst[k * block + v] = x >= 0 ? x : 0;
+            }
+        }
+    }
+}
+
+// Flat stream with clip + care (the fold/incidence stream):
+// idx = clip(tbl, 0), care = tbl >= 0.
+void flat_stream_clip_native(const int32_t* tbl, int64_t n,
+                             int32_t* idx_out, uint8_t* care_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t x = tbl[i];
+        care_out[i] = (uint8_t)(x >= 0);
+        idx_out[i] = x >= 0 ? x : 0;
+    }
+}
+
+// np.repeat(mask, 3) as uint8 (the faces-stream care mask).
+void repeat3_mask_native(const uint8_t* mask, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t m = mask[i] ? 1 : 0;
+        out[3 * i] = m;
+        out[3 * i + 1] = m;
+        out[3 * i + 2] = m;
+    }
+}
+
+// Strided column extract (the per-corner faces streams):
+// out[i] = tbl[i*stride + col].
+void strided_col_native(const int32_t* tbl, int64_t n, int32_t stride,
+                        int32_t col, int32_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = tbl[i * stride + col];
+}
+
 }  // extern "C"

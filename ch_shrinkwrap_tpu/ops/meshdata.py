@@ -466,7 +466,8 @@ def fetch_ladder(v_cap: int):
                    for d in (8, 4, 2, 1)})
 
 
-def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
+def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384,
+                       scratch: Optional[dict] = None):
     """The fit driver's (ring_tri, ring_ncc, ring_fold, ring_tri_cb)
     schedule tuple for one padded topology, with CAPACITY-CONSTANT
     static layout (``fixed_layout=True`` schedules, a fixed-width
@@ -492,9 +493,24 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     Returns (None, None, None, None) when any budget is exceeded (the
     caller falls back to the XLA gather path atomically — mixed
     ring/XLA combinations would each be their own compiled program).
+
+    ``scratch`` (TPU-backend callers only — on CPU jnp.asarray may
+    alias numpy buffers) reuses the stream staging buffers across
+    boundaries; the fused native stream prep (clip + care + k-major
+    interleave in one pass, native.kmaj_stream_clip et al.) replaces
+    ~0.1 s/boundary of numpy copies (2026-08-20 cProfile).
     """
     from .pallas_gather import ring_gather_schedule
+    from .. import native
     import os as _os
+
+    def _sbuf(name, n, dtype):
+        if scratch is None:
+            return np.empty(n, dtype)
+        a = scratch.get(name)
+        if a is None or a.shape != (n,) or a.dtype != dtype:
+            a = scratch[name] = np.empty(n, dtype)
+        return a
     # grid-step width (128-row chunks per Pallas step): fewer steps =
     # less per-step DMA wait/start overhead; 32 measured best at the
     # 656k tri/ncc/fold streams (scripts/probe_ring_cost.py)
@@ -514,8 +530,13 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     # that holds its measured Hilbert-sorted patch fraction with ~30%
     # headroom: tri 4.2% @ span 384, ncc 2.9% @ 256 (1/16 budget),
     # fold 11% @ 256 (1/8 budget) — sweep 2026-08-18, icosphere 7/8).
+    tri_care = native.repeat3_mask(
+        f_mask_np, out=_sbuf('st_tri_care', 3 * f_mask_np.shape[0],
+                             np.uint8))
+    if tri_care is None:
+        tri_care = np.repeat(f_mask_np, 3)
     ring_tri = ring_gather_schedule(
-        faces_np.reshape(-1), np.repeat(f_mask_np, 3), Vp,
+        faces_np.reshape(-1), tri_care, Vp,
         span=384, fixed_layout=True, cps=cps)
     nbr_np = h.get('nbr_v')
     if nbr_np is None:
@@ -529,11 +550,19 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     # padding, membrane_mesh_utils.h:26) — so the kernel scans 40%
     # fewer rows; the rare valence>12 neighbors ride a fixed-width
     # overflow pair list handled exactly by compute_ncc.
-    from .pallas_gather import blocked_kmajor_stream
     NCC_K = 12
-    nbr12 = nbr_np[:, :NCC_K]
-    ncc_idx, ncc_care = blocked_kmajor_stream(
-        np.clip(nbr12, 0, None), nbr12 >= 0, block=1024)
+    n_ncc = nbr_np.shape[0] * NCC_K
+    nat = native.kmaj_stream_clip(
+        nbr_np, NCC_K, 1024,
+        idx_out=_sbuf('st_ncc_idx', n_ncc, np.int32),
+        care_out=_sbuf('st_ncc_care', n_ncc, np.uint8))
+    if nat is not None:
+        ncc_idx, ncc_care = nat
+    else:
+        from .pallas_gather import blocked_kmajor_stream
+        nbr12 = nbr_np[:, :NCC_K]
+        ncc_idx, ncc_care = blocked_kmajor_stream(
+            np.clip(nbr12, 0, None), nbr12 >= 0, block=1024)
     ring_ncc = ring_gather_schedule(
         ncc_idx, ncc_care, Vp, span=384, fixed_layout=True,
         kmaj_block=1024, care_out=True, cps=cps)
@@ -549,9 +578,17 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
             nu[:len(ev)] = ov_extra[ev, ek]
             ring_ncc = (ring_ncc, jnp.asarray(nv), jnp.asarray(nu))
     inc, ov_r, ov_v = incidence_table(faces_np, f_mask_np, Vp)
+    nat = native.flat_stream_clip(
+        inc,
+        idx_out=_sbuf('st_fold_idx', int(inc.size), np.int32),
+        care_out=_sbuf('st_fold_care', int(inc.size), np.uint8))
+    if nat is not None:
+        fold_idx, fold_care = nat
+    else:
+        fold_idx = np.clip(inc, 0, None).reshape(-1)
+        fold_care = (inc >= 0).reshape(-1)
     f_sched = ring_gather_schedule(
-        np.clip(inc, 0, None).reshape(-1),
-        (inc >= 0).reshape(-1), 3 * faces_np.shape[0],
+        fold_idx, fold_care, 3 * faces_np.shape[0],
         span=256, fixed_layout=True, fixed_patch_frac=1 / 8,
         care_out=True, cps=cps)
     if (ring_tri is None or ring_ncc is None or f_sched is None
@@ -561,17 +598,25 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384):
     ov_rows[:len(ov_r)] = ov_r
     ov_verts = np.zeros(ov_cap, np.int32)
     ov_verts[:len(ov_v)] = ov_v
-    ring_fold = (f_sched, jnp.asarray(inc >= 0),
+    ring_fold = (f_sched,
+                 jnp.asarray(fold_care.reshape(inc.shape)
+                             .view(np.bool_)),
                  jnp.asarray(ov_rows), jnp.asarray(ov_verts))
     ring_cb = None
     if Vp > HCGC_MIN_VP:
         # per-corner streams: faces[:, j] in face order has the same
         # Hilbert locality as the interleaved stream and stays
         # monotone for the forward-sliding ring (see docstring)
-        cb = [ring_gather_schedule(
-                  np.ascontiguousarray(faces_np[:, j]), f_mask_np, Vp,
-                  span=384, fixed_layout=True, cps=cps)
-              for j in range(3)]
+        def _corner(j):
+            col = native.strided_col(
+                faces_np, j,
+                out=_sbuf('st_cb%d' % j, faces_np.shape[0], np.int32))
+            if col is None:
+                col = np.ascontiguousarray(faces_np[:, j])
+            return ring_gather_schedule(
+                col, f_mask_np, Vp,
+                span=384, fixed_layout=True, cps=cps)
+        cb = [_corner(j) for j in range(3)]
         # optional: the fit falls back to the row-major S_tri path
         # for this topology if any corner stream is over budget (the
         # other three schedules stay engaged)

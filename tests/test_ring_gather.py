@@ -570,3 +570,31 @@ def test_compute_ncc_blocked_overflow_matches_plain():
             ring_sched=(sched, jnp.asarray(nv), jnp.asarray(nu))))
 
     np.testing.assert_allclose(blocked, plain, rtol=3e-5, atol=3e-5)
+
+
+def test_native_stream_prep_matches_numpy():
+    """The fused native stream-prep helpers (clip + care + k-major
+    interleave in one pass, native/topology.cpp) must match the numpy
+    formulations they replace in ops.meshdata.fit_ring_schedules."""
+    from ch_shrinkwrap_tpu import native
+    from ch_shrinkwrap_tpu.ops.pallas_gather import blocked_kmajor_stream
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(7)
+    tbl = rng.integers(-1, 5000, size=(4096, 20)).astype(np.int32)
+    got = native.kmaj_stream_clip(tbl, 12, 1024)
+    want = blocked_kmajor_stream(np.clip(tbl[:, :12], 0, None),
+                                 tbl[:, :12] >= 0, block=1024)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1].astype(bool), want[1].astype(bool))
+    flat = native.flat_stream_clip(tbl)
+    assert np.array_equal(flat[0], np.clip(tbl, 0, None).ravel())
+    assert np.array_equal(flat[1].astype(bool), (tbl >= 0).ravel())
+    mask = rng.random(4096) > 0.3
+    assert np.array_equal(native.repeat3_mask(mask).astype(bool),
+                          np.repeat(mask, 3))
+    assert np.array_equal(native.strided_col(tbl, 2), tbl[:, 2])
+    # guard rails: misaligned inputs fall back (None), never garbage
+    assert native.kmaj_stream_clip(tbl[:1000], 12, 1024) is None
+    assert native.kmaj_stream_clip(tbl[:, ::2], 8, 1024) is None
