@@ -1058,7 +1058,8 @@ class MembraneMesh(TriangleMesh):
                     dE_neighbors=None, dEdN=None)}
             j += n_it
             self.trace.record('cg_block', j, _time.time() - t0, self,
-                              diag=diag, n_iters=n_it)
+                              diag=diag, n_iters=n_it,
+                              v_cap=int(positions.shape[0]))
             logger.info('cg_block done j=%d/%d (%.1fs, V=%d, cap=%s)',
                         j, n_iter, _time.time() - t0,
                         self.vertices.shape[0], v_cap)

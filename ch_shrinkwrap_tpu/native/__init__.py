@@ -500,9 +500,11 @@ def kmaj_stream_clip(tbl, k_take, block, idx_out=None, care_out=None):
     if V % block or k_take > k_src:
         return None
     n = V * k_take
-    if idx_out is None or idx_out.shape != (n,):
+    if idx_out is None or idx_out.shape != (n,) \
+            or idx_out.dtype != np.int32:
         idx_out = np.empty(n, np.int32)
-    if care_out is None or care_out.shape != (n,):
+    if care_out is None or care_out.shape != (n,) \
+            or care_out.dtype != np.uint8:
         care_out = np.empty(n, np.uint8)
     lib.kmaj_stream_clip_native(_i32p(tbl), V, k_src, int(k_take),
                                 int(block), _i32p(idx_out),
@@ -520,9 +522,11 @@ def flat_stream_clip(tbl, idx_out=None, care_out=None):
     if tbl.dtype != np.int32 or not tbl.flags.c_contiguous:
         return None
     n = int(tbl.size)
-    if idx_out is None or idx_out.shape != (n,):
+    if idx_out is None or idx_out.shape != (n,) \
+            or idx_out.dtype != np.int32:
         idx_out = np.empty(n, np.int32)
-    if care_out is None or care_out.shape != (n,):
+    if care_out is None or care_out.shape != (n,) \
+            or care_out.dtype != np.uint8:
         care_out = np.empty(n, np.uint8)
     lib.flat_stream_clip_native(_i32p(tbl.reshape(-1)), n,
                                 _i32p(idx_out), _u8p(care_out))
@@ -539,7 +543,7 @@ def repeat3_mask(mask, out=None):
             or not mask.flags.c_contiguous:
         return None
     n = int(mask.shape[0])
-    if out is None or out.shape != (3 * n,):
+    if out is None or out.shape != (3 * n,) or out.dtype != np.uint8:
         out = np.empty(3 * n, np.uint8)
     lib.repeat3_mask_native(_u8p(mask.view(np.uint8)), n, _u8p(out))
     return out
@@ -555,7 +559,7 @@ def strided_col(tbl, col, out=None):
     if tbl.dtype != np.int32 or not tbl.flags.c_contiguous:
         return None
     n, stride = tbl.shape
-    if out is None or out.shape != (n,):
+    if out is None or out.shape != (n,) or out.dtype != np.int32:
         out = np.empty(n, np.int32)
     lib.strided_col_native(_i32p(tbl), n, stride, int(col), _i32p(out))
     return out

@@ -369,7 +369,7 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
                 uncov=(jnp.asarray(uncov) if n_uncov > 0 else None),
                 n_steps=-(-R // (cps * 128)), n_patch=n_patch,
                 span=span, n_rows=R, cps=cps, kmaj_block=kmaj_block,
-                care=(jnp.asarray(np.ascontiguousarray(care_mask))
+                care=(jnp.asarray(_care_u8(care_mask))
                       if care_out else None))
 
     # int32 end-to-end: the native best-mass pass and every derived
@@ -483,8 +483,18 @@ def ring_gather_schedule(idx_flat, care_mask, n_src_rows, span=1024,
         targets=jnp.asarray(targets.astype(np.int32, copy=False)),
         uncov=uncov, n_steps=n_steps, n_patch=n_patch, span=span,
         n_rows=R, cps=cps, kmaj_block=kmaj_block,
-        care=(jnp.asarray(np.ascontiguousarray(care_mask))
+        care=(jnp.asarray(_care_u8(care_mask))
               if care_out else None))
+
+
+def _care_u8(care_mask):
+    """Device care mask normalized to uint8 regardless of whether the
+    native stream prep (uint8) or a numpy fallback (bool) produced it:
+    the dtype is part of the pjit cache key, so mixed dtypes would give
+    machines without the native library a different compiled-program
+    signature (and one cache miss after upgrade)."""
+    a = np.ascontiguousarray(care_mask)
+    return a.view(np.uint8) if a.dtype == np.bool_ else a
 
 
 @partial(jax.jit, static_argnames=('n_steps', 'n_patch', 'span',

@@ -58,12 +58,13 @@ ap.add_argument('--minimum-edge-length', type=float, default=5.0)
 ap.add_argument('--capacity-mode', choices=['final', 'two', 'bucketed'],
                 default='final',
                 help="'final' = ONE program for the whole fit (one big "
-                     "executable load); 'bucketed' = pow2 capacity "
-                     "ladder whose early programs are small and whose "
-                     "later loads the prewarm thread overlaps with "
-                     "running blocks (worth re-measuring now that the "
-                     "prewarm dummy call shares the driver's exact "
-                     "pjit signature via block_call)")
+                     "executable load); 'two' = a mid-size rung "
+                     "(~half the predicted final capacity) for the "
+                     "growth phase plus the final rung prewarmed in "
+                     "the background while the early blocks run; "
+                     "'bucketed' = pow2 capacity ladder whose early "
+                     "programs are small and whose later loads the "
+                     "prewarm thread overlaps with running blocks")
 args = ap.parse_args()
 
 rng = np.random.default_rng(0)

@@ -262,7 +262,14 @@ def test_capacity_mode_two_advances_rung_and_converges():
         assert mesh.is_manifold, mode
         if mode == 'two':
             # the growing sphere must have crossed the mid rung and
-            # consumed the final rung
+            # consumed the final rung — assert the rung-advance path
+            # actually ran, not just that the rung list ended empty
+            # (it starts empty in the degenerate seed-past-half case)
+            caps = [r.extra.get('v_cap') for r in mesh.trace.records
+                    if r.kind == 'cg_block' and r.extra.get('v_cap')]
+            assert caps, 'no cg blocks recorded'
+            assert caps[-1] > caps[0], \
+                'mid rung never created/advanced - test mesh too small'
             assert mesh._cap_rungs == [], \
-                'mid rung never outgrown - test mesh too small'
+                'final rung never consumed'
     assert abs(radii['two'] - radii['final']) < 1.0
