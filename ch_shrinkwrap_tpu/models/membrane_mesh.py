@@ -788,6 +788,7 @@ class MembraneMesh(TriangleMesh):
         topo_dirty = True
         dev_state = None        # cached (ma, schedules...) per topology
         f_dev = None            # device positions matching dev_state
+        spec_pending = None     # (n_it, issued block) from speculation
         while j < n_iter:
             n_it = n_iter - j
             if r:
@@ -984,60 +985,85 @@ class MembraneMesh(TriangleMesh):
                              vg_starts, vg_uncov, ng_starts, ng_uncov,
                              ring_tri, ring_ncc, ring_fold, ring_cb)
             _ts = _ft and _ft()
-            f_new, diag = block_call(
-                positions, faces, f_mask, v_mask, nbr_v,
-                pts_j, sig_j, w_j, pmask,
-                lam0, shrink_lam, num_iters=ni_static,
-                active_iters=n_it,
-                use_shrink=use_shrink, face_chunk=self.face_chunk,
-                corr_method=method,
-                # consumed only by the 'grid' search; for the
-                # production windowed paths it's a dead traced scalar,
-                # and computing it forced a mean-edge pass per block
-                cell_size=(float(2.0 * self._mean_edge_length)
-                           if method == 'grid' else 1.0),
-                face_nbrs=face_nbrs,
-                fold_starts=fold_starts, fold_uncov=fold_uncov,
-                vtx_gather_starts=vg_starts, vtx_gather_uncov=vg_uncov,
-                ncc_gather_starts=ng_starts, ncc_gather_uncov=ng_uncov,
-                ring_tri=ring_tri, ring_ncc=ring_ncc,
-                ring_fold=ring_fold, ring_tri_cb=ring_cb,
-                nbr_f=ma.nbr_f if want_K else None,
-                want_curv_K=want_K,
-                # pays off only once the (N, 9s) AS gather is on the
-                # >300k cliff; below it the extra w2 kernel pass costs
-                # more than the gather it replaces (measured neutral at
-                # 231k with ring gathers on — probe_block_cost.py)
-                face_hcgc=(method == 'windowed_pallas'
-                           and ring_tri is not None
-                           and positions.shape[0] > meshdata.HCGC_MIN_VP
-                           and uniform_weights),
-                # in-kernel winner-corner extraction: measured a net
-                # LOSS (+32 ms kernel vs the 9.3 ms 2-D gather it
-                # replaces — the HIGHEST-precision one-hot extraction
-                # dominates; scripts/attr_inblock.py 2026-08-19).
-                # Kept available, default off.
-                corr_fv=bool(os.environ.get('CSW_CORR_FV')))
+
+            def _issue_block(pos_in, n_act):
+                """Dispatch one CG block and enqueue the async host
+                fetch of its live-prefix result, returning WITHOUT
+                waiting: the device-to-host copy then rides the tail of
+                the device computation instead of paying a separate
+                post-compute tunnel round trip (~0.12 s/block measured,
+                ~3 s per 99-iter fit)."""
+                fn, dg = block_call(
+                    pos_in, faces, f_mask, v_mask, nbr_v,
+                    pts_j, sig_j, w_j, pmask,
+                    lam0, shrink_lam, num_iters=ni_static,
+                    active_iters=n_act,
+                    use_shrink=use_shrink, face_chunk=self.face_chunk,
+                    corr_method=method,
+                    # consumed only by the 'grid' search; for the
+                    # production windowed paths it's a dead traced
+                    # scalar, and computing it forced a mean-edge pass
+                    # per block
+                    cell_size=(float(2.0 * self._mean_edge_length)
+                               if method == 'grid' else 1.0),
+                    face_nbrs=face_nbrs,
+                    fold_starts=fold_starts, fold_uncov=fold_uncov,
+                    vtx_gather_starts=vg_starts,
+                    vtx_gather_uncov=vg_uncov,
+                    ncc_gather_starts=ng_starts,
+                    ncc_gather_uncov=ng_uncov,
+                    ring_tri=ring_tri, ring_ncc=ring_ncc,
+                    ring_fold=ring_fold, ring_tri_cb=ring_cb,
+                    nbr_f=ma.nbr_f if want_K else None,
+                    want_curv_K=want_K,
+                    # pays off only once the (N, 9s) AS gather is on
+                    # the >300k cliff; below it the extra w2 kernel
+                    # pass costs more than the gather it replaces
+                    # (measured neutral at 231k with ring gathers on —
+                    # probe_block_cost.py)
+                    face_hcgc=(method == 'windowed_pallas'
+                               and ring_tri is not None
+                               and positions.shape[0] > meshdata.HCGC_MIN_VP
+                               and uniform_weights),
+                    # in-kernel winner-corner extraction: measured a
+                    # net LOSS (scripts/attr_inblock.py 2026-08-19).
+                    corr_fv=bool(os.environ.get('CSW_CORR_FV')))
+                # fetch only the live prefix — the pad tail (often 10x
+                # the live count early in the fit) is dead host-side;
+                # slice lengths come from the capacity-keyed fetch
+                # ladder so the tiny slice programs are trajectory-
+                # independent and prewarmed (meshdata.fetch_ladder)
+                V_live = self.vertices.shape[0]
+                Vq = next((q for q in meshdata.fetch_ladder(fn.shape[0])
+                           if q >= V_live), fn.shape[0])
+                ff = fn if Vq >= fn.shape[0] else fn[:Vq]
+                if dmesh is None:
+                    try:
+                        ff.copy_to_host_async()
+                    except Exception:
+                        pass        # backend without async host copy
+                return fn, dg, ff
+
+            if (spec_pending is not None and not topo_dirty
+                    and spec_pending[0] == n_it):
+                # the block speculatively dispatched at the previous
+                # (surgery-free) boundary is exactly this one — its
+                # device time overlapped the punch analysis
+                f_new, diag, f_fetch = spec_pending[1]
+            else:
+                f_new, diag, f_fetch = _issue_block(positions, n_it)
+            spec_pending = None
             if _ft:
                 _t_disp = _ft() - _ts
                 _ts = _ft()
-            f_new.block_until_ready()
-            if _ft:
+                f_new.block_until_ready()
                 _t_dev = _ft() - _ts
                 _ts = _ft()
             f_dev = f_new
             topo_dirty = False
             self._last_diag = diag
             V = self.vertices.shape[0]
-            # fetch only the live prefix — the pad tail (often 10x the
-            # live count early in the fit) is dead host-side; slice
-            # lengths come from the capacity-keyed fetch ladder so the
-            # four tiny slice programs are trajectory-independent and
-            # prewarmed (meshdata.fetch_ladder)
-            Vq = next((q for q in meshdata.fetch_ladder(f_new.shape[0])
-                       if q >= V), f_new.shape[0])
-            new_pos = (np.asarray(f_new) if Vq >= f_new.shape[0]
-                       else np.asarray(f_new[:Vq]))[:V]
+            new_pos = np.asarray(f_fetch)[:V]
             if not np.isfinite(new_pos).all():
                 # counterpart of the reference's scattered NaN asserts
                 # (mesh_conj_grad.py:548,580,613)
@@ -1068,6 +1094,31 @@ class MembraneMesh(TriangleMesh):
                     'cg_block fine: sort %.2fs build %.2fs dispatch '
                     '%.2fs device %.2fs fetch+set %.2fs',
                     _t_sort, _t_build, _t_disp, _t_dev, _ft() - _ts)
+
+            # Speculative dispatch at punch-only boundaries: the punch
+            # analysis is host-side and overwhelmingly a no-op on an
+            # already-correct topology, so the next block — whose
+            # inputs are valid iff the punch no-ops — is dispatched
+            # BEFORE the analysis and runs on the otherwise-idle
+            # device while the host analyses.  If the punch DID punch,
+            # the speculative result is simply dropped (no donation —
+            # the inputs stay live; the wasted block overlaps the
+            # punch surgery + rebuild that follow).  Remesh boundaries
+            # never speculate: the scheduled remesh always changes
+            # topology.
+            if (dr and ((j % self.delaunay_remesh_frequency) == 0)
+                    and not (r and ((j % self.remesh_frequency) == 0))
+                    and j < n_iter and dmesh is None
+                    and getattr(self, 'speculative_blocks', True)):
+                n_next = n_iter - j
+                if r:
+                    n_next = min(n_next, self.remesh_frequency
+                                 - (j % self.remesh_frequency))
+                if dr:
+                    n_next = min(n_next, self.delaunay_remesh_frequency
+                                 - (j % self.delaunay_remesh_frequency))
+                spec_pending = (int(n_next),
+                                _issue_block(f_new, int(n_next)))
 
             if dr and ((j % self.delaunay_remesh_frequency) == 0):
                 t0 = _time.time()

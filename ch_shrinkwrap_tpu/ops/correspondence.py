@@ -250,6 +250,16 @@ def hilbert_order(points, bits=10):
     what the blocked search's per-block candidate sets rely on.
     """
     import numpy as np
+    return np.argsort(hilbert_codes_for(points, bits), kind='stable')
+
+
+def hilbert_codes_for(points, bits=10):
+    """uint64 Hilbert codes of the points, quantized over their own
+    bounding box (the sort key behind :func:`hilbert_order`, exposed
+    so callers can combine it with partition flags into ONE argsort —
+    fit_point_order's two per-partition sorts cost ~0.7 s/fit at 1e6
+    points on this 1-core host)."""
+    import numpy as np
     p = np.asarray(points, dtype=np.float64)
     lo = p.min(0)
     hi = p.max(0)
@@ -260,7 +270,7 @@ def hilbert_order(points, bits=10):
         from .. import native
         code = native.hilbert_codes(X, bits)
         if code is not None:
-            return np.argsort(code, kind='stable')
+            return code
 
     M = np.uint32(1 << (bits - 1))
     # inverse undo (Skilling, "Programming the Hilbert curve", 2004)
@@ -295,7 +305,7 @@ def hilbert_order(points, bits=10):
         for i in range(3):
             code = (code << np.uint64(1)) | ((X[:, i] >> b) & 1).astype(
                 np.uint64)
-    return np.argsort(code, kind='stable')
+    return code
 
 
 def fit_point_order(points, grid_n=128, sparse_fraction=0.1):
@@ -329,11 +339,16 @@ def fit_point_order(points, grid_n=128, sparse_fraction=0.1):
     occupancy = counts[inv]
     thresh = max(2.0, sparse_fraction * float(np.median(counts)))
     sparse = occupancy < thresh
-    dense_idx = np.flatnonzero(~sparse)
-    sparse_idx = np.flatnonzero(sparse)
-    od = hilbert_order(points[dense_idx]) if len(dense_idx) else []
-    osp = hilbert_order(points[sparse_idx]) if len(sparse_idx) else []
-    return np.concatenate([dense_idx[od], sparse_idx[osp]]).astype(np.int64)
+    # ONE argsort over (sparse flag, global hilbert code): dense
+    # points first in curve order, then sparse, exactly as the old
+    # two-partition construction but without the per-partition fancy
+    # copies and second sort (1.10 -> ~0.45 s at 1e6 points).  The
+    # codes quantize over the GLOBAL bounding box rather than each
+    # partition's — a sub-cell quantization difference with the same
+    # locality properties.
+    codes = hilbert_codes_for(points)
+    key = codes | (sparse.astype(np.uint64) << np.uint64(62))
+    return np.argsort(key, kind='stable').astype(np.int64)
 
 
 @partial(jax.jit,

@@ -273,3 +273,27 @@ def test_capacity_mode_two_advances_rung_and_converges():
             assert mesh._cap_rungs == [], \
                 'final rung never consumed'
     assert abs(radii['two'] - radii['final']) < 1.0
+
+
+def test_speculative_punch_boundary_blocks_match_serial():
+    """Punch-only boundaries (delaunay cadence not a multiple of the
+    remesh cadence) dispatch the next CG block speculatively while the
+    host runs the punch analysis; when the punch no-ops the result is
+    adopted.  The fit trajectory must be identical to the serial path
+    (driver policy in models/membrane_mesh.py, spec_pending)."""
+    pts, sigma = sphere_cloud(R=50.0, n=4000, sigma=2.0)
+    out = {}
+    for spec in (True, False):
+        v, f = icosphere(2, radius=60.0)
+        mesh = MembraneMesh(v, f, kc=1.0, step_size=4.0,
+                            remesh_frequency=5,
+                            delaunay_remesh_frequency=3,
+                            delaunay_eps=25.0,
+                            neck_first_iter=-1)
+        mesh.speculative_blocks = spec
+        mesh.shrink_wrap(pts, sigma, method='conjugate_gradient',
+                         max_iter=12, minimum_edge_length=4.0)
+        out[spec] = mesh.vertices.copy()
+        assert mesh.is_manifold
+    assert out[True].shape == out[False].shape
+    np.testing.assert_allclose(out[True], out[False], atol=1e-5)
