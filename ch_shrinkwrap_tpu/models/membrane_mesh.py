@@ -1037,7 +1037,8 @@ class MembraneMesh(TriangleMesh):
                 Vq = next((q for q in meshdata.fetch_ladder(fn.shape[0])
                            if q >= V_live), fn.shape[0])
                 ff = fn if Vq >= fn.shape[0] else fn[:Vq]
-                if dmesh is None:
+                if dmesh is None \
+                        and not os.environ.get('CSW_NO_ASYNC_FETCH'):
                     try:
                         ff.copy_to_host_async()
                     except Exception:
@@ -1109,7 +1110,8 @@ class MembraneMesh(TriangleMesh):
             if (dr and ((j % self.delaunay_remesh_frequency) == 0)
                     and not (r and ((j % self.remesh_frequency) == 0))
                     and j < n_iter and dmesh is None
-                    and getattr(self, 'speculative_blocks', True)):
+                    and getattr(self, 'speculative_blocks', True)
+                    and not os.environ.get('CSW_NO_SPEC')):
                 n_next = n_iter - j
                 if r:
                     n_next = min(n_next, self.remesh_frequency
