@@ -340,6 +340,12 @@ class TriangleMesh:
         """A vertex whose incident faces don't form a single fan."""
         he = self.halfedges
         V = self._vertices.shape[0]
+        if len(he.src) >= 4096:
+            from .. import native
+            r = native.has_nonmanifold_vertices(
+                he.src, he.vertex, he.twin, he.next, V)
+            if r is not None:
+                return r
         # count distinct one-ring walk components per vertex via union-find
         # over outgoing halfedges: h ~ next(twin(h)) shares the same fan.
         parent = np.arange(len(he.src), dtype=np.int64)
@@ -684,6 +690,12 @@ class TriangleMesh:
     def smooth_per_vertex_data(self, data, n_iter=1):
         """Average scalar per-vertex data over the one-ring (incl. self)."""
         nbrs = self.vertex_neighbors
+        data = np.asarray(data)
+        if data.ndim == 1 and len(data) >= 4096:
+            from .. import native
+            out = native.smooth_vertex_data(data, nbrs, n_iter=n_iter)
+            if out is not None:
+                return out
         mask = nbrs >= 0
         counts = mask.sum(1) + 1
         out = np.asarray(data, dtype=np.float64).copy()

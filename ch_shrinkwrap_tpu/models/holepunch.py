@@ -50,7 +50,8 @@ def _points_tree(mesh, points_key, points):
     return tree
 
 
-def find_candidate_faces(mesh, points, eps=10.0, tree=None):
+def find_candidate_faces(mesh, points, eps=10.0, tree=None,
+                         points_key=None):
     """Faces with no point within eps of their centroid (pyx:877-887).
 
     The query is eps-bounded: only the predicate ``dist > eps`` is
@@ -64,9 +65,14 @@ def find_candidate_faces(mesh, points, eps=10.0, tree=None):
     if tree is None:
         from .. import native
         # reuse the grid build across punch calls: the cloud is fit-
-        # constant, and the O(N) build was ~half of every no-op call
+        # constant, and the O(N) build was ~half of every no-op call.
+        # Key on the CALLER's original array (points_key) — punch_holes
+        # dtype-converts per call, so id(points) alone is a fresh
+        # object every time and the cache would never hit (profiled:
+        # 7x field rebuilds per 99-iter fit, ~1.3 s)
         step = max(1, len(points) // 16)
-        key = (id(points), points.shape, points.dtype.str,
+        key = (id(points_key if points_key is not None else points),
+               points.shape, points.dtype.str,
                points[::step][:16].tobytes())
         cached = getattr(mesh, '_holepunch_field_cache', None)
         field = cached[1] if cached is not None and cached[0] == key \
@@ -401,7 +407,7 @@ def punch_holes(mesh, pts, eps=10.0):
     # the (cached) cKDTree is only built once candidates survive to the
     # prism-emptiness pass, so the common no-candidate call pays
     # neither the tree build nor the scipy query
-    hc = find_candidate_faces(mesh, pts, eps=eps)
+    hc = find_candidate_faces(mesh, pts, eps=eps, points_key=pts_key)
     if len(hc) >= 1:
         cands, pairs = pair_candidate_faces(mesh, hc)
         if len(cands) >= 1:

@@ -1041,6 +1041,12 @@ class MembraneMesh(TriangleMesh):
                         and not os.environ.get('CSW_NO_ASYNC_FETCH'):
                     try:
                         ff.copy_to_host_async()
+                        # the tiny per-iteration history vectors are
+                        # read by trace.record right after the block;
+                        # without the prefetch each pays its own
+                        # synchronous tunnel round trip
+                        dg.tests.copy_to_host_async()
+                        dg.ress.copy_to_host_async()
                     except Exception:
                         pass        # backend without async host copy
                 return fn, dg, ff

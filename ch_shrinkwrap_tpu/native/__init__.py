@@ -145,6 +145,13 @@ def get_lib():
                                        ctypes.c_int32, ctypes.c_int32,
                                        i32p]
     lib.strided_col_native.restype = None
+    lib.smooth_vertex_data_native.argtypes = [
+        f32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        f32p]
+    lib.smooth_vertex_data_native.restype = None
+    lib.has_nonmanifold_vertices_native.argtypes = [
+        i32p, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64]
+    lib.has_nonmanifold_vertices_native.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -563,3 +570,41 @@ def strided_col(tbl, col, out=None):
         out = np.empty(n, np.int32)
     lib.strided_col_native(_i32p(tbl), n, stride, int(col), _i32p(out))
     return out
+
+
+def smooth_vertex_data(data, nbr_v, n_iter=1):
+    """One-ring average of per-vertex scalar data (incl. self) —
+    bit-exact native twin of TriangleMesh.smooth_per_vertex_data
+    (float64 accumulation in neighbor-slot order).  Returns (V,) f32
+    or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(data, dtype=np.float32)
+    nb = np.ascontiguousarray(nbr_v, dtype=np.int32)
+    if d.ndim != 1 or nb.ndim != 2 or nb.shape[0] != d.shape[0]:
+        return None
+    out = np.empty(d.shape[0], np.float32)
+    lib.smooth_vertex_data_native(_f32p(d), _i32p(nb),
+                                  ctypes.c_int64(d.shape[0]),
+                                  int(nb.shape[1]), int(n_iter),
+                                  _f32p(out))
+    return out
+
+
+def has_nonmanifold_vertices(he_src, he_vertex, he_twin, he_next, nv):
+    """Fan-count nonmanifold-vertex test over packed halfedge tables
+    (twin of mesh.core._has_nonmanifold_vertices's union-find, which
+    costs ~2 s of pure-Python find() at 131k verts).  Returns bool or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(he_src, dtype=np.int32)
+    v = np.ascontiguousarray(he_vertex, dtype=np.int32)
+    t = np.ascontiguousarray(he_twin, dtype=np.int32)
+    n = np.ascontiguousarray(he_next, dtype=np.int32)
+    r = lib.has_nonmanifold_vertices_native(
+        _i32p(s), _i32p(v), _i32p(t), _i32p(n),
+        ctypes.c_int64(len(s)), ctypes.c_int64(int(nv)))
+    return bool(r)

@@ -417,3 +417,59 @@ def test_remesh_drops_pillow_fragment():
     rm.remesh(mesh, n=1, target_edge_length=1.5, n_relax=1)
     assert mesh.connected_components()[1] == 1
     assert mesh.euler_characteristic == 2
+
+
+def test_native_smooth_vertex_data_matches_numpy():
+    """native.smooth_vertex_data is the bit-exact twin of the numpy
+    smooth_per_vertex_data path (float64 accumulation, slot order)."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    v, f = icosphere(4, radius=10.0)     # 2562 verts < 4096 gate
+    mesh = TriangleMesh(v, f)
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=len(v)).astype(np.float32)
+    for n_iter in (1, 2):
+        ref = mesh.smooth_per_vertex_data(data, n_iter=n_iter)
+        nat = native.smooth_vertex_data(data, mesh.vertex_neighbors,
+                                        n_iter=n_iter)
+        np.testing.assert_array_equal(ref, nat)
+
+
+def test_native_nonmanifold_vertices_matches_union_find():
+    """Fan-count orbit walk agrees with the union-find construction on
+    manifold meshes, pinched (bowtie-vertex) meshes, and open chains."""
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+    # closed manifold sphere: no nonmanifold vertices
+    v, f = icosphere(3, radius=10.0)
+    m = TriangleMesh(v, f)
+    he = m.halfedges
+    assert native.has_nonmanifold_vertices(
+        he.src, he.vertex, he.twin, he.next, len(v)) is False
+
+    # bowtie: two triangle fans sharing ONE vertex (vertex 0)
+    v2 = np.array([[0, 0, 0],
+                   [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                   [-1, 0, 0], [-1, -1, 0], [0, -1, 0]], np.float32)
+    f2 = np.array([[0, 1, 2], [0, 2, 3],
+                   [0, 4, 5], [0, 5, 6]], np.int32)
+    m2 = TriangleMesh(v2, f2)
+    he2 = m2.halfedges
+    assert native.has_nonmanifold_vertices(
+        he2.src, he2.vertex, he2.twin, he2.next, len(v2)) is True
+
+    # open fan (disk boundary): manifold despite missing twins
+    v3 = np.array([[0, 0, 0], [1, 0, 0], [0.5, 1, 0], [-0.5, 1, 0],
+                   [-1, 0, 0]], np.float32)
+    f3 = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 4]], np.int32)
+    m3 = TriangleMesh(v3, f3)
+    he3 = m3.halfedges
+    assert native.has_nonmanifold_vertices(
+        he3.src, he3.vertex, he3.twin, he3.next, len(v3)) is False
