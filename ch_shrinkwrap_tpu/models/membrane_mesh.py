@@ -806,9 +806,8 @@ class MembraneMesh(TriangleMesh):
                 # padded arrays and every host schedule; positions
                 # continue from the previous block's device output
                 (ma, positions, faces, f_mask, v_mask, nbr_v,
-                 face_nbrs, fold_starts, fold_uncov, vg_starts,
-                 vg_uncov, ng_starts, ng_uncov, ring_tri, ring_ncc,
-                 ring_fold, ring_cb) = dev_state
+                 face_nbrs, fold_starts, fold_uncov, ring_tri,
+                 ring_ncc, ring_fold, ring_cb) = dev_state
                 positions = f_dev
                 if _ft:
                     _t_sort = _t_build = 0.0
@@ -881,7 +880,6 @@ class MembraneMesh(TriangleMesh):
                 if _ft:
                     _t_build = _ft() - _ts
                 fold_starts = fold_uncov = None
-                vg_starts = vg_uncov = ng_starts = ng_uncov = None
                 ring_tri = ring_ncc = ring_fold = ring_cb = None
                 if ma.positions.shape[0] > int(getattr(
                         self, 'ring_gather_min_verts', 32768)):
@@ -939,24 +937,6 @@ class MembraneMesh(TriangleMesh):
                             ma.positions.shape[0])
                         if sched is not None:
                             fold_starts, fold_uncov = sched
-                    if (not use_ring
-                            and getattr(self, 'use_windowed_gather', False)):
-                        from ..solver.shrinkwrap import VTX_GATHER_BLOCK
-                        faces_np = np.asarray(ma.faces)
-                        Vp_now = ma.positions.shape[0]
-                        gs = meshdata.gather_schedule(
-                            faces_np.reshape(-1),
-                            np.repeat(np.asarray(ma.f_mask), 3), Vp_now,
-                            block_size=VTX_GATHER_BLOCK)
-                        if gs is not None:
-                            vg_starts, vg_uncov = gs
-                        nbr_np = np.asarray(ma.nbr_v)
-                        gs2 = meshdata.gather_schedule(
-                            np.clip(nbr_np, 0, None).reshape(-1),
-                            (nbr_np >= 0).reshape(-1), Vp_now,
-                            block_size=16384)
-                        if gs2 is not None:
-                            ng_starts, ng_uncov = gs2
                 if (ma.host or {}).get('lazy_tables') \
                         and ring_ncc is None:
                     # the lazy guess was wrong (schedules over budget
@@ -974,15 +954,8 @@ class MembraneMesh(TriangleMesh):
                     if fold_starts is not None:
                         fold_starts, fold_uncov = replicate(
                             dmesh, fold_starts, fold_uncov)
-                    if vg_starts is not None:
-                        vg_starts, vg_uncov = replicate(
-                            dmesh, vg_starts, vg_uncov)
-                    if ng_starts is not None:
-                        ng_starts, ng_uncov = replicate(
-                            dmesh, ng_starts, ng_uncov)
                 dev_state = (ma, positions, faces, f_mask, v_mask,
                              nbr_v, face_nbrs, fold_starts, fold_uncov,
-                             vg_starts, vg_uncov, ng_starts, ng_uncov,
                              ring_tri, ring_ncc, ring_fold, ring_cb)
             _ts = _ft and _ft()
 
@@ -1008,10 +981,6 @@ class MembraneMesh(TriangleMesh):
                                if method == 'grid' else 1.0),
                     face_nbrs=face_nbrs,
                     fold_starts=fold_starts, fold_uncov=fold_uncov,
-                    vtx_gather_starts=vg_starts,
-                    vtx_gather_uncov=vg_uncov,
-                    ncc_gather_starts=ng_starts,
-                    ncc_gather_uncov=ng_uncov,
                     ring_tri=ring_tri, ring_ncc=ring_ncc,
                     ring_fold=ring_fold, ring_tri_cb=ring_cb,
                     nbr_f=ma.nbr_f if want_K else None,
@@ -1024,10 +993,7 @@ class MembraneMesh(TriangleMesh):
                     face_hcgc=(method == 'windowed_pallas'
                                and ring_tri is not None
                                and positions.shape[0] > meshdata.HCGC_MIN_VP
-                               and uniform_weights),
-                    # in-kernel winner-corner extraction: measured a
-                    # net LOSS (scripts/attr_inblock.py 2026-08-19).
-                    corr_fv=bool(os.environ.get('CSW_CORR_FV')))
+                               and uniform_weights))
                 # fetch only the live prefix — the pad tail (often 10x
                 # the live count early in the fit) is dead host-side;
                 # slice lengths come from the capacity-keyed fetch

@@ -253,16 +253,22 @@ def hilbert_order(points, bits=10):
     return np.argsort(hilbert_codes_for(points, bits), kind='stable')
 
 
-def hilbert_codes_for(points, bits=10):
+def hilbert_codes_for(points, bits=10, lo=None, hi=None):
     """uint64 Hilbert codes of the points, quantized over their own
     bounding box (the sort key behind :func:`hilbert_order`, exposed
     so callers can combine it with partition flags into ONE argsort —
     fit_point_order's two per-partition sorts cost ~0.7 s/fit at 1e6
-    points on this 1-core host)."""
+    points on this 1-core host).  ``lo``/``hi`` override the
+    quantization box (points outside clip): fit_point_order passes the
+    dense partition's box so sparse background outliers don't coarsen
+    the surface points' quantization."""
     import numpy as np
     p = np.asarray(points, dtype=np.float64)
-    lo = p.min(0)
-    hi = p.max(0)
+    if lo is None:
+        lo = p.min(0)
+    if hi is None:
+        hi = p.max(0)
+    p = np.clip(p, lo, hi)
     X = ((p - lo) / np.maximum(hi - lo, 1e-12) * ((1 << bits) - 1)
          ).astype(np.uint32).copy()
 
@@ -339,14 +345,21 @@ def fit_point_order(points, grid_n=128, sparse_fraction=0.1):
     occupancy = counts[inv]
     thresh = max(2.0, sparse_fraction * float(np.median(counts)))
     sparse = occupancy < thresh
-    # ONE argsort over (sparse flag, global hilbert code): dense
-    # points first in curve order, then sparse, exactly as the old
-    # two-partition construction but without the per-partition fancy
-    # copies and second sort (1.10 -> ~0.45 s at 1e6 points).  The
-    # codes quantize over the GLOBAL bounding box rather than each
-    # partition's — a sub-cell quantization difference with the same
-    # locality properties.
-    codes = hilbert_codes_for(points)
+    # ONE argsort over (sparse flag, hilbert code): dense points first
+    # in curve order, then sparse, exactly as the old two-partition
+    # construction but without the second full sort (1.10 -> ~0.55 s
+    # at 1e6 points).  Each partition keeps its OWN quantization box
+    # (the old behavior): one shared box measurably hurts — global box
+    # coarsens the surface points' quantization under far background
+    # outliers, and clipping sparse points to the dense box destroys
+    # their depth ordering (windowed-id agreement 0.981 -> 0.978 on
+    # the production-shape test either way).
+    dense_pts = points[~sparse] if sparse.any() else points
+    codes = hilbert_codes_for(points, lo=dense_pts.min(0),
+                              hi=dense_pts.max(0))
+    if sparse.any():
+        sp = points[sparse]
+        codes[sparse] = hilbert_codes_for(sp)
     key = codes | (sparse.astype(np.uint64) << np.uint64(62))
     return np.argsort(key, kind='stable').astype(np.int64)
 
@@ -586,7 +599,7 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
                           window=2048, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False,
                           return_meta=False, n_anchors=3, starts=None,
-                          tri9_t=None, prep=None):
+                          prep=None):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
 
@@ -642,7 +655,7 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
     fmask_f = f_mask.astype(jnp.float32)
 
     if use_pallas:
-        from .pallas_kernels import window_min_pallas, window_min_fv_pallas
+        from .pallas_kernels import window_min_pallas
         if prep is not None:
             blocks_t, p2b = prep.blocks_t, prep.p2
         else:
@@ -650,25 +663,11 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
             p2b = (blocks * blocks).sum(-1)               # (nb, B)
         centers_t = centers.T                             # (3, Fp)
         c2_all = jnp.where(f_mask, (centers * centers).sum(-1), BIG)
-        w_out = af_out = None
-        if tri9_t is not None:
-            # fused variant: the kernel also extracts the winning
-            # face's corners from its VMEM windows and computes the
-            # corner weights + forward map on-chip — replaces the
-            # (N, 9) gather from the 3Fp-row tri table (on the >300k
-            # cache cliff at fit scale, ~79 ms/iter at 656k verts)
-            d2k, fidk, jsk, w3, af3 = window_min_fv_pallas(
-                blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
-                tri9_t, sub_ids.astype(jnp.int32), window=window,
-                n_anchors=n_anchors, interpret=pallas_interpret)
-            w_out = jnp.transpose(w3, (0, 2, 1)).reshape(-1, 3)[:N]
-            af_out = jnp.transpose(af3, (0, 2, 1)).reshape(-1, 3)[:N]
-        else:
-            # the kernel merges the subsample fallback in-VMEM
-            d2k, fidk, jsk = window_min_pallas(
-                blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
-                sub_ids.astype(jnp.int32), window=window,
-                n_anchors=n_anchors, interpret=pallas_interpret)
+        # the kernel merges the subsample fallback in-VMEM
+        d2k, fidk, jsk = window_min_pallas(
+            blocks_t, starts.astype(jnp.int32), centers_t, c2_all,
+            sub_ids.astype(jnp.int32), window=window,
+            n_anchors=n_anchors, interpret=pallas_interpret)
         d2f = (d2k + p2b).reshape(-1)[:N]
         fidf = fidk.reshape(-1)[:N]
         d_out = jnp.sqrt(jnp.maximum(d2f, 0.0))
@@ -680,11 +679,7 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
             meta = WindowedMeta(
                 starts=starts_al, js=jsk.reshape(-1)[:N],
                 sub_ids=sub_ids.astype(jnp.int32))
-            if tri9_t is not None:
-                return d_out, fidf, meta, w_out, af_out
             return d_out, fidf, meta
-        if tri9_t is not None:
-            return d_out, fidf, w_out, af_out
         return d_out, fidf
 
     def per_chunk(chunk):

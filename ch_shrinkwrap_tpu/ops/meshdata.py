@@ -286,82 +286,6 @@ def face_adjacency(faces: np.ndarray) -> np.ndarray:
     return twin_face.reshape(F, 3).astype(np.int32)
 
 
-def gather_schedule(idx_flat: np.ndarray, care_mask, n_vertices: int,
-                    block_size: int = 16384, window: int = 2048,
-                    n_bands: int = 3, max_uncov_frac: float = 1 / 16):
-    """Host-side window schedule for the large-table row gathers
-    (``windowed_gather``): band each ``block_size``-row slice of the
-    flattened index array at its largest target gaps, so the device
-    gathers read from dynamic-sliced cache-resident windows instead of
-    the full vertex table (XLA's gather falls off a cache cliff above
-    ~300k source rows — 5.9 -> 65 ms measured for the ncc gather,
-    BASELINE.md scaling table).
-
-    ``care_mask`` marks rows whose gathered value is actually consumed
-    (masked/padded rows may read anything finite).  Returns
-    (starts (nb, n_bands) i32, uncovered (U_pad,) i32 flat row ids,
-    -1 padded) or None when banding can't cover enough rows.
-    """
-    t = np.asarray(idx_flat, np.int64)
-    R = t.shape[0]
-    nb = -(-R // block_size)
-    Rp = nb * block_size
-    if Rp != R:
-        t = np.pad(t, (0, Rp - R))
-        care = np.pad(np.asarray(care_mask, bool), (0, Rp - R))
-    else:
-        care = np.asarray(care_mask, bool)
-    W = min(window, n_vertices)
-    Vp_al = -(-n_vertices // 128) * 128
-
-    tb = t.reshape(nb, block_size)
-    cb = care.reshape(nb, block_size)
-
-    # greedy mass-covering band selection: histogram each block's
-    # cared-for targets into 128-wide bins, repeatedly take the
-    # W-window with the highest remaining row count.  (Gap-based
-    # splitting — the fold_schedule approach — breaks down when a few
-    # percent of targets scatter uniformly: the largest gaps land in
-    # the scatter, not around the dense band.)
-    nbins = Vp_al // 128
-    wb = W // 128
-    rows = np.repeat(np.arange(nb), block_size)
-    bins = np.clip(tb.reshape(-1) // 128, 0, nbins - 1)
-    flat = rows * nbins + bins
-    hist = np.bincount(flat[care], minlength=nb * nbins) \
-        .reshape(nb, nbins).astype(np.int64)
-
-    starts = np.zeros((nb, n_bands), np.int64)
-    for a in range(n_bands):
-        # sliding-window sums of width wb via cumsum
-        cs = np.concatenate([np.zeros((nb, 1), np.int64),
-                             np.cumsum(hist, axis=1)], axis=1)
-        nwin = max(nbins - wb + 1, 1)
-        wsum = cs[:, wb:wb + nwin] - cs[:, :nwin]
-        best = np.argmin(-wsum, axis=1)        # first argmax
-        starts[:, a] = best * 128
-        # zero the chosen window's bins so the next band looks elsewhere
-        for b_ofs in range(wb):
-            hist[np.arange(nb), np.minimum(best + b_ofs, nbins - 1)] = 0
-    # clamp to the REAL table: lax.dynamic_slice clamps starts to
-    # Vp - W on device, so the host coverage check must use the same
-    # bound or end-of-table rows silently gather from a shifted window
-    starts = np.clip(starts, 0, max(n_vertices - W, 0))
-
-    cov = ~cb
-    for a in range(n_bands):
-        off = tb - starts[:, a:a + 1]
-        cov |= (off >= 0) & (off < W)
-    uncov = np.flatnonzero(~cov.reshape(-1)[:R])
-
-    u_pad = max(1024, -(-int(R * max_uncov_frac) // 1024) * 1024)
-    if len(uncov) > u_pad:
-        return None
-    uidx = np.full(u_pad, -1, np.int32)
-    uidx[:len(uncov)] = uncov
-    return (jnp.asarray(starts.astype(np.int32)), jnp.asarray(uidx))
-
-
 def fold_schedule(faces_padded: np.ndarray, n_faces: int, n_vertices: int,
                   block_size: int = 512, window: int = 2048,
                   n_bands: int = 3):

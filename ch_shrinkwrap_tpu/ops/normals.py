@@ -43,44 +43,6 @@ def vertex_normal_corners(positions, faces, f_mask, tri=None):
     return fn[:, None, :] * ang[:, :, None]              # (Fp, 3, 3)
 
 
-def vertex_normal_corners_t(tri_t, f_mask):
-    """``vertex_normal_corners`` in the lane-major layout: input
-    ``tri_t`` (C>=3, 3*Fp) with rows x/y/z and columns (3*face +
-    corner) — the ring gather kernel's native transposed output — and
-    output (3, 3*Fp) in the same column order.  Keeps the solver's
-    fold-source assembly free of the (Fp, 3, 3) -> (3Fp, 7) minor-dim
-    relayouts (~18 ms/iter at 656k padded verts, scripts/
-    attr_inblock.py)."""
-    Fp = f_mask.shape[0]
-    t = tri_t[:3, :3 * Fp]
-    v = [t[:, c::3] for c in range(3)]                    # 3 x (3, Fp)
-    e01 = v[1] - v[0]
-    e02 = v[2] - v[0]
-
-    def cross_rows(a, b):
-        return jnp.stack([a[1] * b[2] - a[2] * b[1],
-                          a[2] * b[0] - a[0] * b[2],
-                          a[0] * b[1] - a[1] * b[0]])
-
-    n = cross_rows(e01, e02)                              # (3, Fp)
-    nn = jnp.sqrt((n * n).sum(0))
-    mf = f_mask.astype(t.dtype)
-    fn_t = n / jnp.maximum(nn, 1e-12)[None, :] * mf[None, :]
-
-    angs = []
-    for c in range(3):
-        e_next = v[(c + 1) % 3] - v[c]
-        e_prev = v[(c + 2) % 3] - v[c]
-        dot = (e_next * e_prev).sum(0)
-        crs = cross_rows(e_next, e_prev)
-        sin = jnp.sqrt((crs * crs).sum(0))
-        angs.append(jnp.arctan2(sin, dot) * mf)           # (Fp,)
-    # (3, Fp, 3) -> (3, 3Fp): minor axis = corner, f-major columns
-    vnc_t = jnp.stack([fn_t * a[None, :] for a in angs],
-                      axis=2).reshape(3, 3 * Fp)
-    return vnc_t
-
-
 def normalize_vertex_normals(vn):
     """Unit-normalize summed corner contributions."""
     norm = jnp.sqrt((vn * vn).sum(-1))

@@ -4,9 +4,9 @@ XLA-TPU row gathers are fast while the source table is VMEM-resident
 and collapse into latency-bound row streaming beyond ~300k rows
 (measured: the ncc neighbor gather 5.9 -> 65 ms and the S-direction
 gathers ~8 -> 54 ms going from 164k to 656k padded vertices,
-BASELINE.md).  The round-2 pure-XLA banded formulation
-(ops.windowed_gather: scan + dynamic_slice windows) re-reads every
-window from HBM per block and LOST (2.99 -> 1.88 iters/s).  This
+BASELINE.md).  The round-2 pure-XLA banded formulation (scan +
+dynamic_slice windows; pruned round 4 — git history has it) re-read
+every window from HBM per block and LOST (2.99 -> 1.88 iters/s).  This
 kernel keeps the windows resident and sidesteps XLA's pathological
 scatter for the tail:
 

@@ -31,13 +31,6 @@ import jax.numpy as jnp
 from ..ops import correspondence as corr
 from ..ops import normals as _normals
 
-# block size for the faces-index windowed gathers (must match the
-# driver's gather_schedule call: 8192 flat rows = ~2730 Hilbert-
-# consecutive faces = ~1400 distinct vertices, comfortably inside the
-# 2048-row window; the default 16384 would overflow it)
-VTX_GATHER_BLOCK = 8192
-
-
 class SolverDiagnostics(NamedTuple):
     """Per-iteration traces (length = num_iters; frozen after halt)."""
     tests: jax.Array        # orthogonality test statistic
@@ -56,7 +49,7 @@ class SolverDiagnostics(NamedTuple):
 
 
 def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
-                gather_sched=None, ring_sched=None):
+                ring_sched=None):
     """The curvature-aware smoothing prior `_ncc`
     (mesh_conj_grad.py:770-820): neighbor centroid plus an
     alpha * normal offset, with alpha derived from neighbor-normal
@@ -144,13 +137,6 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
         # falls off a cache cliff above ~300k source rows)
         from ..ops.pallas_gather import ring_gather
         vg = ring_gather(fn, ring_sched).reshape(Vp, K, 8)
-    elif gather_sched is not None:
-        # legacy pure-XLA banded window gather (kept; measured slower
-        # than both — see ops/windowed_gather.py)
-        from ..ops.windowed_gather import windowed_gather
-        starts, uncov = gather_sched
-        vg = windowed_gather(fn, safe.reshape(-1), starts,
-                             uncov).reshape(Vp, K, 8)
     else:
         vg = fn[safe]                                # (Vp, K, 8)
     vpos = vg[..., 0:3]
@@ -172,7 +158,7 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
                           'corr_method', 'polish_iters',
                           'pallas_interpret', 'face_hcgc',
-                          'want_curv_K', 'corr_fv'))
+                          'want_curv_K'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
@@ -180,11 +166,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              corr_method='brute', cell_size=1.0, face_nbrs=None,
              polish_iters=0, pallas_interpret=False,
              fold_starts=None, fold_uncov=None,
-             vtx_gather_starts=None, vtx_gather_uncov=None,
-             ncc_gather_starts=None, ncc_gather_uncov=None,
              ring_tri=None, ring_ncc=None, ring_fold=None,
              face_hcgc=False, active_iters=None,
-             nbr_f=None, want_curv_K=False, corr_fv=False,
+             nbr_f=None, want_curv_K=False,
              ring_tri_cb=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
@@ -211,12 +195,6 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         side-scatter of the host-verified uncovered rows.  XLA's
         segment_sum wins below ~300k padded vertices (cache-resident
         output) and collapses above; the driver gates on that.
-    vtx_gather_starts/uncov, ncc_gather_starts/uncov : optional
-        banded window schedules (``meshdata.gather_schedule``) for the
-        vertex-table gathers (tri = f[faces] / S_tri) and the ncc
-        neighbor gather — the gather-side counterpart of the same
-        >300k-row cache cliff (ops.windowed_gather; kept, but measured
-        slower than both XLA and the ring kernel).
     ring_tri, ring_ncc : optional ``RingGatherSchedule``s
         (``ops.pallas_gather.ring_gather_schedule``) routing the
         faces-index gathers (tri / S_tri) and the ncc neighbor gather
@@ -284,60 +262,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
     ai = jnp.asarray(num_iters if active_iters is None
                      else active_iters, jnp.int32)
 
-    # lane-major face pipeline (EXPERIMENTAL, default OFF —
-    # CSW_LANE_FOLD=1 enables): assemble the fold source in the
-    # kernels' native lane-major (C, rows) layouts end-to-end.  The
-    # row-major assembly (perm + (Fp,12)->(3Fp,4) reshape + 7-col
-    # concat) measures ~18 ms/iter of tiling-relayout tax at 656k
-    # standalone (scripts/attr_inblock.py), and an isolated A/B of the
-    # fold stage won by 6 ms — but the FULL in-block variant measured
-    # a net LOSS (0.907 -> 0.971 s/block at 656k, 2026-08-19): the
-    # transposed accumulator retile, the f-major lane interleave and
-    # the patch-region LANE gather (656k columns from an (8, 5.2M)
-    # table; XLA lane gathers are pathological where row gathers are
-    # not) cost more in context than the relayouts they replace.
-    # Kept (tested: CPU vnc_t parity + TPU A/B identical-convergence
-    # harness) as the documented negative result.
-    import os as _os
-    _lm_fold = False
-    if ring_fold is not None and corr_method == 'windowed_pallas' \
-            and _os.environ.get('CSW_LANE_FOLD'):
-        _fs = ring_fold[0]
-        _lm_fold = (_fs.care is not None
-                    and ring_fold[1].shape[1] == 8
-                    and _fs.n_rows == positions.shape[0] * 8
-                    and _fs.n_rows % (_fs.cps * 128) == 0)
-
     def iteration_live(carry, it):
         f, S_last, tests_hist, halted, _prev_diag = carry
 
         # one f[faces] gather shared by centers + face/vertex normals;
         # the vertex-normal scatter is deferred and fused into the A^T
         # scatter below (same faces.reshape(-1) index)
-        tri_t = None
         if ring_tri is not None:
             from ..ops.pallas_gather import ring_gather
-            if _lm_fold:
-                # the transposed form is the kernel's native output —
-                # taking it too is free and feeds the lane-major
-                # corner-normal build below
-                tri2d, tri_t = ring_gather(f, ring_tri,
-                                           also_transposed=True)
-                tri = tri2d.reshape(-1, 3, 3)
-            else:
-                tri = ring_gather(f, ring_tri).reshape(-1, 3, 3)
-        elif vtx_gather_starts is not None:
-            from ..ops.windowed_gather import windowed_gather
-            tri = windowed_gather(
-                f, faces.reshape(-1), vtx_gather_starts,
-                vtx_gather_uncov,
-                block_size=VTX_GATHER_BLOCK).reshape(-1, 3, 3)
+            tri = ring_gather(f, ring_tri).reshape(-1, 3, 3)
         else:
             tri = f[faces]
         centers = tri.mean(1)
-        if not _lm_fold:
-            vn_corners = _normals.vertex_normal_corners(
-                f, faces, f_mask, tri=tri)
+        vn_corners = _normals.vertex_normal_corners(
+            f, faces, f_mask, tri=tri)
 
         # --- correspondence (rebuilt once per iteration, like calc_w)
         if corr_method == 'grid':
@@ -353,25 +291,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                                                    f_mask,
                                                    starts=corr_starts)
         elif corr_method == 'windowed_pallas':
-            if corr_fv:
-                # fused variant: the kernel extracts the winning
-                # face's corners from its VMEM windows and emits the
-                # corner weights + forward map directly — replaces
-                # the (N, 9) tri-table gather below (the >300k-row
-                # cache cliff's largest remaining op, ~79 ms/iter at
-                # 656k padded verts)
-                dmean, fi, corr_meta, w_k, af_k = \
-                    corr.nearest_face_windowed(
-                        points, centers, f_mask, use_pallas=True,
-                        return_meta=True,
-                        pallas_interpret=pallas_interpret,
-                        starts=corr_starts, prep=corr_prep,
-                        tri9_t=tri.reshape(-1, 9).T)
-            else:
-                dmean, fi, corr_meta = corr.nearest_face_windowed(
-                    points, centers, f_mask, use_pallas=True,
-                    return_meta=True, pallas_interpret=pallas_interpret,
-                    starts=corr_starts, prep=corr_prep)
+            dmean, fi, corr_meta = corr.nearest_face_windowed(
+                points, centers, f_mask, use_pallas=True,
+                return_meta=True, pallas_interpret=pallas_interpret,
+                starts=corr_starts, prep=corr_prep)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
@@ -380,26 +303,21 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             dmean, fi = corr.refine_correspondence(points, centers,
                                                    face_nbrs, fi,
                                                    n_iter=polish_iters)
-        if corr_method == 'windowed_pallas' and corr_fv:
-            # corner weights + forward map computed in-kernel
-            w = w_k * pmask3
-            Af = af_k
-        else:
-            # weights + forward map reuse the face-side ``tri``
-            # gather.  Gather through a 2-D row-major view and KEEP
-            # the flat (N, 9) layout — XLA-TPU lowers >2-D gathers
-            # with a minor-most batch dim ~8x slower (56.6 vs 7.1 ms
-            # at 1M rows, scripts/probe_layout.py), and the
-            # (N,9)->(N,3,3) reshape is a paid relayout
-            fv9 = tri.reshape(-1, 9)[fi]                 # (N, 9)
-            fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
-            dvert = jnp.stack(
-                [jnp.sqrt(((fj - points) ** 2).sum(-1)) for fj in fvj],
-                axis=-1)                                 # (N, 3)
-            w = 1.0 / jnp.maximum(dvert, 1e-6)
-            w = w / w.sum(-1, keepdims=True)
-            w = w * pmask3
-            Af = sum(fvj[j] * w[:, j:j + 1] for j in range(3))
+        # weights + forward map reuse the face-side ``tri``
+        # gather.  Gather through a 2-D row-major view and KEEP
+        # the flat (N, 9) layout — XLA-TPU lowers >2-D gathers
+        # with a minor-most batch dim ~8x slower (56.6 vs 7.1 ms
+        # at 1M rows, scripts/probe_layout.py), and the
+        # (N,9)->(N,3,3) reshape is a paid relayout
+        fv9 = tri.reshape(-1, 9)[fi]                 # (N, 9)
+        fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
+        dvert = jnp.stack(
+            [jnp.sqrt(((fj - points) ** 2).sum(-1)) for fj in fvj],
+            axis=-1)                                 # (N, 3)
+        w = 1.0 / jnp.maximum(dvert, 1e-6)
+        w = w / w.sum(-1, keepdims=True)
+        w = w * pmask3
+        Af = sum(fvj[j] * w[:, j:j + 1] for j in range(3))
 
         # --- weighted residuals (mesh_conj_grad.py:222-248)
         res = weights * (points - Af)
@@ -417,8 +335,6 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # columns — one column + sqrt(3) at readout is the same
         # number; scatter cost grows ~3.3 ms/column at this scale)
         W2 = None
-        W2_t = None
-        acc_t = None
         if corr_method == 'windowed_pallas':
             # scatter-free: route rows through their block's sorted
             # windows in the sliding-ring Pallas kernel (XLA scatter
@@ -436,34 +352,20 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                 # 14 + 14 -> 19 ms at 656k, bit-exact —
                 # scripts/probe_ahw2.py; the previously noted 3x
                 # stall was a Cp=32 cliff, not the fusion)
-                if _lm_fold:
-                    acc_t, W2_t = windowed_ahw2_pallas(
-                        w, res, fi, corr_meta.js, corr_meta.starts,
-                        corr_meta.sub_ids, num_segments=Fp,
-                        interpret=pallas_interpret,
-                        transposed_out=True)        # (12, Fp), (6, Fp)
-                else:
-                    acc, W2 = windowed_ahw2_pallas(
-                        w, res, fi, corr_meta.js, corr_meta.starts,
-                        corr_meta.sub_ids, num_segments=Fp,
-                        interpret=pallas_interpret)  # (Fp,12), (Fp,6)
-            elif _lm_fold:
-                acc_t = windowed_ah_pallas(
-                    w, res, fi, corr_meta.js,
-                    corr_meta.starts, corr_meta.sub_ids,
-                    num_segments=Fp, interpret=pallas_interpret,
-                    transposed_out=True)                     # (12, Fp)
+                acc, W2 = windowed_ahw2_pallas(
+                    w, res, fi, corr_meta.js, corr_meta.starts,
+                    corr_meta.sub_ids, num_segments=Fp,
+                    interpret=pallas_interpret)  # (Fp,12), (Fp,6)
             else:
                 acc = windowed_ah_pallas(
                     w, res, fi, corr_meta.js,
                     corr_meta.starts, corr_meta.sub_ids,
                     num_segments=Fp,
                     interpret=pallas_interpret)              # (Fp, 12)
-            if not _lm_fold:
-                # reorder to the (j, [res, 1]) 4-wide layout shared
-                # with the segment_sum branch
-                perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
-                face_acc = acc[:, jnp.array(perm)]
+            # reorder to the (j, [res, 1]) 4-wide layout shared
+            # with the segment_sum branch
+            perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
+            face_acc = acc[:, jnp.array(perm)]
         else:
             ah_in = jnp.concatenate([res, ones_pts[:, :1]],
                                     axis=1)                  # (N, 4)
@@ -471,49 +373,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             face_acc = jax.ops.segment_sum(
                 per_corner.reshape(N, 12), fi,
                 num_segments=Fp)                             # (Fp, 12)
-        if _lm_fold:
-            # fold source assembled fully lane-major: row-shuffle the
-            # (12, Fp) accumulator into the (corner, [res,1]) order,
-            # interleave to f-major columns, and stack the transposed
-            # corner normals on top — all major-axis moves (the
-            # 128-lane minor never retiles)
-            from ..ops.pallas_gather import ring_gather
-            f_sched, inc_mask, ov_rows, ov_verts = ring_fold
-            Rf = f_sched.n_rows
-            perm_r = jnp.array([0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11])
-            a4t = jnp.transpose(acc_t[perm_r].reshape(3, 4, Fp),
-                                (1, 2, 0)).reshape(4, 3 * Fp)
-            vnc_t = _normals.vertex_normal_corners_t(tri_t, f_mask)
-            fused_t = jnp.concatenate(
-                [vnc_t, a4t, jnp.zeros((1, 3 * Fp), a4t.dtype)],
-                axis=0)                                    # (8, 3Fp)
-            gt = ring_gather(fused_t, f_sched._replace(uncov=None),
-                             transposed_out=True,
-                             src_rows=3 * Fp)              # (8, Rf)
-            cm = f_sched.care.astype(fused_t.dtype)
-            gt = (gt * cm[None, :]).reshape(8, Rf // 128, 128)
-            gm = (jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
-                  // 8
-                  == jax.lax.broadcasted_iota(jnp.int32, (128, 16), 1)
-                  ).astype(fused_t.dtype)
-            out7t = jax.lax.dot_general(
-                gt, gm, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-            out7 = (out7t.reshape(8, Vp)[:7]).T            # (Vp, 7)
-            if f_sched.uncov is not None:
-                u = f_sched.uncov
-                um = u >= 0
-                urows = f_sched.idx.reshape(-1)[jnp.clip(u, 0, Rf - 1)]
-                uv = fused_t[:7, urows].T * um[:, None]
-                out7 = out7.at[jnp.where(um, u // 8, Vp)].add(
-                    uv, mode='drop')
-            if ov_rows is not None:
-                ovm = ov_rows >= 0
-                ovals = (fused_t[:7, jnp.clip(ov_rows, 0, 3 * Fp - 1)].T
-                         * ovm[:, None])
-                out7 = out7.at[jnp.where(ovm, ov_verts, Vp)].add(
-                    ovals, mode='drop')
-        elif ring_fold is not None:
+        if ring_fold is not None:
             # the vertex-normal corners ride the same scatter
             # (7-col rows)
             fused = jnp.concatenate(
@@ -600,10 +460,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         vn = _normals.normalize_vertex_normals(out7[:, :3])
         S0_raw = out7[:, 3:6]
         point_influence = jnp.sqrt(3.0) * jnp.abs(out7[:, 6])
-        ncc_sched = (None if ncc_gather_starts is None
-                     else (ncc_gather_starts, ncc_gather_uncov))
         ncc = compute_ncc(f, nbr_v, vn, point_influence, v_mask,
-                          gather_sched=ncc_sched, ring_sched=ring_ncc)
+                          ring_sched=ring_ncc)
 
         vmask3 = v_mask[:, None]
         S0 = S0_raw * vmask3
@@ -645,8 +503,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         # a 2-D row-major view (XLA-TPU >2-D gathers with a minor
         # batch dim are ~8x slower — scripts/probe_layout.py); the
         # corner sum runs on flat 2-D slices to avoid 4-D relayouts
-        use_cb = ((W2 is not None or W2_t is not None)
-                  and ring_tri_cb is not None)
+        use_cb = (W2 is not None and ring_tri_cb is not None)
         if use_cb:
             # corner-blocked lane-major subspace path: gather S
             # through the three per-corner streams with the
@@ -667,12 +524,6 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             from ..ops.pallas_gather import ring_gather
             S_tri = ring_gather(S.reshape(Vp, 3 * s_size),
                                 ring_tri).reshape(Fp, 9 * s_size)
-        elif vtx_gather_starts is not None:
-            from ..ops.windowed_gather import windowed_gather
-            S_tri = windowed_gather(
-                S.reshape(Vp, 3 * s_size), faces.reshape(-1),
-                vtx_gather_starts, vtx_gather_uncov,
-                block_size=VTX_GATHER_BLOCK).reshape(Fp, 9 * s_size)
         else:
             S_tri = (S.reshape(Vp, 3 * s_size)[faces.reshape(-1)]
                      .reshape(Fp, 9 * s_size))             # (Fp, 9s)
@@ -695,29 +546,24 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             _pr = 'highest'
             Gc = 0.0
             for j in range(3):
-                if _lm_fold:
-                    Mj = jnp.einsum('af,if->ai', Sc_t[j],
-                                    acc_t[3 * j:3 * j + 3],
-                                    precision=_pr)
-                else:
-                    E = acc[:, :9]              # w_j * res_i, j-major
-                    Mj = jnp.einsum('af,fi->ai', Sc_t[j],
-                                    E[:, 3 * j:3 * j + 3],
-                                    precision=_pr)
+                E = acc[:, :9]                  # w_j * res_i, j-major
+                Mj = jnp.einsum('af,fi->ai', Sc_t[j],
+                                E[:, 3 * j:3 * j + 3],
+                                precision=_pr)
                 Gc = Gc + jnp.einsum('iki->k',
                                      Mj.reshape(3, s_size, 3))
             pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
                         (0, 1): 3, (0, 2): 4, (1, 2): 5}
             Hc = 0.0
             for (a, b), col in pair_col.items():
-                w2col = W2_t[col] if _lm_fold else W2[:, col]
+                w2col = W2[:, col]
                 Za_t = Sc_t[a] * w2col[None, :]
                 Mab = jnp.einsum('af,bf->ab', Za_t, Sc_t[b],
                                  precision=_pr)
                 Hab = jnp.einsum('ikil->kl',
                                  Mab.reshape(3, s_size, 3, s_size))
                 Hc = Hc + (Hab if a == b else Hab + Hab.T)
-        elif W2 is not None or W2_t is not None:
+        elif W2 is not None:
             # face-side normal equations: AS[n,i,k] =
             # sum_j w_nj S_tri[fi_n, j, i, k], so with
             # E[f,j,i]   = sum_{n: fi=f} w_nj res_ni   (= A^T cols)
@@ -737,23 +583,15 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             ks = 3 * s_size
             Sc = [S_tri[:, ks * a:ks * (a + 1)].reshape(Fp, 3, s_size)
                   for a in range(3)]
-            if _lm_fold:
-                # transposed accumulators (12/6, Fp): einsum contracts
-                # the transposed operand in place — no (Fp, C) retile
-                Gc = sum(jnp.einsum('fik,if->k', Sc[j],
-                                    acc_t[3 * j:3 * j + 3])
-                         for j in range(3))
-            else:
-                E = acc[:, :9]                  # w_j * res_i, j-major
-                Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
-                                    E[:, 3 * j:3 * j + 3])
-                         for j in range(3))
+            E = acc[:, :9]                  # w_j * res_i, j-major
+            Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
+                                E[:, 3 * j:3 * j + 3])
+                     for j in range(3))
             pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
                         (0, 1): 3, (0, 2): 4, (1, 2): 5}
             Hc = 0.0
             for (a, b), col in pair_col.items():
-                w2col = W2_t[col] if _lm_fold else W2[:, col]
-                Za = Sc[a] * w2col[:, None, None]
+                Za = Sc[a] * W2[:, col, None, None]
                 Hab = jnp.einsum('fik,fil->kl', Za, Sc[b])
                 Hc = Hc + (Hab if a == b else Hab + Hab.T)
         else:
@@ -857,11 +695,9 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                lam0, shrink_lam, *, num_iters, active_iters,
                use_shrink, face_chunk, corr_method, cell_size,
                face_nbrs, fold_starts=None, fold_uncov=None,
-               vtx_gather_starts=None, vtx_gather_uncov=None,
-               ncc_gather_starts=None, ncc_gather_uncov=None,
                ring_tri=None, ring_ncc=None, ring_fold=None,
                nbr_f=None, want_curv_K=False, face_hcgc=False,
-               corr_fv=False, ring_tri_cb=None):
+               ring_tri_cb=None):
     """The single call-shape for ``cg_block`` shared by the fit driver
     and the compile prewarmer.
 
@@ -873,33 +709,7 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
     dummy call and the driver's real call byte-identical by
     construction, so they cannot drift apart.
 
-    ``CSW_AOT_BLOCK=1`` routes the call through an ahead-of-time
-    ``.lower().compile()`` instead of traced dispatch — probe for the
-    executable-size hypothesis (axon-cached blobs may embed
-    buffer-scale data when compilation is triggered by an execution
-    with live buffers; AOT compiles never see buffers).
     """
-    import os as _os
-    if _os.environ.get('CSW_AOT_BLOCK'):
-        return _block_call_aot(
-            dict(positions=positions, faces=faces, f_mask=f_mask,
-                 v_mask=v_mask, nbr_v=nbr_v, points=points,
-                 sigma_inv=sigma_inv, weights=weights,
-                 point_mask=point_mask, lam0=lam0,
-                 shrink_lam=shrink_lam, face_nbrs=face_nbrs,
-                 fold_starts=fold_starts, fold_uncov=fold_uncov,
-                 vtx_gather_starts=vtx_gather_starts,
-                 vtx_gather_uncov=vtx_gather_uncov,
-                 ncc_gather_starts=ncc_gather_starts,
-                 ncc_gather_uncov=ncc_gather_uncov,
-                 ring_tri=ring_tri, ring_ncc=ring_ncc,
-                 ring_fold=ring_fold, nbr_f=nbr_f,
-                 ring_tri_cb=ring_tri_cb,
-                 active_iters=active_iters, cell_size=cell_size),
-            dict(num_iters=num_iters, use_shrink=use_shrink,
-                 face_chunk=face_chunk, corr_method=corr_method,
-                 want_curv_K=want_curv_K, face_hcgc=face_hcgc,
-                 corr_fv=corr_fv))
     return cg_block(
         positions, faces, f_mask, v_mask, nbr_v,
         points, sigma_inv, weights, point_mask,
@@ -909,33 +719,6 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
         corr_method=corr_method, cell_size=cell_size,
         face_nbrs=face_nbrs,
         fold_starts=fold_starts, fold_uncov=fold_uncov,
-        vtx_gather_starts=vtx_gather_starts,
-        vtx_gather_uncov=vtx_gather_uncov,
-        ncc_gather_starts=ncc_gather_starts,
-        ncc_gather_uncov=ncc_gather_uncov,
         ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
         nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc,
-        corr_fv=corr_fv, ring_tri_cb=ring_tri_cb)
-
-
-_AOT_COMPILED = {}
-
-
-def _block_call_aot(dyn, statics):
-    """AOT-compiled dispatch for :func:`block_call` (CSW_AOT_BLOCK=1).
-
-    Compiles via ``jit(...).lower(**args).compile()`` — tracing from
-    avals only, no live buffers at compile time — then calls the cached
-    executable with the dynamic arguments.  Cache key: dynamic pytree
-    structure + leaf shapes/dtypes + the static argument values.
-    """
-    leaves, treedef = jax.tree_util.tree_flatten(dyn)
-    avals = tuple(
-        (getattr(l, 'shape', ()), str(jnp.asarray(l).dtype))
-        for l in leaves)
-    key = (str(treedef), avals, tuple(sorted(statics.items())))
-    compiled = _AOT_COMPILED.get(key)
-    if compiled is None:
-        compiled = cg_block.lower(**dyn, **statics).compile()
-        _AOT_COMPILED[key] = compiled
-    return compiled(**dyn)
+        ring_tri_cb=ring_tri_cb)

@@ -91,10 +91,9 @@ def test_prewarm_buckets_populates_jit_cache():
                         corr_method='dense', cell_size=2.5,
                         face_nbrs=face_nbrs,
                         fold_starts=None, fold_uncov=None,
-                        vtx_gather_starts=None, vtx_gather_uncov=None,
-                        ncc_gather_starts=None, ncc_gather_uncov=None,
                         ring_tri=None, ring_ncc=None, ring_fold=None,
-                        nbr_f=None, want_curv_K=False, face_hcgc=False)
+                        nbr_f=None, want_curv_K=False, face_hcgc=False,
+                        ring_tri_cb=None)
     out[0].block_until_ready()
     assert sw.cg_block._cache_size() == n_traces
 

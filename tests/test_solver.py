@@ -173,33 +173,6 @@ def test_hilbert_order_native_matches_numpy(monkeypatch):
     np.testing.assert_array_equal(o_native, o_numpy)
 
 
-def test_block_call_aot_matches_traced(monkeypatch):
-    """CSW_AOT_BLOCK=1 routes block_call through .lower().compile();
-    results must match the traced-dispatch path bit-for-bit (same
-    program, same backend)."""
-    from ch_shrinkwrap_tpu.solver.shrinkwrap import block_call
-
-    pts, sigma = sphere_cloud(R=50.0, n=800, sigma=3.0, seed=3)
-    v, f = icosphere(2, radius=60.0)
-    ma = meshdata.from_mesh(TriangleMesh(v, f), quantum=256)
-    sigma_inv = (1.0 / sigma).astype(np.float32)
-    weights = sigma_inv / sigma_inv.mean()
-    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
-            jnp.asarray(pts), jnp.asarray(sigma_inv),
-            jnp.asarray(weights), jnp.ones(pts.shape[0], bool),
-            2.0, 0.0)
-    kw = dict(num_iters=3, active_iters=3, use_shrink=False,
-              face_chunk=512, corr_method='brute', cell_size=1.0,
-              face_nbrs=None)
-    monkeypatch.delenv('CSW_AOT_BLOCK', raising=False)
-    f_ref, diag_ref = block_call(*args, **kw)
-    monkeypatch.setenv('CSW_AOT_BLOCK', '1')
-    f_aot, diag_aot = block_call(*args, **kw)
-    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_aot))
-    np.testing.assert_array_equal(np.asarray(diag_ref.ress),
-                                  np.asarray(diag_aot.ress))
-
-
 def test_cg_block_respects_padding():
     pts, sigma = sphere_cloud(R=50.0, n=500, sigma=3.0)
     v, f = icosphere(2, radius=75.0)
@@ -326,75 +299,6 @@ def test_cg_block_windowed_matches_brute_torus_noise():
                                          workers=-1)[0]
     assert np.median(d01) < 0.5
     assert d01.mean() < 1.0
-
-
-def test_windowed_gather_exact_with_outliers():
-    """windowed_gather + gather_schedule reproduce src[idx] exactly on
-    locally-sorted indices with a 1% uniform outlier scatter (the case
-    that breaks gap-based banding) and honest don't-care rows."""
-    from ch_shrinkwrap_tpu.ops.meshdata import gather_schedule
-    from ch_shrinkwrap_tpu.ops.windowed_gather import windowed_gather
-
-    rng = np.random.default_rng(0)
-    Vp, K, C = 50_000, 20, 8
-    src = rng.normal(size=(Vp, C)).astype(np.float32)
-    base = np.arange(Vp)[:, None]
-    idx = np.clip(base + rng.integers(-300, 300, size=(Vp, K)), 0, Vp - 1)
-    wild = rng.random((Vp, K)) < 0.01
-    idx[wild] = rng.integers(0, Vp, wild.sum())
-    care = rng.random((Vp, K)) >= 0.1
-    idx_flat = idx.reshape(-1).astype(np.int32)
-
-    sched = gather_schedule(idx_flat, care.reshape(-1), Vp)
-    assert sched is not None
-    starts, uncov = sched
-    out = windowed_gather(jnp.asarray(src), jnp.asarray(idx_flat),
-                          starts, uncov)
-    err = np.abs(np.asarray(out) - src[idx_flat])[care.reshape(-1)]
-    assert err.max() == 0.0
-
-
-def test_cg_block_windowed_gather_exact():
-    """cg_block with the banded vertex/ncc gather schedules is
-    bit-identical to the plain-gather path."""
-    from ch_shrinkwrap_tpu.ops import meshdata
-    from ch_shrinkwrap_tpu.solver.shrinkwrap import (cg_block,
-                                                     VTX_GATHER_BLOCK)
-
-    rng = np.random.default_rng(0)
-    v, f = icosphere(4, radius=60.0)
-    m = TriangleMesh(v, f)
-    m.spatial_sort()
-    ma = meshdata.from_mesh(m, quantum=256, hilbert_faces=False)
-    Vp = ma.positions.shape[0]
-    d = rng.normal(size=(20000, 3))
-    d /= np.linalg.norm(d, axis=1)[:, None]
-    pts = jnp.asarray((d * 50 + rng.normal(scale=3, size=d.shape))
-                      .astype(np.float32))
-    sig = jnp.full((20000, 3), 1 / 3., jnp.float32)
-    w = sig / sig.mean()
-    pm = jnp.ones(20000, bool)
-
-    faces_np = np.asarray(ma.faces)
-    gs = meshdata.gather_schedule(
-        faces_np.reshape(-1), np.repeat(np.asarray(ma.f_mask), 3), Vp,
-        block_size=VTX_GATHER_BLOCK)
-    nbr_np = np.asarray(ma.nbr_v)
-    gs2 = meshdata.gather_schedule(
-        np.clip(nbr_np, 0, None).reshape(-1),
-        (nbr_np >= 0).reshape(-1), Vp, block_size=16384)
-    assert gs is not None and gs2 is not None
-
-    args = (ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
-            pts, sig, w, pm, jnp.float32(2.0), jnp.float32(0.0))
-    kw = dict(num_iters=3, face_chunk=512, face_nbrs=ma.face_nbrs)
-    f_plain, _ = cg_block(*args, **kw)
-    f_sched, _ = cg_block(*args, **kw,
-                          vtx_gather_starts=gs[0], vtx_gather_uncov=gs[1],
-                          ncc_gather_starts=gs2[0],
-                          ncc_gather_uncov=gs2[1])
-    np.testing.assert_array_equal(np.asarray(f_plain),
-                                  np.asarray(f_sched))
 
 
 def test_windowed_segment_sum_matches_segment_sum():
@@ -564,104 +468,6 @@ def test_cg_block_want_curv_K_matches_standalone():
     K_ref = curvature_grad(f_k, ma.faces, ma.f_mask, ma.v_mask,
                            ma.nbr_v, ma.nbr_f).K
     np.testing.assert_array_equal(np.asarray(d_k.K), np.asarray(K_ref))
-
-
-def test_nearest_face_windowed_fv_interpret():
-    """The fused winner-corner extraction variant (corr_fv) must agree
-    with the plain kernel on (d, fid) and reproduce the XLA-path corner
-    weights / forward map computed from its own winners."""
-    rng = np.random.default_rng(11)
-    v, f = icosphere(4, radius=50.0)
-    from ch_shrinkwrap_tpu.ops import meshdata as md
-    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
-    tri = np.asarray(ma.positions)[np.asarray(ma.faces)]   # (Fp, 3, 3)
-    centers = jnp.asarray(tri.mean(1))
-
-    d = rng.normal(size=(3000, 3))
-    d /= np.linalg.norm(d, axis=1)[:, None]
-    pts = (d * 50.0 + rng.normal(scale=3.0, size=d.shape))
-    far = rng.uniform(-120, 120, (100, 3))
-    allp = np.vstack([pts, far]).astype(np.float32)
-    allp = allp[corr.fit_point_order(allp)]
-    jp = jnp.asarray(allp)
-    tri9_t = jnp.asarray(tri.reshape(-1, 9).T)
-
-    d_p, i_p = corr.nearest_face_windowed(
-        jp, centers, ma.f_mask, window=1024, use_pallas=True,
-        pallas_interpret=True)
-    d_f, i_f, w_f, af_f = corr.nearest_face_windowed(
-        jp, centers, ma.f_mask, window=1024, use_pallas=True,
-        pallas_interpret=True, tri9_t=tri9_t)
-    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_p),
-                               rtol=1e-5, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_p))
-
-    # XLA-path corner weights from the kernel's own winners
-    fv9 = tri.reshape(-1, 9)[np.asarray(i_f)]
-    fvj = [fv9[:, 3 * j:3 * j + 3] for j in range(3)]
-    dvert = np.stack(
-        [np.sqrt(((fj - allp) ** 2).sum(-1)) for fj in fvj], axis=-1)
-    w_ref = 1.0 / np.maximum(dvert, 1e-6)
-    w_ref = w_ref / w_ref.sum(-1, keepdims=True)
-    af_ref = sum(fvj[j] * w_ref[:, j:j + 1] for j in range(3))
-    np.testing.assert_allclose(np.asarray(w_f), w_ref,
-                               rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(af_f), af_ref,
-                               rtol=1e-5, atol=1e-3)
-
-
-def test_cg_block_corr_fv_matches_plain():
-    """A cg_block with corr_fv=True (interpret mode) must converge to
-    the same positions as the plain windowed_pallas block."""
-    rng = np.random.default_rng(3)
-    v, f = icosphere(3, radius=40.0)
-    mesh = TriangleMesh(v.astype(np.float32), f)
-    mesh.spatial_sort()
-    from ch_shrinkwrap_tpu.ops import meshdata as md
-    ma = md.from_mesh(mesh, quantum=256, hilbert_faces=False)
-    N = 4096
-    d = rng.normal(size=(N, 3))
-    d /= np.linalg.norm(d, axis=1)[:, None]
-    pts = (d * 40.0 + rng.normal(scale=1.5, size=d.shape)).astype(
-        np.float32)
-    pts = pts[corr.fit_point_order(pts)]
-    pts_j = jnp.asarray(pts)
-    sig = jnp.full((N, 3), 1.5, jnp.float32)
-    w = jnp.ones((N, 3), jnp.float32)
-    pm = jnp.ones(N, bool)
-
-    from ch_shrinkwrap_tpu.solver.shrinkwrap import cg_block
-    out = {}
-    for fv in (False, True):
-        f1, diag = cg_block(
-            ma.positions, ma.faces, ma.f_mask, ma.v_mask, ma.nbr_v,
-            pts_j, 1.0 / sig, w, pm, 0.5, num_iters=2,
-            corr_method='windowed_pallas', face_nbrs=ma.face_nbrs,
-            pallas_interpret=True, corr_fv=fv)
-        out[fv] = np.asarray(f1)
-    np.testing.assert_allclose(out[True], out[False],
-                               rtol=1e-5, atol=1e-3)
-
-
-def test_vertex_normal_corners_t_matches_row_major():
-    """The lane-major corner-normal build (vertex_normal_corners_t on
-    the transposed tri table) must reproduce vertex_normal_corners."""
-    from ch_shrinkwrap_tpu.ops import normals as _normals
-    from ch_shrinkwrap_tpu.ops import meshdata as md
-    rng = np.random.default_rng(5)
-    v, f = icosphere(2, radius=20.0)
-    v = (v + rng.normal(scale=0.5, size=v.shape)).astype(np.float32)
-    ma = md.from_mesh(TriangleMesh(v, f), quantum=256)
-    tri = np.asarray(ma.positions)[np.asarray(ma.faces)]   # (Fp, 3, 3)
-    Fp = tri.shape[0]
-    vnc = np.asarray(_normals.vertex_normal_corners(
-        ma.positions, ma.faces, ma.f_mask, tri=jnp.asarray(tri)))
-    # kernel-native transposed tri: rows x/y/z, columns 3f + corner
-    tri_t = jnp.asarray(tri.reshape(3 * Fp, 3).T)
-    vnc_t = np.asarray(_normals.vertex_normal_corners_t(
-        tri_t, ma.f_mask))
-    np.testing.assert_allclose(
-        vnc_t, vnc.reshape(3 * Fp, 3).T, rtol=1e-5, atol=1e-6)
 
 
 def test_cb_lane_major_subspace_contraction_identity():
