@@ -99,8 +99,7 @@ def main():
                             os.environ.get('BENCH_HCGC_AT',
                                            meshdata.HCGC_MIN_VP))
                             and ring_tri is not None
-                            and bool(np.all(weights > 0))),
-                        corr_fv=bool(os.environ.get('CSW_CORR_FV')))
+                            and bool(np.all(weights > 0))))
 
     # warmup / compile (the float() fetch forces real completion even
     # when the remote execution path lies about readiness)

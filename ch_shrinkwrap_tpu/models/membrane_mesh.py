@@ -586,10 +586,20 @@ class MembraneMesh(TriangleMesh):
             on_tpu = jax.default_backend() == 'tpu'
             method = (('windowed_pallas' if on_tpu else 'windowed')
                       if big else 'brute')
-        if dmesh is not None and method == 'windowed_pallas':
-            # Mosaic custom calls don't SPMD-partition; the pure-XLA
-            # windowed path shards cleanly over the points axis
-            method = 'windowed'
+        # Mosaic custom calls don't SPMD-partition under GSPMD, so a
+        # sharded fit runs the production Pallas path through
+        # shard_map (cg_block spmd_mesh): per-chip correspondence
+        # sweeps over the local cloud slice, psum'd A^T/W2
+        # accumulators, replicated vertex-side ring kernels.  On a
+        # non-TPU mesh (the virtual-CPU dryrun/test mesh) the kernels
+        # run in interpret mode.
+        spmd_mesh = dmesh if (dmesh is not None
+                              and method == 'windowed_pallas') else None
+        pallas_interp = bool(spmd_mesh is not None
+                             and jax.default_backend() != 'tpu')
+        # observability: which correspondence kernel THIS fit ran (the
+        # dryrun asserts the sharded path kept the production method)
+        self._last_corr_method = method
         # face-side normal equations need strictly positive weights on
         # every coordinate (zero-weight coords require the per-point
         # el_mask in the N-row path) — one host check per fit
@@ -852,8 +862,10 @@ class MembraneMesh(TriangleMesh):
                 # off) — skip their ~35 MB/boundary tunnel upload;
                 # materialized below if the schedules fall back.
                 _want_ring = (getattr(self, 'use_ring_gather', True)
-                              and dmesh is None
-                              and jax.default_backend() == 'tpu')
+                              and (dmesh is None
+                                   or method == 'windowed_pallas')
+                              and (jax.default_backend() == 'tpu'
+                                   or pallas_interp))
                 _lazy = (_want_ring and not want_K
                          and (v_cap or self.vertices.shape[0])
                          > int(getattr(self, 'ring_gather_min_verts',
@@ -895,9 +907,7 @@ class MembraneMesh(TriangleMesh):
                     # faces->verts fold.  The pure-XLA banded variant
                     # (use_windowed_gather) is kept for reference but
                     # measured SLOWER than both.
-                    use_ring = (getattr(self, 'use_ring_gather', True)
-                                and dmesh is None
-                                and jax.default_backend() == 'tpu')
+                    use_ring = _want_ring
                     if use_ring:
                         # capacity-constant schedule layout: the
                         # compiled block is IDENTICAL across remesh
@@ -983,6 +993,8 @@ class MembraneMesh(TriangleMesh):
                     fold_starts=fold_starts, fold_uncov=fold_uncov,
                     ring_tri=ring_tri, ring_ncc=ring_ncc,
                     ring_fold=ring_fold, ring_tri_cb=ring_cb,
+                    spmd_mesh=spmd_mesh,
+                    pallas_interpret=pallas_interp,
                     nbr_f=ma.nbr_f if want_K else None,
                     want_curv_K=want_K,
                     # pays off only once the (N, 9s) AS gather is on

@@ -354,7 +354,8 @@ def fit_point_order(points, grid_n=128, sparse_fraction=0.1):
     # outliers, and clipping sparse points to the dense box destroys
     # their depth ordering (windowed-id agreement 0.981 -> 0.978 on
     # the production-shape test either way).
-    dense_pts = points[~sparse] if sparse.any() else points
+    dense_pts = points[~sparse] if sparse.any() and not sparse.all() \
+        else points
     codes = hilbert_codes_for(points, lo=dense_pts.min(0),
                               hi=dense_pts.max(0))
     if sparse.any():

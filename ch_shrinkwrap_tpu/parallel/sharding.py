@@ -58,13 +58,19 @@ def pad_to_multiple(arr, multiple, axis=0, fill=0):
 
 
 def shard_points(mesh, points, sigma_inv, weights):
-    """Pad the cloud to a multiple of the mesh size and place the
-    arrays sharded over the ``points`` axis.  Returns
-    (points, sigma_inv, weights, point_mask) device arrays."""
-    n_dev = mesh.devices.size
-    pts, n = pad_to_multiple(np.asarray(points, np.float32), n_dev)
-    sig, _ = pad_to_multiple(np.asarray(sigma_inv, np.float32), n_dev)
-    w, _ = pad_to_multiple(np.asarray(weights, np.float32), n_dev)
+    """Pad the cloud and place the arrays sharded over the ``points``
+    axis.  Returns (points, sigma_inv, weights, point_mask) device
+    arrays.
+
+    The pad multiple is 256 * n_devices, not n_devices: the windowed
+    correspondence search works on 256-point blocks of the Hilbert-
+    sorted cloud, and the shard_map'd production path (cg_block
+    spmd_mesh) requires every chip to hold whole blocks."""
+    n_dev = int(mesh.devices.size)
+    mult = 256 * n_dev
+    pts, n = pad_to_multiple(np.asarray(points, np.float32), mult)
+    sig, _ = pad_to_multiple(np.asarray(sigma_inv, np.float32), mult)
+    w, _ = pad_to_multiple(np.asarray(weights, np.float32), mult)
     mask = np.zeros(pts.shape[0], bool)
     mask[:n] = True
 
@@ -95,20 +101,31 @@ def sharded_fit(mesh_model, points, sigma, n_devices=None, **kwargs):
 
 def sharded_cg_block(mesh, mesh_arrays, points, sigma_inv, weights,
                      point_mask, lam0, shrink_lam=0.0, num_iters=5,
-                     use_shrink=False, face_chunk=2048):
+                     use_shrink=False, face_chunk=2048,
+                     corr_method='brute', pallas_interpret=False,
+                     **cg_kwargs):
     """Run a CG block with the cloud sharded over ``mesh``.
 
     ``mesh_arrays`` fields are replicated; outputs are replicated
     (every chip holds the updated vertex positions).
+    ``corr_method`` and any further ``cg_block`` kwargs (ring
+    schedules, ``face_hcgc``, ...) pass straight through — the
+    production ``'windowed_pallas'`` path runs its Mosaic kernels
+    under ``shard_map`` (``cg_block`` spmd_mesh): per-chip sweeps over
+    the local cloud slice, psum'd A^T/W2 accumulators.  The cloud must
+    come from :func:`shard_points` (whole 256-point blocks per chip).
     """
     positions, v_mask, faces, f_mask, nbr_v = replicate(
         mesh, mesh_arrays.positions, mesh_arrays.v_mask,
         mesh_arrays.faces, mesh_arrays.f_mask, mesh_arrays.nbr_v)
 
     rep = NamedSharding(mesh, P())
+    spmd = mesh if corr_method == 'windowed_pallas' else None
     fn = jax.jit(
         partial(cg_block, num_iters=num_iters, use_shrink=use_shrink,
-                face_chunk=face_chunk),
+                face_chunk=face_chunk, corr_method=corr_method,
+                pallas_interpret=pallas_interpret, spmd_mesh=spmd,
+                **cg_kwargs),
         out_shardings=rep)
     return fn(positions, faces, f_mask, v_mask, nbr_v,
               points, sigma_inv, weights, point_mask,

@@ -201,7 +201,8 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
                     ring_tri=ring_tri, ring_ncc=ring_ncc,
                     ring_fold=ring_fold, ring_tri_cb=ring_cb,
                     nbr_f=nbr_f if want_curv_K else None,
-                    want_curv_K=want_curv_K, face_hcgc=face_hcgc)
+                    want_curv_K=want_curv_K, face_hcgc=face_hcgc,
+                    spmd_mesh=None, pallas_interpret=False)
                 out[0].block_until_ready()
                 # warm the boundary fetch-slice programs (the driver
                 # fetches block results at the 4-rung capacity ladder;

@@ -158,7 +158,7 @@ def compute_ncc(f, nbr_v, vnormals, point_influence, v_mask,
          static_argnames=('num_iters', 'use_shrink', 'face_chunk',
                           'corr_method', 'polish_iters',
                           'pallas_interpret', 'face_hcgc',
-                          'want_curv_K'))
+                          'want_curv_K', 'spmd_mesh'))
 def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              points, sigma_inv, weights, point_mask,
              lam0, shrink_lam=0.0, num_iters=5,
@@ -169,7 +169,7 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
              ring_tri=None, ring_ncc=None, ring_fold=None,
              face_hcgc=False, active_iters=None,
              nbr_f=None, want_curv_K=False,
-             ring_tri_cb=None):
+             ring_tri_cb=None, spmd_mesh=None):
     """Run ``num_iters`` CG iterations on device; returns
     (new_positions, SolverDiagnostics).
 
@@ -220,6 +220,18 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
         contiguous lane slice and Gc/Hc contract lane-major on the
         MXU.  Ignored without W2 (the per-point path needs row-major
         S_tri).
+    spmd_mesh : optional ``jax.sharding.Mesh`` with a ``points``
+        axis (static arg — Mesh is hashable).  Mosaic custom calls do
+        not SPMD-partition under GSPMD, so with a mesh present the two
+        point-axis kernel sites — the windowed correspondence sweep
+        and the fused A^T/W2 scatter — run under ``shard_map``: each
+        chip sweeps its own contiguous slice of the Hilbert-sorted
+        cloud against the REPLICATED face table, and the face-side
+        accumulators psum over ICI.  The vertex/face-side ring kernels
+        run replicated (identical on every chip).  Everything else is
+        plain XLA and GSPMD places it.  The cloud must be sharded so
+        every chip holds whole 256-point search blocks
+        (``parallel.sharding.shard_points`` pads to 256 * n_devices).
     active_iters : optional RUNTIME iteration count <= num_iters:
         iterations beyond it are skipped through the frozen branch.
         Lets the driver run variable-length blocks (to the next
@@ -291,10 +303,35 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                                                    f_mask,
                                                    starts=corr_starts)
         elif corr_method == 'windowed_pallas':
-            dmean, fi, corr_meta = corr.nearest_face_windowed(
-                points, centers, f_mask, use_pallas=True,
-                return_meta=True, pallas_interpret=pallas_interpret,
-                starts=corr_starts, prep=corr_prep)
+            if spmd_mesh is not None:
+                # per-shard Pallas sweep over local point blocks; the
+                # face table (centers/f_mask) is replicated, so every
+                # result is exact and no collective is needed here
+                from jax.sharding import PartitionSpec as P
+
+                def _sweep(pts_l, cen, fm, starts_l, prep_l):
+                    return corr.nearest_face_windowed(
+                        pts_l, cen, fm, use_pallas=True,
+                        return_meta=True,
+                        pallas_interpret=pallas_interpret,
+                        starts=starts_l, prep=prep_l)
+
+                dmean, fi, corr_meta = jax.shard_map(
+                    _sweep, mesh=spmd_mesh,
+                    in_specs=(P('points'), P(), P(), P('points'),
+                              P('points')),
+                    out_specs=(P('points'), P('points'),
+                               corr.WindowedMeta(starts=P('points'),
+                                                 js=P('points'),
+                                                 sub_ids=P())),
+                    check_vma=False)(points, centers, f_mask,
+                                     corr_starts, corr_prep)
+            else:
+                dmean, fi, corr_meta = corr.nearest_face_windowed(
+                    points, centers, f_mask, use_pallas=True,
+                    return_meta=True,
+                    pallas_interpret=pallas_interpret,
+                    starts=corr_starts, prep=corr_prep)
         else:
             dmean, fi = corr.nearest_face_bruteforce(
                 points, centers, f_mask, face_chunk=face_chunk)
@@ -344,7 +381,44 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             # w_j * res_c (j-major), 9..11 = w_j
             from ..ops.pallas_scatter import (windowed_ah_pallas,
                                               windowed_ahw2_pallas)
-            if face_hcgc:
+            if spmd_mesh is not None:
+                # per-shard accumulation of local points into the full
+                # (Fp, C) face accumulators, then ONE psum over ICI —
+                # the SPMD form of the reference's A^T scatter-add
+                # (c_shrinkwrap_ah_helper, conj_grad_utils.c:123-167)
+                from jax.sharding import PartitionSpec as P
+
+                if face_hcgc:
+                    def _scat(w_l, res_l, fi_l, js_l, st_l, sub):
+                        a, w2 = windowed_ahw2_pallas(
+                            w_l, res_l, fi_l, js_l, st_l, sub,
+                            num_segments=Fp,
+                            interpret=pallas_interpret)
+                        return jax.lax.psum((a, w2), 'points')
+                    acc, W2 = jax.shard_map(
+                        _scat, mesh=spmd_mesh,
+                        in_specs=(P('points'), P('points'),
+                                  P('points'), P('points'),
+                                  P('points'), P()),
+                        out_specs=(P(), P()), check_vma=False)(
+                        w, res, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids)
+                else:
+                    def _scat(w_l, res_l, fi_l, js_l, st_l, sub):
+                        a = windowed_ah_pallas(
+                            w_l, res_l, fi_l, js_l, st_l, sub,
+                            num_segments=Fp,
+                            interpret=pallas_interpret)
+                        return jax.lax.psum(a, 'points')
+                    acc = jax.shard_map(
+                        _scat, mesh=spmd_mesh,
+                        in_specs=(P('points'), P('points'),
+                                  P('points'), P('points'),
+                                  P('points'), P()),
+                        out_specs=P(), check_vma=False)(
+                        w, res, fi, corr_meta.js, corr_meta.starts,
+                        corr_meta.sub_ids)
+            elif face_hcgc:
                 # both accumulators in ONE kernel sweep: the AH and
                 # W2 passes stream identical (block, anchor) steps
                 # over identical packed inputs, and per-step cost
@@ -697,7 +771,8 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
                face_nbrs, fold_starts=None, fold_uncov=None,
                ring_tri=None, ring_ncc=None, ring_fold=None,
                nbr_f=None, want_curv_K=False, face_hcgc=False,
-               ring_tri_cb=None):
+               ring_tri_cb=None, spmd_mesh=None,
+               pallas_interpret=False):
     """The single call-shape for ``cg_block`` shared by the fit driver
     and the compile prewarmer.
 
@@ -721,4 +796,5 @@ def block_call(positions, faces, f_mask, v_mask, nbr_v,
         fold_starts=fold_starts, fold_uncov=fold_uncov,
         ring_tri=ring_tri, ring_ncc=ring_ncc, ring_fold=ring_fold,
         nbr_f=nbr_f, want_curv_K=want_curv_K, face_hcgc=face_hcgc,
-        ring_tri_cb=ring_tri_cb)
+        ring_tri_cb=ring_tri_cb, spmd_mesh=spmd_mesh,
+        pallas_interpret=pallas_interpret)
