@@ -82,7 +82,8 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
     sw_lists = [sw['max_iters'], sw['curvature_weight'],
                 sw['remesh_frequency'], sw['punch_frequency'],
                 sw['min_hole_radius'], sw['neck_first_iter'],
-                sw['neck_threshold_low'], sw['neck_threshold_high']]
+                sw['neck_threshold_low'], sw['neck_threshold_high'],
+                sw.get('neck_detector', ['threshold'])]
 
     spr = test_d.get('screened_poisson', {})
     spr_lists = [spr.get('samplespernode', [1.5]),
@@ -97,7 +98,8 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
     sw_keys = param_keys + ['max_iter', 'curvature_weight',
                             'remesh_frequency', 'punch_frequency',
                             'min_hole_radius', 'neck_first_iter',
-                            'neck_threshold_low', 'neck_threshold_high']
+                            'neck_threshold_low', 'neck_threshold_high',
+                            'neck_detector']
     spr_keys = param_keys + ['samplespernode', 'pointweight', 'iters', 'k']
 
     def expand(extra_lists, keys):
@@ -158,7 +160,9 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
                         delaunay_eps=params['min_hole_radius'],
                         neck_first_iter=params['neck_first_iter'],
                         neck_threshold_low=params['neck_threshold_low'],
-                        neck_threshold_high=params['neck_threshold_high'])
+                        neck_threshold_high=params['neck_threshold_high'],
+                        neck_detector=params.get('neck_detector',
+                                                 'threshold'))
     mesh.shrink_wrap(points, sigma, max_iter=params['max_iter'],
                      minimum_edge_length=params.get('minimum_edge_length',
                                                     5.0))

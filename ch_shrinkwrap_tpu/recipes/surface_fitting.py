@@ -42,6 +42,13 @@ class ShrinkwrapMembrane(ModuleBase):
     neck_threshold_high = Float(1e-2, desc='curvature threshold for necks '
                                 'characterised by +ve curvature')
     neck_first_iter = Int(9)
+    neck_detector = CStr('threshold', desc="low-side neck criterion: "
+                         "'threshold' (reference-identical) or "
+                         "'separator' (connectivity-proven waist "
+                         "rings; defeats the wrinkle-noise overlap "
+                         "the pure threshold cannot resolve)")
+    neck_separator_threshold = Float(-1e-4, desc='candidate K bound '
+                                    'for the separator detector')
     truncate_at = Int(1000, desc='Truncate the iterations before max_iter')
     minimum_edge_length = Float(5)
     smooth_curvature = Bool(True, desc='Smooth curvature estimates')
@@ -67,6 +74,9 @@ class ShrinkwrapMembrane(ModuleBase):
                             neck_threshold_low=self.neck_threshold_low,
                             neck_threshold_high=self.neck_threshold_high,
                             neck_first_iter=self.neck_first_iter,
+                            neck_detector=self.neck_detector,
+                            neck_separator_threshold=(
+                                self.neck_separator_threshold),
                             shrink_weight=self.shrink_weight,
                             truncate_at=self.truncate_at)
 

@@ -297,3 +297,46 @@ def test_speculative_punch_boundary_blocks_match_serial():
         assert mesh.is_manifold
     assert out[True].shape == out[False].shape
     np.testing.assert_allclose(out[True], out[False], atol=1e-5)
+
+
+def test_separator_neck_detector_severs_dumbbell():
+    """The separator detector (neck_detector='separator') severs the
+    dumbbell neck exactly like the threshold criterion: the waist ring
+    is a connected negative-K patch whose removal disconnects the
+    surface."""
+    mesh = dumbbell_mesh()
+    _, n0 = mesh.connected_components()
+    assert n0 == 1
+    mesh.neck_detector = 'separator'
+    mesh.neck_separator_threshold = -1e-3
+    mesh.remove_necks(neck_curvature_threshold_low=-1e-3,
+                      neck_curvature_threshold_high=1e-1)
+    labels, n1 = mesh.connected_components()
+    sizes = np.bincount(labels, minlength=n1)
+    assert (sizes > 100).sum() == 2
+    he = mesh.halfedges
+    assert (he.twin >= 0).all()
+
+
+def test_separator_neck_detector_spares_noisy_sphere():
+    """On a wrinkled sphere the pure threshold flags scattered noise
+    saddles (the shred/safety-valve regime); the separator detector
+    must remove NOTHING — no noise patch disconnects the surface."""
+    rng = np.random.default_rng(7)
+    v, f = icosphere(4, radius=50.0)
+    mesh = MembraneMesh(v, f, smooth_curvature=True)
+    # wrinkle the surface so noise saddles produce negative K well
+    # below the candidate bound
+    mesh.set_positions(mesh.vertices
+                       + rng.normal(scale=0.6, size=v.shape))
+    K = mesh.curvature_gaussian
+    t_cand = -1e-4
+    assert (K < t_cand).sum() > 20      # threshold WOULD flag these
+    v0 = mesh.vertices.shape[0]
+    mesh.neck_detector = 'separator'
+    mesh.neck_separator_threshold = t_cand
+    mesh.remove_necks(neck_curvature_threshold_low=t_cand,
+                      neck_curvature_threshold_high=1e6)
+    assert mesh.vertices.shape[0] == v0          # nothing removed
+    _, n = mesh.connected_components()
+    assert n == 1
