@@ -79,7 +79,11 @@ class MembraneMesh(TriangleMesh):
         # or 'separator' (connectivity-proven waist rings, opt-in —
         # see remove_necks)
         self.neck_detector = 'threshold'
-        self.neck_separator_threshold = -1e-4
+        # separator-mode knobs: candidate bound (relaxed — connectivity
+        # plus the median gate do the discrimination) and the per-patch
+        # median-K coherence bound
+        self.neck_separator_threshold = -1e-5
+        self.neck_separator_median = -2e-4
         self.shrink_weight = 0.0
         self.truncate_at = 2 ** 31
         # Skip the internal remesh inside boundary surgeries
@@ -397,8 +401,8 @@ class MembraneMesh(TriangleMesh):
     # ------------------------------------------------------------------
     # topology surgery
 
-    def _separator_neck_vertices(self, K, t_cand, min_piece=16,
-                                 max_comp_frac=0.05):
+    def _separator_neck_vertices(self, K, t_cand, t_median,
+                                 min_piece=16, max_comp_frac=0.05):
         """Negative-K neck detection by SEPARATION, not by threshold
         alone: candidate vertices (K < ``t_cand``) are grouped into
         connected patches, and a patch is a neck iff it borders >= 2
@@ -410,6 +414,15 @@ class MembraneMesh(TriangleMesh):
         saddles — whose K overlaps the waist K at SMLM noise, the
         measured reason the pure threshold cannot resolve the
         neck-stress grid (BASELINE.md) — do not.
+
+        Separation alone is NOT sufficient on tube-like surfaces: a
+        chain of noise saddles circling a healthy tube disconnects it
+        just like a waist ring does (measured: the first separator
+        grid over-cut CollinearCapsules into 5 components).  The
+        discriminator is COHERENCE: a true catenoid waist is negatively
+        curved around its whole ring (K = -1/c^2), while a noise chain
+        assembled at a relaxed ``t_cand`` hugs the threshold — so a
+        patch is only accepted when its median K clears ``t_median``.
 
         Host-side, O(E): two sparse connected-component passes plus a
         border-edge join.  ``max_comp_frac`` rejects percolating
@@ -457,7 +470,77 @@ class MembraneMesh(TriangleMesh):
         sep = (touch_counts >= 2) & (cand_sizes <= size_cap)
         if not sep.any():
             return np.zeros(0, np.int64)
-        return np.flatnonzero(cand & sep[lab_cand])
+        # border map patch -> adjacent sizable complement comps (for
+        # the constriction gate below)
+        adj = {}
+        for k_l, r_l in zip(bk[sizable], br[sizable]):
+            adj.setdefault(int(k_l), set()).add(int(r_l))
+
+        def _constriction_ratio(pmask, sid):
+            """ring radius of the patch over the local radius of its
+            adjacent surface pieces — a true neck is a CONSTRICTION
+            (catenoid waist c < tube radius), while a coherently
+            negative wrinkle band on a healthy tube has the tube's own
+            radius (measured: a 444-vert body band at medK -2.1e-4
+            passed the median gate and shredded the gap-25 grid row).
+            Axis = least-variance direction of the patch vertices (the
+            ring-plane normal); radius = mean in-plane distance."""
+            P = self.vertices[pmask]
+            c = P.mean(0)
+            D = P - c
+            try:
+                _, _, vt = np.linalg.svd(D, full_matrices=False)
+            except np.linalg.LinAlgError:
+                return np.inf
+            axis = vt[-1]
+            ax = D @ axis
+            r_patch = float(np.linalg.norm(
+                D - ax[:, None] * axis[None], axis=1).mean())
+            if not np.isfinite(r_patch) or r_patch <= 0:
+                return np.inf
+            ratios = []
+            for r_l in adj.get(sid, ()):
+                Q = self.vertices[~cand & (lab_rest == r_l)] - c
+                qax = Q @ axis
+                band = np.abs(qax) < 3.0 * r_patch
+                if band.sum() < 8:
+                    continue
+                Qb = Q[band]
+                r_side = float(np.linalg.norm(
+                    Qb - (Qb @ axis)[:, None] * axis[None],
+                    axis=1).mean())
+                if r_side > 0:
+                    ratios.append(r_patch / r_side)
+            # the patch must constrict relative to BOTH sides; with no
+            # measurable side, reject (inf)
+            return max(ratios) if len(ratios) >= 2 else np.inf
+
+        # coherence + constriction gates
+        sep_ids = np.flatnonzero(sep)
+        keep = []
+        for sid in sep_ids:
+            pmask = cand & (lab_cand == sid)
+            kk = K[pmask]
+            med_ok = len(kk) and float(np.median(kk)) < t_median
+            ratio = _constriction_ratio(pmask, int(sid)) if med_ok \
+                else np.inf
+            ok = med_ok and ratio < 0.9
+            if logger.isEnabledFor(logging.DEBUG):
+                c = self.vertices[pmask].mean(0)
+                logger.debug(
+                    'separator patch %d: %d verts, medK %.2e, touches '
+                    '%d, constriction %.2f, centroid (%.0f,%.0f,%.0f) '
+                    '-> %s', sid, int(pmask.sum()),
+                    float(np.median(kk)), int(touch_counts[sid]),
+                    ratio, c[0], c[1], c[2],
+                    'CUT' if ok else 'reject')
+            if ok:
+                keep.append(sid)
+        if not keep:
+            return np.zeros(0, np.int64)
+        sel = np.zeros(n_k, bool)
+        sel[np.asarray(keep)] = True
+        return np.flatnonzero(cand & sel[lab_cand])
 
     def remove_necks(self, neck_curvature_threshold_low=-1e-4,
                      neck_curvature_threshold_high=1e-2,
@@ -498,8 +581,11 @@ class MembraneMesh(TriangleMesh):
         detector = getattr(self, 'neck_detector', 'threshold')
         if detector == 'separator':
             t_cand = float(getattr(self, 'neck_separator_threshold',
-                                   -1e-4))
-            low_verts = self._separator_neck_vertices(K, t_cand)
+                                   -1e-5))
+            t_median = float(getattr(self, 'neck_separator_median',
+                                     -2e-4))
+            low_verts = self._separator_neck_vertices(K, t_cand,
+                                                      t_median)
             high_verts = np.flatnonzero(
                 K > neck_curvature_threshold_high)
             # the high-side spike flags keep the wrinkle-noise safety
