@@ -864,8 +864,19 @@ class MembraneMesh(TriangleMesh):
                 v_mid = meshdata.round_up_bucket(
                     max(v_cap // 2, self.vertices.shape[0] + 8),
                     self.pad_quantum)
+                # XLA-TPU scatter emission is pathological in a
+                # capacity band: measured 38-44 MB executables at
+                # v_cap 93184-114688 (and 60 MB at the 65k bucket,
+                # round 3) vs 7.8-9.2 MB at >= 131072 — a 4-5x
+                # executable-LOAD penalty through the remote service
+                # that erases the mid rung's device savings.  Clamp
+                # the mid rung above the band (probe:
+                # scripts/..., BASELINE.md round-4 notes).
+                if (jax.default_backend() == 'tpu'
+                        and 32768 < v_mid < 131072 <= v_cap):
+                    v_mid = 131072
                 f_mid = meshdata.round_up_bucket(
-                    max(f_cap // 2, self.faces.shape[0]),
+                    max(2 * v_mid - 4, self.faces.shape[0]),
                     self.pad_quantum)
                 if v_mid < v_cap and f_mid < f_cap:
                     self._cap_rungs = [(v_cap, f_cap)]

@@ -94,17 +94,33 @@ def nearest_face_bruteforce(points, centers, f_mask, face_chunk=4096,
 # shared helpers
 
 def _subsample_ids(n_total, n_sub):
-    """Quasi-uniform face subsample by multiplicative hashing.
+    """Quasi-uniform face subsample: stratified + hash-jittered.
 
     A plain stride aliases with structured face orderings (e.g. the
     4-block interleaving of subdivision meshes) and can skip whole
-    regions; Knuth multiplicative hashing decorrelates the subsample
-    from any ordering.
+    regions.  Pure Knuth multiplicative hashing (``i * 2654435761
+    % n_total``) decorrelates from the ordering but equidistributes
+    POORLY for unlucky ``n_total``: at the 263168-face capacity the
+    1024 hashed ids left gaps of ~1500 consecutive faces (vs ~280 at
+    187392), which collapsed the windowed search's far-point fallback
+    — measured 0.92 nearest-face agreement vs 0.98 at neighboring
+    capacities, and a 99-iter fit at that capacity wrinkled hard
+    enough to shred in the neck pass.  One jittered sample per
+    ``n_total / n_sub`` stratum keeps the worst gap below two strata
+    for EVERY capacity while the in-stratum hash keeps the
+    decorrelation.
     """
     import numpy as np
     n_sub = min(n_sub, n_total)
-    ids = (np.arange(n_sub, dtype=np.uint64) * np.uint64(2654435761)
-           ) % np.uint64(n_total)
+    i = np.arange(n_sub, dtype=np.uint64)
+    base = i * np.uint64(n_total) // np.uint64(n_sub)
+    strat = max(n_total // n_sub, 1)
+    # jitter from the HIGH bits of the multiplicative hash: the low
+    # bits of i * K mod a small stratum correlate with i (K mod strat
+    # can be 1), which would leave the jitter a deterministic ramp
+    jit = ((i * np.uint64(2654435761)) >> np.uint64(17)) \
+        % np.uint64(strat)
+    ids = np.minimum(base + jit, np.uint64(n_total - 1))
     return jnp.asarray(np.unique(ids.astype(np.int32)))
 
 
