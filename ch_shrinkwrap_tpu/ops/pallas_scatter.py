@@ -128,10 +128,15 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
             # rows [w0 w1 w2 | res0 res1 res2 | fid js]: build the 12
             # per-corner products w_j * [res, 1] in-kernel (saves the
             # XLA-side (N, 12) materialization + repack; the ones
-            # column's products are just w_j, already present)
-            rows = [raw[j:j + 1] * raw[3 + c:4 + c]
-                    for j in range(3) for c in range(3)]
-            rows += [raw[j:j + 1] for j in range(3)]
+            # column's products are just w_j, already present).
+            # Column order is the CONSUMER's interleaved (j, [res 1])
+            # layout — the fold source slices 4-wide corner groups —
+            # so the solver pays no (Fp, 12) permutation op.
+            rows = []
+            for j in range(3):
+                rows += [raw[j:j + 1] * raw[3 + c:4 + c]
+                         for c in range(3)]
+                rows += [raw[j:j + 1]]
             valT = jnp.concatenate(
                 rows + [jnp.zeros((c_cols - len(rows), B),
                                   jnp.float32)],
@@ -140,15 +145,18 @@ def _scatter_kernel(seq_ref,         # (steps*3,) prefetch [s0, blk, a]
             js = raw[7, :].astype(jnp.int32)
         elif factored == 'ahw2':
             # rows [w0 w1 w2 | res0 res1 res2 | fid js]: both passes'
-            # products in one sweep — 9 w_j*res_c + 3 w_j (the AH
-            # accumulator) and the 6 unique w_j*w_j' (the W2 Gram).
-            # 18 live columns need c_cols=24; the earlier 18-col
-            # attempt used Cp=32 and stalled 3x (solver comment) —
-            # at 24 the ring update and part matmul grow only 1.5x
-            # while the second kernel's full per-step cost disappears.
-            rows = [raw[j:j + 1] * raw[3 + c:4 + c]
-                    for j in range(3) for c in range(3)]
-            rows += [raw[j:j + 1] for j in range(3)]
+            # products in one sweep — the interleaved 12-col AH layout
+            # (see 'ah' above) and the 6 unique w_j*w_j' (the W2
+            # Gram).  18 live columns need c_cols=24; the earlier
+            # 18-col attempt used Cp=32 and stalled 3x (solver
+            # comment) — at 24 the ring update and part matmul grow
+            # only 1.5x while the second kernel's full per-step cost
+            # disappears.
+            rows = []
+            for j in range(3):
+                rows += [raw[j:j + 1] * raw[3 + c:4 + c]
+                         for c in range(3)]
+                rows += [raw[j:j + 1]]
             rows += [raw[j:j + 1] * raw[jp:jp + 1]
                      for (j, jp) in ((0, 0), (1, 1), (2, 2),
                                      (0, 1), (0, 2), (1, 2))]
@@ -392,8 +400,8 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
     ``segment_sum((w[:, :, None] * concat([res, 1])[:, None, :])
     .reshape(N, 12), fid)`` without materializing the (N, 12) operand
     — the kernel receives packed rows [w | res | fid js] per block.
-    Output columns are ordered (j, c) with c in [res0 res1 res2, 1]:
-    cols 0..8 = w_j * res_c row-major, cols 9..11 = w_j.
+    Output columns are the consumer's interleaved (j, [res, 1])
+    layout: col 4j+c = w_j * res_c for c < 3, col 4j+3 = w_j.
     """
     N = w.shape[0]
     nb = starts.shape[0]

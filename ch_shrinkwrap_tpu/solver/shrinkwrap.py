@@ -436,10 +436,10 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
                     corr_meta.starts, corr_meta.sub_ids,
                     num_segments=Fp,
                     interpret=pallas_interpret)              # (Fp, 12)
-            # reorder to the (j, [res, 1]) 4-wide layout shared
-            # with the segment_sum branch
-            perm = [0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11]
-            face_acc = acc[:, jnp.array(perm)]
+            # the kernel emits the (j, [res, 1]) 4-wide interleaved
+            # layout directly (column order baked in-kernel), shared
+            # with the segment_sum branch — no permutation op
+            face_acc = acc
         else:
             ah_in = jnp.concatenate([res, ones_pts[:, :1]],
                                     axis=1)                  # (N, 4)
@@ -620,9 +620,9 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             _pr = 'highest'
             Gc = 0.0
             for j in range(3):
-                E = acc[:, :9]                  # w_j * res_i, j-major
+                # w_j * res columns sit at 4j..4j+3 (interleaved)
                 Mj = jnp.einsum('af,fi->ai', Sc_t[j],
-                                E[:, 3 * j:3 * j + 3],
+                                acc[:, 4 * j:4 * j + 3],
                                 precision=_pr)
                 Gc = Gc + jnp.einsum('iki->k',
                                      Mj.reshape(3, s_size, 3))
@@ -657,9 +657,8 @@ def cg_block(positions, faces, f_mask, v_mask, nbr_v,
             ks = 3 * s_size
             Sc = [S_tri[:, ks * a:ks * (a + 1)].reshape(Fp, 3, s_size)
                   for a in range(3)]
-            E = acc[:, :9]                  # w_j * res_i, j-major
             Gc = sum(jnp.einsum('fik,fi->k', Sc[j],
-                                E[:, 3 * j:3 * j + 3])
+                                acc[:, 4 * j:4 * j + 3])
                      for j in range(3))
             pair_col = {(0, 0): 0, (1, 1): 1, (2, 2): 2,
                         (0, 1): 3, (0, 2): 4, (1, 2): 5}

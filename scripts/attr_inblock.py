@@ -138,13 +138,12 @@ def main():
                     num_segments=Fp)), w)
 
     vnc = _normals.vertex_normal_corners(fpos, faces, f_mask, tri=tri)
-    perm = jnp.array([0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11])
 
     def fuse(acc_, vnc_):
-        face_acc = acc_[:, perm]
+        # kernel emits the interleaved (j, [res, 1]) layout directly
         return jnp.concatenate([vnc_.reshape(Fp * 3, 3),
-                                face_acc.reshape(Fp * 3, 4)], axis=1)
-    fused = timeit("perm + concat fused (3Fp, 7)", jax.jit(fuse), acc, vnc)
+                                acc_.reshape(Fp * 3, 4)], axis=1)
+    fused = timeit("concat fused (3Fp, 7)", jax.jit(fuse), acc, vnc)
 
     f_sched, inc_mask, ov_rows, ov_verts = ring_fold
     KI = inc_mask.shape[1]
