@@ -864,17 +864,17 @@ class MembraneMesh(TriangleMesh):
                 v_mid = meshdata.round_up_bucket(
                     max(v_cap // 2, self.vertices.shape[0] + 8),
                     self.pad_quantum)
-                # XLA-TPU scatter emission is pathological in a
-                # capacity band: measured 38-44 MB executables at
-                # v_cap 93184-114688 (and 60 MB at the 65k bucket,
-                # round 3) vs 7.8-9.2 MB at >= 131072 — a 4-5x
-                # executable-LOAD penalty through the remote service
-                # that erases the mid rung's device savings.  Clamp
-                # the mid rung above the band (probe:
-                # scripts/..., BASELINE.md round-4 notes).
+                # XLA-TPU emission is pathological in a capacity band:
+                # 38-44 MB executables at v_cap 93184-114688 (60 MB at
+                # the 65k bucket, round 3) vs ~8 MB at >= 131072 — and
+                # the RUNTIME stays degraded further up (5-iter block
+                # at 1e6 pts: 0.503 s @131072, 0.477 @147456,
+                # 0.400 @163840, 0.423 @186368 — measured 2026-08-20).
+                # Clamp the mid rung to the first capacity that is
+                # sane in BOTH size and speed (BASELINE.md round-4).
                 if (jax.default_backend() == 'tpu'
-                        and 32768 < v_mid < 131072 <= v_cap):
-                    v_mid = 131072
+                        and 32768 < v_mid < 163840 <= v_cap):
+                    v_mid = 163840
                 f_mid = meshdata.round_up_bucket(
                     max(2 * v_mid - 4, self.faces.shape[0]),
                     self.pad_quantum)

@@ -9,9 +9,15 @@ collectives — the per-shard ``segment_sum`` scatter-adds of A^T become
 psums over ICI, the nearest-face sweep runs on local shards against the
 replicated face table, and the tiny subspace H/G reductions all-reduce.
 
-No solver code changes: the same ``cg_block`` program is jitted with
-sharded input layouts (the "pick a mesh, annotate shardings, let XLA
-insert collectives" recipe).
+For the pure-XLA solver paths no code changes are needed: the same
+``cg_block`` program is jitted with sharded input layouts (the "pick a
+mesh, annotate shardings, let XLA insert collectives" recipe).  The
+PRODUCTION path's Mosaic kernels do not SPMD-partition under GSPMD, so
+``cg_block(spmd_mesh=...)`` wraps its two point-axis kernel sites in
+``shard_map`` — each chip sweeps its own contiguous slice of the
+Hilbert-sorted cloud against the replicated face table, and the A^T/W2
+face accumulators psum over ICI; the vertex/face-side ring kernels run
+replicated (round 4 — no silent method downgrade remains).
 """
 
 from __future__ import annotations
