@@ -469,12 +469,15 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384,
     # reduces over K with the vertex axis on lanes (2.5% patch @ span
     # 384 measured on sorted fit meshes, vs 40 ms of ~6%-lane math in
     # the row-major layout at 656k).  The stream carries only the
-    # first NCC_K=12 neighbor slots — remeshed fit meshes max out at
-    # valence 8 (measured; the table's K=20 is the reference's struct
-    # padding, membrane_mesh_utils.h:26) — so the kernel scans 40%
-    # fewer rows; the rare valence>12 neighbors ride a fixed-width
-    # overflow pair list handled exactly by compute_ncc.
-    NCC_K = 12
+    # first NCC_K=8 neighbor slots — remeshed fit meshes max out at
+    # valence 7 (measured histogram: 5/6/7 only, icosphere after a
+    # growth remesh; the table's K=20 is the reference's struct
+    # padding, membrane_mesh_utils.h:26) — so the kernel scans 60%
+    # fewer rows than K=20 and 33% fewer than the earlier K=12; the
+    # rare valence>8 neighbors (unremeshed seeds) ride a fixed-width
+    # overflow pair list handled exactly by compute_ncc, and a mesh
+    # with MANY of them falls back atomically to the XLA path.
+    NCC_K = 8
     n_ncc = nbr_np.shape[0] * NCC_K
     nat = native.kmaj_stream_clip(
         nbr_np, NCC_K, 1024,
@@ -487,8 +490,12 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384,
         nbr12 = nbr_np[:, :NCC_K]
         ncc_idx, ncc_care = blocked_kmajor_stream(
             np.clip(nbr12, 0, None), nbr12 >= 0, block=1024)
+    # span 512 (not the tri/fold 384): the K=8 stream has fewer
+    # padding rows diluting the patch budget — at 656k, span 384
+    # measured 6.3% patch (over the 1/16 budget) while 512 holds
+    # 328k patch rows, SMALLER than the old K=12/384 pair's 492k
     ring_ncc = ring_gather_schedule(
-        ncc_idx, ncc_care, Vp, span=384, fixed_layout=True,
+        ncc_idx, ncc_care, Vp, span=512, fixed_layout=True,
         kmaj_block=1024, care_out=True, cps=cps)
     if ring_ncc is not None:
         ov_extra = nbr_np[:, NCC_K:]
