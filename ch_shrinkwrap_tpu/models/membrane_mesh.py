@@ -871,7 +871,8 @@ class MembraneMesh(TriangleMesh):
                 # at 1e6 pts: 0.503 s @131072, 0.477 @147456,
                 # 0.400 @163840, 0.423 @186368 — measured 2026-08-20).
                 # Clamp the mid rung to the first capacity that is
-                # sane in BOTH size and speed (BASELINE.md round-4).
+                # sane in BOTH size and speed (probe:
+                # scripts/probe_capacity_band.py; BASELINE.md round 4).
                 if (jax.default_backend() == 'tpu'
                         and 32768 < v_mid < 163840 <= v_cap):
                     v_mid = 163840
