@@ -83,7 +83,8 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
                 sw['remesh_frequency'], sw['punch_frequency'],
                 sw['min_hole_radius'], sw['neck_first_iter'],
                 sw['neck_threshold_low'], sw['neck_threshold_high'],
-                sw.get('neck_detector', ['threshold'])]
+                sw.get('neck_detector', ['threshold']),
+                sw.get('via_recipe', [False])]
 
     spr = test_d.get('screened_poisson', {})
     spr_lists = [spr.get('samplespernode', [1.5]),
@@ -99,7 +100,7 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
                             'remesh_frequency', 'punch_frequency',
                             'min_hole_radius', 'neck_first_iter',
                             'neck_threshold_low', 'neck_threshold_high',
-                            'neck_detector']
+                            'neck_detector', 'via_recipe']
     spr_keys = param_keys + ['samplespernode', 'pointweight', 'iters', 'k']
 
     def expand(extra_lists, keys):
@@ -153,19 +154,48 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
         n_points_min=params.get('n_points_min', 50),
         grid_n=params.get('grid_n', 48))
 
-    mesh = MembraneMesh(mesh=surf, kc=1.0,
-                        step_size=params['curvature_weight'],
-                        remesh_frequency=params['remesh_frequency'],
-                        delaunay_remesh_frequency=params['punch_frequency'],
-                        delaunay_eps=params['min_hole_radius'],
-                        neck_first_iter=params['neck_first_iter'],
-                        neck_threshold_low=params['neck_threshold_low'],
-                        neck_threshold_high=params['neck_threshold_high'],
-                        neck_detector=params.get('neck_detector',
-                                                 'threshold'))
-    mesh.shrink_wrap(points, sigma, max_iter=params['max_iter'],
-                     minimum_edge_length=params.get('minimum_edge_length',
-                                                    5.0))
+    if params.get('via_recipe'):
+        # Drive the fit through the user-facing ShrinkwrapMembrane
+        # recipe module (surface_fitting.py) rather than direct model
+        # kwargs: the sweep then validates the RECIPE config surface —
+        # trait defaults (incl. the separator knobs) must equal the
+        # grid-validated model defaults (VERDICT r4 next #5).
+        from ..recipes.surface_fitting import ShrinkwrapMembrane
+        from ..recipes.base import ColumnSource
+        ns = {'surf': surf,
+              'filtered_localizations': ColumnSource(
+                  x=points[:, 0], y=points[:, 1], z=points[:, 2],
+                  error_x=sigma[:, 0], error_y=sigma[:, 1],
+                  error_z=sigma[:, 2])}
+        mod = ShrinkwrapMembrane(
+            input='surf', points='filtered_localizations',
+            output='membrane',
+            max_iters=params['max_iter'],
+            curvature_weight=params['curvature_weight'],
+            remesh_frequency=params['remesh_frequency'],
+            punch_frequency=params['punch_frequency'],
+            min_hole_radius=params['min_hole_radius'],
+            neck_first_iter=params['neck_first_iter'],
+            neck_threshold_low=params['neck_threshold_low'],
+            neck_threshold_high=params['neck_threshold_high'],
+            neck_detector=params.get('neck_detector', 'threshold'),
+            minimum_edge_length=params.get('minimum_edge_length', 5.0))
+        mod.execute(ns)
+        mesh = ns['membrane']
+    else:
+        mesh = MembraneMesh(mesh=surf, kc=1.0,
+                            step_size=params['curvature_weight'],
+                            remesh_frequency=params['remesh_frequency'],
+                            delaunay_remesh_frequency=params['punch_frequency'],
+                            delaunay_eps=params['min_hole_radius'],
+                            neck_first_iter=params['neck_first_iter'],
+                            neck_threshold_low=params['neck_threshold_low'],
+                            neck_threshold_high=params['neck_threshold_high'],
+                            neck_detector=params.get('neck_detector',
+                                                     'threshold'))
+        mesh.shrink_wrap(points, sigma, max_iter=params['max_iter'],
+                         minimum_edge_length=params.get(
+                             'minimum_edge_length', 5.0))
     duration = time.time() - t_start
 
     mesh_pts, mesh_nrm = points_from_mesh(mesh, dx_min=5.0, p=1.0,

@@ -80,10 +80,14 @@ class MembraneMesh(TriangleMesh):
         # see remove_necks)
         self.neck_detector = 'threshold'
         # separator-mode knobs: candidate bound (relaxed — connectivity
-        # plus the median gate do the discrimination) and the per-patch
-        # median-K coherence bound
+        # plus the median gate do the discrimination), the per-patch
+        # median-K coherence bound, and the constriction ratio (patch
+        # ring radius over adjacent surface radius; a true waist
+        # constricts).  These defaults are the grid-validated config
+        # (BASELINE.md round 4) and the recipe traits mirror them.
         self.neck_separator_threshold = -1e-5
         self.neck_separator_median = -2e-4
+        self.neck_separator_constriction = 0.9
         self.shrink_weight = 0.0
         self.truncate_at = 2 ** 31
         # Skip the internal remesh inside boundary surgeries
@@ -110,6 +114,10 @@ class MembraneMesh(TriangleMesh):
 
         self._points = None
         self._sigma = None
+        # cloud-derived compile prewarm handle
+        # (solver.prewarm.prewarm_for_cloud) — adopted or canceled at
+        # the first opt_conjugate_gradient call
+        self.early_prewarm = None
         self._last_diag = None
         self._curv_state = None
         self.mdh = {}
@@ -402,6 +410,7 @@ class MembraneMesh(TriangleMesh):
     # topology surgery
 
     def _separator_neck_vertices(self, K, t_cand, t_median,
+                                 constriction=0.9,
                                  min_piece=16, max_comp_frac=0.05):
         """Negative-K neck detection by SEPARATION, not by threshold
         alone: candidate vertices (K < ``t_cand``) are grouped into
@@ -524,7 +533,7 @@ class MembraneMesh(TriangleMesh):
             med_ok = len(kk) and float(np.median(kk)) < t_median
             ratio = _constriction_ratio(pmask, int(sid)) if med_ok \
                 else np.inf
-            ok = med_ok and ratio < 0.9
+            ok = med_ok and ratio < constriction
             if logger.isEnabledFor(logging.DEBUG):
                 c = self.vertices[pmask].mean(0)
                 logger.debug(
@@ -584,8 +593,11 @@ class MembraneMesh(TriangleMesh):
                                    -1e-5))
             t_median = float(getattr(self, 'neck_separator_median',
                                      -2e-4))
+            t_constr = float(getattr(self, 'neck_separator_constriction',
+                                     0.9))
             low_verts = self._separator_neck_vertices(K, t_cand,
-                                                      t_median)
+                                                      t_median,
+                                                      t_constr)
             high_verts = np.flatnonzero(
                 K > neck_curvature_threshold_high)
             # the high-side spike flags keep the wrinkle-noise safety
@@ -928,7 +940,53 @@ class MembraneMesh(TriangleMesh):
         if getattr(self, '_prewarm_cancel', None) is not None:
             self._prewarm_cancel.set()
         prewarm_cancel = None
-        if (getattr(self, 'prewarm_compiles', True) and dmesh is None
+        # A cloud-derived EARLY prewarm (solver.prewarm.prewarm_for_cloud,
+        # started before wrap_start) is ADOPTED when its statics match
+        # and its capacities cover this fit's prediction within a 1.35x
+        # slack band: padding to the (slightly larger) prewarmed caps
+        # costs a few percent of device time and saves the whole
+        # executable-load exposure the early start already paid down.
+        # A mismatch (undershoot, oversized estimate, different
+        # statics) cancels the handle and falls through to the normal
+        # prewarm below.
+        adopted_early = False
+        stat_kw = dict(N=int(N), lam0=lam0, shrink_lam=shrink_lam,
+                       ni_static=int(ni_static),
+                       use_shrink=bool(use_shrink),
+                       face_chunk=int(self.face_chunk),
+                       corr_method=method,
+                       uniform_weights=uniform_weights,
+                       want_curv_K=bool(want_K),
+                       ring_min_verts=int(getattr(
+                           self, 'ring_gather_min_verts', 32768)),
+                       pad_quantum=int(self.pad_quantum))
+        # observability (and the early-prewarm adoption contract test)
+        self._prewarm_statics = stat_kw
+        self._final_caps_pred = ((v_cap, f_cap)
+                                 if v_cap is not None else None)
+        ep = getattr(self, 'early_prewarm', None)
+        if ep is not None:
+            fits = (cap_mode == 'final' and v_cap is not None
+                    and dmesh is None
+                    and ep.compatible(**stat_kw)
+                    and ep.v_cap >= v_cap and ep.f_cap >= f_cap
+                    and ep.v_cap <= int(1.35 * v_cap)
+                    and ep.f_cap <= int(1.35 * f_cap))
+            if fits:
+                logger.info('early prewarm adopted: caps (%d, %d) -> '
+                            '(%d, %d)', v_cap, f_cap, ep.v_cap, ep.f_cap)
+                v_cap, f_cap = ep.v_cap, ep.f_cap
+                prewarm_cancel = ep.cancel_event
+                adopted_early = True
+            else:
+                logger.info('early prewarm NOT adopted (caps (%d, %d) '
+                            'vs predicted (%s, %s) or statics) - '
+                            'canceled', ep.v_cap, ep.f_cap, v_cap, f_cap)
+                ep.cancel()
+            self.early_prewarm = None
+        self._adopted_early_prewarm = adopted_early
+        if (not adopted_early
+                and getattr(self, 'prewarm_compiles', True) and dmesh is None
                 and jax.default_backend() == 'tpu'):
             from ..solver import prewarm as _prewarm
             single = cap_mode == 'final' and v_cap is not None

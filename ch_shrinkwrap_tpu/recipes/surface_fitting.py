@@ -47,8 +47,21 @@ class ShrinkwrapMembrane(ModuleBase):
                          "'separator' (connectivity-proven waist "
                          "rings; defeats the wrinkle-noise overlap "
                          "the pure threshold cannot resolve)")
-    neck_separator_threshold = Float(-1e-4, desc='candidate K bound '
-                                    'for the separator detector')
+    neck_separator_threshold = Float(-1e-5, desc='candidate K bound '
+                                     'for the separator detector '
+                                     '(grid-validated default; '
+                                     'connectivity + median + '
+                                     'constriction gates do the '
+                                     'discrimination)')
+    neck_separator_median = Float(-2e-4, desc='per-patch median-K '
+                                  'coherence bound for the separator '
+                                  'detector (a true waist ring is '
+                                  'coherently negative)')
+    neck_separator_constriction = Float(0.9, desc='max patch-ring '
+                                        'radius over adjacent surface '
+                                        'radius for the separator '
+                                        'detector (a true neck '
+                                        'constricts)')
     truncate_at = Int(1000, desc='Truncate the iterations before max_iter')
     minimum_edge_length = Float(5)
     smooth_curvature = Bool(True, desc='Smooth curvature estimates')
@@ -77,6 +90,10 @@ class ShrinkwrapMembrane(ModuleBase):
                             neck_detector=self.neck_detector,
                             neck_separator_threshold=(
                                 self.neck_separator_threshold),
+                            neck_separator_median=(
+                                self.neck_separator_median),
+                            neck_separator_constriction=(
+                                self.neck_separator_constriction),
                             shrink_weight=self.shrink_weight,
                             truncate_at=self.truncate_at)
 

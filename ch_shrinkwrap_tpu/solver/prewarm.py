@@ -30,6 +30,7 @@ driver loop /root/reference/ch_shrinkwrap/_membrane_mesh.pyx:1427-1560.
 from __future__ import annotations
 
 import logging
+import math
 import threading
 
 import numpy as np
@@ -242,3 +243,169 @@ def start_prewarm_thread(*args, **kwargs):
                          name='cg-prewarm')
     t.start()
     return t, cancel
+
+
+# ---------------------------------------------------------------------
+# Cloud-derived early prewarm: start the executable load BEFORE the
+# seed surface exists (VERDICT r4 next #2).  The driver's 'final'-mode
+# capacity prediction needs only a surface-area estimate + the
+# edge-length schedule endpoints; both are derivable from the cloud
+# alone, so callers (scripts/e2e_fit.py) can issue the fit's one
+# compile/load request before wrap_start and the whole pre-loop
+# (seed build, cloud ordering, upload, first meshdata build) overlaps
+# the remote service's executable-load latency instead of only the
+# post-shrink_wrap-entry part of it.
+
+def estimate_cloud_area(points, sigma_med, subsample=400_000, seed=1):
+    """Surface-area estimate of the (noisy shell) cloud: occupied
+    fine-voxel volume over the noise-driven shell thickness.
+
+    At voxel edge ``h`` the occupied-voxel volume of a locally planar
+    shell of area A and Gaussian localization noise sigma measures
+    ``V ~ A * sigma * c(h/sigma)``; the linear model
+    ``c = 2.2*(h/sigma) - 0.75`` was calibrated on synthetic
+    sphere/torus/junction clouds against their wrap_start seed areas
+    (spread 0.98-1.4x, 1.08x on the north-star cloud — inside the
+    driver's adoption slack).  Background localizations are rejected
+    by the >= 2-points-per-voxel occupancy threshold."""
+    pts = np.asarray(points, np.float32)
+    frac = 1.0
+    if len(pts) > subsample:
+        idx = np.random.default_rng(seed).choice(len(pts), subsample,
+                                                 replace=False)
+        pts = pts[idx]
+        frac = subsample / len(points)
+    h = float(max(1.5 * sigma_med, 8.0))
+    q = np.floor(pts / h).astype(np.int64)
+    q -= q.min(0)
+    keys = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+    _, counts = np.unique(keys, return_counts=True)
+    thr = max(2.0 * frac, 1.0000001)
+    n_occ = int((counts >= thr).sum())
+    c = max(2.2 * (h / max(sigma_med, 1e-6)) - 0.75, 1.0)
+    return n_occ * h ** 3 / (c * max(sigma_med, 1e-6))
+
+
+class EarlyPrewarm:
+    """Handle for a cloud-derived prewarm: the running thread, its
+    cancel event, the capacities it warmed, and the static config the
+    warmed executable was keyed on.  ``MembraneMesh`` adopts the handle
+    (pads to its capacities) when the statics match and the caps cover
+    its own prediction within a slack band; otherwise it cancels it."""
+
+    def __init__(self, thread, cancel_event, v_cap, f_cap, statics):
+        self.thread = thread
+        self.cancel_event = cancel_event
+        self.v_cap = int(v_cap)
+        self.f_cap = int(f_cap)
+        self.statics = dict(statics)
+
+    def compatible(self, **kw):
+        return all(self.statics.get(k) == v for k, v in kw.items())
+
+    def cancel(self):
+        self.cancel_event.set()
+
+
+def prewarm_for_cloud(points, sigma, max_iter=39, step_size=20.0,
+                      kc=1.0, kg=0.0, c0=0.0,
+                      remesh_frequency=5, delaunay_remesh_frequency=0,
+                      minimum_edge_length=-1.0, shrink_weight=0.0,
+                      truncate_at=None, pad_quantum=1024,
+                      face_chunk=2048, corr_method='auto',
+                      ring_min_verts=32768, force=False):
+    """Start the fit's one 'final'-mode executable load from the cloud
+    alone, before any mesh exists.  Returns an :class:`EarlyPrewarm`
+    handle to pass to ``MembraneMesh(early_prewarm=...)`` (or ``None``
+    off-TPU / when remeshing is off — no capacity prediction then).
+
+    Replicates the driver's prediction pipeline
+    (``opt_conjugate_gradient``: schedule endpoints -> predicted final
+    edge length -> face count from area -> capacity buckets) with the
+    seed-mesh area replaced by :func:`estimate_cloud_area` and the
+    (weakly-felt) initial edge length by ``3 * final_length``.
+    Counterpart: the reference has no analogue (single-process CPU,
+    nothing to warm; driver loop _membrane_mesh.pyx:1427-1560)."""
+    import jax
+
+    if jax.default_backend() != 'tpu' and not force:
+        return None
+    r = remesh_frequency != 0 and remesh_frequency <= max_iter
+    if not r:
+        return None
+    dr = (delaunay_remesh_frequency != 0
+          and delaunay_remesh_frequency <= max_iter)
+    points = np.asarray(points)
+    N = points.shape[0]
+    n_iter = int(min(max_iter, truncate_at or max_iter))
+
+    sig = np.asarray(sigma, np.float64)
+    sigma_min = float(sig.min())
+    sigma_med = float(np.median(sig))
+    if minimum_edge_length is None or minimum_edge_length < 0:
+        final_length = float(np.clip(sigma_min / 2.5, 1.0, 50.0))
+    else:
+        final_length = float(minimum_edge_length)
+
+    # schedule position at the last executed remesh boundary (driver's
+    # pred_final_len) with the seed edge length approximated — its
+    # weight in the interpolation is rf/(rf*ceil(n/rf)) ~ 3%
+    rf = math.gcd(remesh_frequency, delaunay_remesh_frequency) if dr \
+        else remesh_frequency
+    initial_est = min(3.0 * final_length, 50.0)
+    m = (final_length - initial_est) / (rf * np.ceil(max_iter / rf))
+    last_remesh_iter = (n_iter // remesh_frequency) * remesh_frequency
+    pred_len = max(float(np.clip(
+        initial_est + m * (last_remesh_iter + 1),
+        min(initial_est, final_length),
+        max(initial_est, final_length))), 1e-3)
+
+    area = estimate_cloud_area(points, sigma_med)
+    pred_faces = 1.15 * area / (np.sqrt(3.0) / 4.0 * pred_len ** 2)
+    f_cap = meshdata.round_up_bucket(int(1.15 * pred_faces), pad_quantum)
+    v_cap = meshdata.round_up_bucket(int(1.15 * pred_faces / 2) + 8,
+                                     pad_quantum)
+
+    ni_static = n_iter
+    ni_static = min(ni_static, remesh_frequency)
+    if dr:
+        ni_static = min(ni_static, delaunay_remesh_frequency)
+
+    lam0 = float(step_size * kc / 2.0)
+    use_shrink = shrink_weight > 0
+    shrink_lam = float(shrink_weight)
+    # per-point weights default to sigma_inv (driver: weights=None
+    # path); uniform iff every coordinate weight is strictly positive
+    uniform_weights = bool(np.all(np.isfinite(sig)) and np.all(sig > 0))
+
+    # the driver resolves 'auto' from the SEED size (N * 2V_seed >
+    # 2e9); the predicted final size is only larger, so resolving from
+    # it agrees except within ~2 orders of magnitude of the cutoff —
+    # the compatible() check at adoption catches any disagreement
+    method = corr_method
+    if method == 'auto':
+        method = 'windowed_pallas' if N * f_cap > 2e9 else 'brute'
+
+    from .. import native as _native
+    have_native_k = _native.get_lib() is not None
+    want_K = False   # native boundary K (or no neck pass yet) — the
+    # driver only wants the folded K without the native kernel, and
+    # compatible() compares this static at adoption
+
+    statics = dict(N=int(N), lam0=lam0, shrink_lam=shrink_lam,
+                   ni_static=int(ni_static), use_shrink=bool(use_shrink),
+                   face_chunk=int(face_chunk), corr_method=method,
+                   uniform_weights=uniform_weights,
+                   want_curv_K=bool(want_K),
+                   ring_min_verts=int(ring_min_verts),
+                   pad_quantum=int(pad_quantum))
+    thread, cancel = start_prewarm_thread(
+        [(v_cap, f_cap)], N, lam0, shrink_lam, int(ni_static),
+        use_shrink, face_chunk, method, kc, kg, c0,
+        quantum=pad_quantum, ring_min_verts=int(ring_min_verts),
+        uniform_weights=uniform_weights, want_curv_K=want_K,
+        skip_first_block=False, initial_wait=0.0,
+        warm_curvature=not have_native_k)
+    logger.info('early prewarm: caps (%d, %d) from cloud area %.3e '
+                '(pred_len %.2f)', v_cap, f_cap, area, pred_len)
+    return EarlyPrewarm(thread, cancel, v_cap, f_cap, statics)

@@ -28,6 +28,14 @@ def save_fit_state(mesh, path, iteration=0):
         neck_threshold_low=np.float64(mesh.neck_threshold_low),
         neck_threshold_high=np.float64(mesh.neck_threshold_high),
         neck_first_iter=np.int64(mesh.neck_first_iter),
+        neck_detector=np.str_(getattr(mesh, 'neck_detector',
+                                      'threshold')),
+        neck_separator_threshold=np.float64(
+            getattr(mesh, 'neck_separator_threshold', -1e-5)),
+        neck_separator_median=np.float64(
+            getattr(mesh, 'neck_separator_median', -2e-4)),
+        neck_separator_constriction=np.float64(
+            getattr(mesh, 'neck_separator_constriction', 0.9)),
         shrink_weight=np.float64(mesh.shrink_weight),
     )
     if mesh._points is not None:
@@ -55,6 +63,14 @@ def load_fit_state(path):
         for k in ('max_iter', 'remesh_frequency',
                   'delaunay_remesh_frequency', 'neck_first_iter'):
             setattr(mesh, k, int(z[k]))
+        # neck-detector config (round-4 addition): older checkpoints
+        # lack these keys and keep the model defaults
+        if 'neck_detector' in z.files:
+            mesh.neck_detector = str(z['neck_detector'])
+        for k in ('neck_separator_threshold', 'neck_separator_median',
+                  'neck_separator_constriction'):
+            if k in z.files:
+                setattr(mesh, k, float(z[k]))
         if 'points' in z:
             mesh._points = z['points']
         if 'sigma' in z:

@@ -76,8 +76,23 @@ sig = np.full((N, 3), sigma, np.float32)
 
 from ch_shrinkwrap_tpu.models import MembraneMesh
 from ch_shrinkwrap_tpu.mesh.marching import wrap_start
+from ch_shrinkwrap_tpu.solver.prewarm import prewarm_for_cloud
 
 t_all = time.time()
+# start the fit's one executable load BEFORE the seed build: the
+# capacity prediction needs only the cloud (early prewarm; adopted by
+# shrink_wrap when its caps cover the seed-based prediction)
+early = None
+if args.capacity_mode == 'final':
+    t0 = time.time()
+    early = prewarm_for_cloud(
+        pts, sig, max_iter=args.iters, step_size=args.curvature_weight,
+        kc=1.0, remesh_frequency=args.remesh_frequency,
+        delaunay_remesh_frequency=args.punch_frequency,
+        minimum_edge_length=args.minimum_edge_length)
+    print(f"early_prewarm: {time.time()-t0:.2f}s "
+          f"caps={(early.v_cap, early.f_cap) if early else None}",
+          flush=True)
 t0 = time.time()
 surf = wrap_start(pts, offset=25.0, grid_n=48)
 t1 = time.time()
@@ -93,6 +108,7 @@ mesh = MembraneMesh(
     neck_threshold_low=args.neck_threshold_low,
     neck_threshold_high=args.neck_threshold_high)
 mesh.capacity_mode = args.capacity_mode
+mesh.early_prewarm = early
 t0 = time.time()
 mesh.shrink_wrap(pts, sig, method='conjugate_gradient',
                  minimum_edge_length=args.minimum_edge_length)

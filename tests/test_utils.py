@@ -41,6 +41,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert r2 < r1
 
 
+def test_checkpoint_roundtrip_neck_detector(tmp_path):
+    """A resumed fit must keep the neck-detector config (VERDICT r4
+    weak #2: checkpoints silently reverted to 'threshold')."""
+    mesh, pts, sigma = small_fit_mesh()
+    mesh.neck_detector = 'separator'
+    mesh.neck_separator_threshold = -3e-5
+    mesh.neck_separator_median = -1e-4
+    mesh.neck_separator_constriction = 0.8
+    path = str(tmp_path / 'state.npz')
+    save_fit_state(mesh, path, iteration=1)
+
+    mesh2, _ = load_fit_state(path)
+    assert mesh2.neck_detector == 'separator'
+    assert mesh2.neck_separator_threshold == -3e-5
+    assert mesh2.neck_separator_median == -1e-4
+    assert mesh2.neck_separator_constriction == 0.8
+
+
+def test_separator_config_single_default():
+    """The recipe trait defaults must equal the model defaults (the
+    grid-validated config) — one source of truth (VERDICT r4 next #5)."""
+    from ch_shrinkwrap_tpu.recipes.surface_fitting import ShrinkwrapMembrane
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+    v, f = icosphere(1, radius=10.0)
+    mesh = MembraneMesh(v, f)
+    mod = ShrinkwrapMembrane()
+    assert mod.neck_separator_threshold == mesh.neck_separator_threshold
+    assert mod.neck_separator_median == mesh.neck_separator_median
+    assert (mod.neck_separator_constriction
+            == mesh.neck_separator_constriction)
+
+
 def test_fit_trace_records():
     mesh, pts, sigma = small_fit_mesh()
     mesh.remesh_frequency = 2
