@@ -149,11 +149,28 @@ struct EditMesh {
     // over-long edges that the next split pass re-splits, and the
     // split/collapse churn costs ~75% of a growth remesh (measured:
     // 350k splits + 340k collapses per pass with stable output).
+    mutable long fail_ef = 0, fail_link = 0, fail_val = 0,
+                 fail_high2 = 0, fail_fold = 0;
     bool collapse(int a, int b, int max_valence, std::vector<int32_t>& ra,
                   std::vector<int32_t>& rb, float high2 = -1.f,
                   const std::vector<int32_t>* ra_pre = nullptr) {
+        // Guard REORDER, not a new guard: the Botsch-Kobbelt result
+        // test rejects 96%+ of the growth remesh's attempts (measured
+        // fail census: high2 156-182k vs link <500, fold <200 per
+        // pass), and the caller already holds ring(a) — check it
+        // BEFORE paying the edge_faces walk + ring(b) + link test.
+        // Identical accept/reject set: the same condition is (re-)
+        // checked below; no state is written before any reject.
+        if (high2 > 0.f && ra_pre) {
+            Vec3 mid_pre = (pos[a] + pos[b]) * 0.5f;
+            for (int u : *ra_pre)
+                if (u != b && (pos[u] - mid_pre).norm2() > high2) {
+                    ++fail_high2;
+                    return false;
+                }
+        }
         int ef[2];
-        if (edge_faces(a, b, ef) != 2) return false;
+        if (edge_faces(a, b, ef) != 2) { ++fail_ef; return false; }
         // ra_pre: caller-precomputed ring(a) — the greedy collapse
         // loop attempts every short neighbor of a fixed pivot, and
         // failed attempts leave ring(a) unchanged, so recomputing it
@@ -165,15 +182,15 @@ struct EditMesh {
         for (int u : rb) mark_[u] = e;
         int common = 0;
         for (int u : rra) common += (mark_[u] == e);
-        if (common != 2) return false;
-        if ((int)(rra.size() + rb.size()) - 4 > max_valence) return false;
+        if (common != 2) { ++fail_link; return false; }
+        if ((int)(rra.size() + rb.size()) - 4 > max_valence) { ++fail_val; return false; }
 
         Vec3 mid = (pos[a] + pos[b]) * 0.5f;
         if (high2 > 0.f) {
             for (int u : rra)
-                if (u != b && (pos[u] - mid).norm2() > high2) return false;
+                if (u != b && (pos[u] - mid).norm2() > high2) { ++fail_high2; return false; }
             for (int u : rb)
-                if (u != a && (pos[u] - mid).norm2() > high2) return false;
+                if (u != a && (pos[u] - mid).norm2() > high2) { ++fail_high2; return false; }
         }
 
         // fold-over guard: surviving faces of a and b must not flip
@@ -198,6 +215,7 @@ struct EditMesh {
                 if (n_new.dot(n_old) <= 0.f) {
                     pos[a] = old_a;
                     pos[b] = old_b;
+                    ++fail_fold;
                     return false;
                 }
             }
@@ -222,11 +240,16 @@ struct EditMesh {
         return true;
     }
 
-    // Split edge (a, b) at midpoint; the 1-2 incident faces become 2-4.
-    void split(int a, int b) {
+    // Split edge (a, b) at midpoint; the 1-2 incident faces become
+    // 2-4.  Returns false on the silent no-op (edge_faces outside
+    // 1..2, e.g. a transient nonmanifold edge) — the split-scan
+    // dirty-set must know, or the baseline's next-pass retry of the
+    // still-long edge is skipped (measured: 25 such skips diverged a
+    // coarsening remesh before this returned a value).
+    bool split(int a, int b) {
         int ef[2];
         int n = edge_faces(a, b, ef);
-        if (n < 1 || n > 2) return;
+        if (n < 1 || n > 2) return false;
         int m = (int)pos.size();
         pos.push_back((pos[a] + pos[b]) * 0.5f);
         vert_live.push_back(1);
@@ -258,6 +281,7 @@ struct EditMesh {
             auto& fb = vfaces[b];
             fb.erase(std::remove(fb.begin(), fb.end(), fi), fb.end());
         }
+        return true;
     }
 
     // Flip the edge (a, b) shared by exactly two faces if it improves
@@ -372,12 +396,21 @@ struct EditMesh {
     // in-place tombstone removal: rebuild pos/faces/vfaces from the
     // live set (indices are renumbered; callers hold no indices across
     // passes, so this is safe between passes)
-    void rebuild_compact() {
+    // vremap_out (optional): old->new vertex ids (-1 = dropped);
+    // fmap_out (optional): per NEW face, the OLD face id — so callers
+    // maintaining per-vertex/per-face side state (the remesh dirty-set)
+    // can carry it across the compaction
+    void rebuild_compact(std::vector<int32_t>* vremap_out = nullptr,
+                         std::vector<int32_t>* fmap_out = nullptr) {
         std::vector<int32_t> remap(pos.size(), -1);
         std::vector<Vec3> new_pos;
         new_pos.reserve(pos.size());
         std::vector<std::array<int32_t, 3>> new_faces;
         new_faces.reserve(faces.size());
+        if (fmap_out) {
+            fmap_out->clear();
+            fmap_out->reserve(faces.size());
+        }
         for (size_t f = 0; f < faces.size(); ++f) {
             if (!face_live[f]) continue;
             std::array<int32_t, 3> F;
@@ -389,8 +422,10 @@ struct EditMesh {
                 }
                 F[k] = remap[u];
             }
+            if (fmap_out) fmap_out->push_back((int32_t)f);
             new_faces.push_back(F);
         }
+        if (vremap_out) *vremap_out = remap;
         pos.swap(new_pos);
         faces.swap(new_faces);
         face_live.assign(faces.size(), 1);
@@ -462,21 +497,90 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
     const bool dbg = std::getenv("CSW_REMESH_DEBUG") != nullptr;
     using clk = std::chrono::steady_clock;
 
+    // ---- split-scan skipping (behavior-identical) ----
+    // A face can only carry a NEW over-long edge if one of its
+    // endpoints was repositioned or its edge set was rewritten since
+    // the previous split scan (split is unconditional on edge length
+    // — no other guard).  Each landed edit stamps exactly the
+    // vertices whose position or incident edge set changed (collapse:
+    // the kept vertex; split: the new midpoint — every rewritten face
+    // contains it; flip: all four vertices of the rewired quad), and
+    // passes >= 1 skip faces whose three stamps predate the previous
+    // scan.  Identical output asserted in
+    // tests/test_mesh.py::test_remesh_dirty_set_identical;
+    // CSW_REMESH_NO_DIRTY=1 disables.
+    //
+    // NOTE a committed negative (round 5): the stronger attempt-level
+    // fail-memo (skip collapse/flip attempts whose 2-ring is
+    // unchanged since they last failed, with ring-dilated marks) was
+    // built, proven output-identical, and MEASURED SLOWER — a growth
+    // remesh churns globally (~25k edits/pass dilate over the whole
+    // mesh), so <4% of attempts were skippable while the marking
+    // cost ~35% of the pass.  The wins here are this scan skip plus
+    // the high2 guard reorder in collapse().
+    const bool no_dirty = std::getenv("CSW_REMESH_NO_DIRTY") != nullptr;
+    const bool dirty_check = std::getenv("CSW_REMESH_DIRTY_CHECK") != nullptr;
+    uint64_t seq = 1;
+    std::vector<uint64_t> touched(m.pos.size(), 1);
+    uint64_t prev_split_scan_seq = 0;
+    auto stamp = [&](int v) {
+        if ((size_t)v < touched.size()) touched[v] = seq;
+        else touched.resize(m.pos.size(), seq);
+    };
+
     for (int pass = 0; pass < n_passes; ++pass) {
         // split pass: iterate faces, split the longest over-long edge
         auto t0 = clk::now();
         long n_edit = 0, n_split = 0, n_coll = 0;
+        const uint64_t scan_from = prev_split_scan_seq;
+        prev_split_scan_seq = seq;
         size_t nf_now = m.faces.size();
         for (size_t fi = 0; fi < nf_now; ++fi) {
             if (!m.face_live[fi]) continue;
+            if (!no_dirty && scan_from > 0) {
+                const auto& F = m.faces[fi];
+                // endpoint positions unchanged since the last split
+                // scan => no edge of this face became long
+                if (touched[F[0]] < scan_from && touched[F[1]] < scan_from
+                        && touched[F[2]] < scan_from) {
+                    if (dirty_check) {
+                        for (int k = 0; k < 3; ++k) {
+                            int a = F[k], b = F[(k + 1) % 3];
+                            if (a < b && (m.pos[a] - m.pos[b]).norm2()
+                                    > high2)
+                                std::fprintf(stderr,
+                                    "SKIP-VIOLATION pass %d face %zu "
+                                    "edge (%d,%d) stamps %llu %llu %llu "
+                                    "scan_from %llu\n", pass, fi, a, b,
+                                    (unsigned long long)touched[F[0]],
+                                    (unsigned long long)touched[F[1]],
+                                    (unsigned long long)touched[F[2]],
+                                    (unsigned long long)scan_from);
+                        }
+                    }
+                    continue;
+                }
+            }
             for (int k = 0; k < 3; ++k) {
                 int a = m.faces[fi][k];
                 int b = m.faces[fi][(k + 1) % 3];
                 if (a < b &&
                     (m.pos[a] - m.pos[b]).norm2() > high2) {
-                    m.split(a, b);
+                    bool did = m.split(a, b);
                     ++n_edit;
                     ++n_split;
+                    if (!no_dirty) {
+                        ++seq;
+                        if (did) {
+                            stamp((int)m.pos.size() - 1);
+                        } else {
+                            // no-op split (nonmanifold transient):
+                            // keep the edge dirty so the next pass
+                            // retries it like the full scan would
+                            stamp(a);
+                            stamp(b);
+                        }
+                    }
                 }
             }
         }
@@ -505,8 +609,10 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 }
             }
         }
+        long n_cand = 0, n_att = 0;
         for (size_t v = 0; v < m.pos.size(); ++v) {
             if (!m.vert_live[v] || !short_cand[v]) continue;
+            ++n_cand;
             bool again = true;
             int guard = 8;
             while (again && guard-- > 0) {
@@ -514,11 +620,16 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 m.ring((int)v, ring);
                 for (int u : ring) {
                     if ((m.pos[v] - m.pos[u]).norm2() < low2) {
+                        ++n_att;
                         if (m.collapse((int)v, u, max_valence, ra, rb,
                                        high2, &ring)) {
                             again = true;
                             ++n_edit;
                             ++n_coll;
+                            if (!no_dirty) {
+                                ++seq;
+                                stamp((int)v);
+                            }
                             break;
                         }
                     }
@@ -541,7 +652,7 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
         // it waits for the next pass's fresh scan — acceptable in a
         // fixed-point heuristic re-run every pass and every remesh
         // boundary.
-        long n_flip = 0;
+        long n_flip = 0, n_fatt = 0;
         {
             std::vector<int32_t> val(m.pos.size(), 0);
             nf_now = m.faces.size();
@@ -561,21 +672,60 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 for (int k = 0; k < 3; ++k) {
                     int a = m.faces[fi][k];
                     int b = m.faces[fi][(k + 1) % 3];
-                    if (a < b && (irr2[a] || irr2[b]))
-                        n_flip += m.flip(a, b, ra, &val) ? 1 : 0;
+                    if (a < b && (irr2[a] || irr2[b])) {
+                        ++n_fatt;
+                        if (m.flip(a, b, ra, &val)) {
+                            ++n_flip;
+                            if (!no_dirty) {
+                                ++seq;
+                                // the rewired quad: a, b and the new
+                                // diagonal (post-flip faces[fi] holds
+                                // (u, d, c))
+                                stamp(a);
+                                stamp(b);
+                                for (int kk = 0; kk < 3; ++kk)
+                                    stamp(m.faces[fi][kk]);
+                            }
+                        }
+                    }
                 }
             }
         }
         auto t3 = clk::now();
 
-        if (n_relax > 0) m.relax(l, n_relax);
+        if (n_relax > 0) {
+            m.relax(l, n_relax);
+            // relax repositions every vertex: the whole dirty-set is
+            // invalidated (fit remeshes run n_relax=0 and keep it)
+            if (!no_dirty) {
+                ++seq;
+                std::fill(touched.begin(), touched.end(), seq);
+            }
+        }
 
         // drop accumulated tombstones so later passes don't scan them
         // (a growth remesh otherwise inflates the edit arrays ~6x)
         if (pass + 1 < n_passes) {
             size_t dead = 0;
             for (auto fl : m.face_live) dead += !fl;
-            if (dead * 3 > m.faces.size()) m.rebuild_compact();
+            if (dead * 3 > m.faces.size()) {
+                m.rebuild_compact();
+                if (!no_dirty) {
+                    // compaction RENUMBERS vertices, which flips the
+                    // split scan's a<b orientation dedup for edges
+                    // whose ascending-oriented face died (a baseline
+                    // quirk: such edges are uncheckable until a
+                    // renumbering happens to restore an ascending
+                    // live face) — scan outcomes therefore change
+                    // with unchanged positions.  Mark everything
+                    // dirty: the next pass scans fully, exactly like
+                    // the baseline's post-compact pass (measured: 25
+                    // skipped-face divergences on a coarsening
+                    // remesh before this reset).
+                    ++seq;
+                    touched.assign(m.pos.size(), seq);
+                }
+            }
         }
         auto t4 = clk::now();
         if (dbg) {
@@ -585,11 +735,19 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
             };
             std::fprintf(stderr,
                          "remesh pass %d: split %.1fms (%ld) collapse "
-                         "%.1fms (%ld) flip %.1fms (%ld) tail %.1fms "
-                         "F=%zu\n",
+                         "%.1fms (%ld cand %ld att %ld) flip "
+                         "%.1fms (%ld att %ld) tail %.1fms F=%zu\n",
                          pass, ms(t0, t1), n_split, ms(t1, t2), n_coll,
-                         ms(t2, t3), n_flip, ms(t3, t4),
+                         n_cand, n_att,
+                         ms(t2, t3), n_flip, n_fatt, ms(t3, t4),
                          m.faces.size());
+            std::fprintf(stderr,
+                         "  collapse fails: ef %ld link %ld val %ld "
+                         "high2 %ld fold %ld\n", m.fail_ef,
+                         m.fail_link, m.fail_val, m.fail_high2,
+                         m.fail_fold);
+            m.fail_ef = m.fail_link = m.fail_val = m.fail_high2 =
+                m.fail_fold = 0;
         }
 
         // converged: remaining edits are churn, not progress

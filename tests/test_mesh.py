@@ -473,3 +473,44 @@ def test_native_nonmanifold_vertices_matches_union_find():
     he3 = m3.halfedges
     assert native.has_nonmanifold_vertices(
         he3.src, he3.vertex, he3.twin, he3.next, len(v3)) is False
+
+
+def test_remesh_dirty_set_identical(monkeypatch):
+    """The native remesh's split-scan dirty-set (and the reordered
+    high2 early-reject in collapse) must be BIT-IDENTICAL to the full
+    scans — the skip removes provable no-ops only.  Covers the two
+    regimes that caught real bugs: a collapse-heavy coarsening call
+    (rebuild_compact renumbering flips the a<b scan dedup) and a
+    split-heavy growth call, plus a noisy n_relax>0 call (dirty-set
+    neutralized by the relax invalidation)."""
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+    from ch_shrinkwrap_tpu.mesh import remesh as rm
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+
+    rng = np.random.default_rng(3)
+    v0, f0 = icosphere(5, radius=100.0)
+    vn = (v0 + rng.normal(scale=0.6, size=v0.shape)).astype(np.float32)
+
+    def run(no_dirty, calls):
+        if no_dirty:
+            monkeypatch.setenv('CSW_REMESH_NO_DIRTY', '1')
+        else:
+            monkeypatch.delenv('CSW_REMESH_NO_DIRTY', raising=False)
+        m = TriangleMesh(vn.copy(), f0.copy())
+        for kw in calls:
+            rm.remesh(m, **kw)
+        return m.vertices.copy(), m.faces.copy()
+
+    for calls in (
+        # coarsen (compact path) then grow (split-heavy)
+        [dict(n=5, target_edge_length=5.0, l=0.5, n_relax=0),
+         dict(n=5, target_edge_length=4.4, l=0.5, n_relax=0)],
+        # relax-active call
+        [dict(n=3, target_edge_length=6.0, l=0.5, n_relax=2)],
+    ):
+        va, fa = run(True, calls)
+        vb, fb = run(False, calls)
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_array_equal(fa, fb)
