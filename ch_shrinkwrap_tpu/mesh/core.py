@@ -480,8 +480,17 @@ class TriangleMesh:
         inv[vperm] = np.arange(len(vperm))
         new_v = self._vertices[vperm]
         new_f = inv[self._faces].astype(np.int32)
-        fc = new_v[new_f].mean(1)
-        new_f = np.ascontiguousarray(new_f[hilbert_order(fc)])
+        from .. import native
+        codes = native.face_hilbert_codes(new_v, new_f)
+        if codes is not None:
+            # fused native centroid+code pass (bit-exact twin of the
+            # numpy chain below; ~110 -> ~8 ms at 164k, a per-remesh-
+            # boundary cost in the fit driver)
+            fp = np.argsort(codes, kind='stable')
+        else:
+            fc = new_v[new_f].mean(1)
+            fp = hilbert_order(fc)
+        new_f = np.ascontiguousarray(new_f[fp])
         extra = {k: v[vperm] for k, v in self.extra_vertex_data.items()}
         self.set_topology(new_v, new_f)
         self.extra_vertex_data = extra

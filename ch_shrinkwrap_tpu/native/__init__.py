@@ -126,6 +126,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
     lib.hilbert_codes_native.restype = None
+    lib.face_hilbert_codes_native.argtypes = [
+        f32p, i32p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.face_hilbert_codes_native.restype = None
     lib.gaussian_k_native.argtypes = [
         f32p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
         f32p]
@@ -380,6 +384,23 @@ def hilbert_codes(X, bits):
     lib.hilbert_codes_native(
         Xc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(len(Xc)), int(bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
+
+
+def face_hilbert_codes(vertices, faces, bits=10):
+    """Fused face-centroid Hilbert codes (centroid + bbox + quantize +
+    code in one native pass) — the spatial_sort face-ordering key
+    without the numpy ``v[f].mean(1)`` gather chain.  Bit-exact twin
+    of ``hilbert_codes_for(v[f].mean(1))``.  None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    out = np.empty(len(f), np.uint64)
+    lib.face_hilbert_codes_native(
+        _f32p(v), _i32p(f), ctypes.c_int64(len(f)), int(bits),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
 
