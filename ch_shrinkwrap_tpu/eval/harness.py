@@ -84,7 +84,8 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
                 sw['min_hole_radius'], sw['neck_first_iter'],
                 sw['neck_threshold_low'], sw['neck_threshold_high'],
                 sw.get('neck_detector', ['threshold']),
-                sw.get('via_recipe', [False])]
+                sw.get('via_recipe', [False]),
+                sw.get('remesh_collapse_veto', [False])]
 
     spr = test_d.get('screened_poisson', {})
     spr_lists = [spr.get('samplespernode', [1.5]),
@@ -100,7 +101,8 @@ def testing_parameters(test_d: dict) -> Tuple[list, list]:
                             'remesh_frequency', 'punch_frequency',
                             'min_hole_radius', 'neck_first_iter',
                             'neck_threshold_low', 'neck_threshold_high',
-                            'neck_detector', 'via_recipe']
+                            'neck_detector', 'via_recipe',
+                            'remesh_collapse_veto']
     spr_keys = param_keys + ['samplespernode', 'pointweight', 'iters', 'k']
 
     def expand(extra_lists, keys):
@@ -179,6 +181,8 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
             neck_threshold_low=params['neck_threshold_low'],
             neck_threshold_high=params['neck_threshold_high'],
             neck_detector=params.get('neck_detector', 'threshold'),
+            remesh_collapse_veto=params.get('remesh_collapse_veto',
+                                            False),
             minimum_edge_length=params.get('minimum_edge_length', 5.0))
         mod.execute(ns)
         mesh = ns['membrane']
@@ -192,7 +196,9 @@ def run_shrinkwrap_entry(params: dict, out_dir=None, save_stl=False,
                             neck_threshold_low=params['neck_threshold_low'],
                             neck_threshold_high=params['neck_threshold_high'],
                             neck_detector=params.get('neck_detector',
-                                                     'threshold'))
+                                                     'threshold'),
+                            remesh_collapse_veto=params.get(
+                                'remesh_collapse_veto', False))
         mesh.shrink_wrap(points, sigma, max_iter=params['max_iter'],
                          minimum_edge_length=params.get(
                              'minimum_edge_length', 5.0))

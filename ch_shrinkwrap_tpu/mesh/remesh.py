@@ -172,7 +172,7 @@ def _independent_edge_set(edges, priority, n_vertices):
 
 
 def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
-                  protect=None):
+                  protect=None, veto_cos=None, veto_min_len=0.0):
     """Collapse edges shorter than ``threshold`` to their midpoints.
 
     Guards (counterparts of the reference's manifold checks,
@@ -180,6 +180,10 @@ def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
     one-ring must be exactly the opposite vertices of the shared faces),
     valence cap, boundary exclusion, and a vectorized independent set so
     no vertex takes part in two collapses per pass.
+
+    ``veto_cos`` (opt-in thin-tube pinch protection, numpy twin of the
+    native veto): skip candidates whose endpoint-normal dot falls
+    below it while the edge is longer than ``veto_min_len``.
     """
     if faces.size == 0:
         return vertices, faces, 0
@@ -192,6 +196,17 @@ def collapse_pass(vertices, faces, threshold, neighbor_cap=20,
     cand = (lengths < threshold) & (n_incident == 2)
     if protect is not None:
         cand &= ~(protect[edges[:, 0]] | protect[edges[:, 1]])
+    if veto_cos is not None and cand.any():
+        fn = np.cross(vertices[faces[:, 1]] - vertices[faces[:, 0]],
+                      vertices[faces[:, 2]] - vertices[faces[:, 0]])
+        vn = np.zeros_like(vertices)
+        for k in range(3):
+            np.add.at(vn, faces[:, k], fn)
+        na, nb2 = vn[edges[:, 0]], vn[edges[:, 1]]
+        dp = (na * nb2).sum(1)
+        nn = (np.linalg.norm(na, axis=1) * np.linalg.norm(nb2, axis=1)
+              + 1e-30)
+        cand &= ~((dp < veto_cos * nn) & (lengths > veto_min_len))
     if not cand.any():
         return vertices, faces, 0
 
@@ -406,7 +421,8 @@ def compact(vertices, faces, extra=None):
 
 
 def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
-           use_native=True):
+           use_native=True, collapse_veto_cos=None,
+           collapse_veto_min_frac=0.25):
     """Isotropic remesh toward ``target_edge_length``.
 
     Parameters mirror the reference call signature
@@ -429,7 +445,10 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
         _ft = _os.environ.get('CSW_FINE_TIMERS') and _t.time
         _t0 = _ft and _ft()
         out = native.remesh(v, f, float(target_edge_length), n_passes=n,
-                            l=l, n_relax=n_relax)
+                            l=l, n_relax=n_relax,
+                            veto_cos=collapse_veto_cos,
+                            veto_min_len=(collapse_veto_min_frac
+                                          * float(target_edge_length)))
         if out is not None:
             if _ft:
                 _t1 = _ft()
@@ -455,7 +474,10 @@ def remesh(mesh, n=5, target_edge_length=-1.0, l=0.5, n_relax=10,
         # independent-set collapses only touch a fraction of the
         # candidates per batch; iterate to approach the fixpoint
         for _ in range(16):
-            v, f, nc = collapse_pass(v, f, low)
+            v, f, nc = collapse_pass(
+                v, f, low, veto_cos=collapse_veto_cos,
+                veto_min_len=collapse_veto_min_frac
+                * float(target_edge_length))
             v, f = compact(v, f)
             if nc == 0:
                 break

@@ -88,6 +88,14 @@ class MembraneMesh(TriangleMesh):
         self.neck_separator_threshold = -1e-5
         self.neck_separator_median = -2e-4
         self.neck_separator_constriction = 0.9
+        # opt-in thin-tube pinch protection (TwoToruses low-cw regime,
+        # BASELINE.md round 4): the remesh collapse pass skips edges
+        # whose endpoint normals diverge beyond acos(veto_cos) unless
+        # the edge is pathologically short — on a junction whose tube
+        # diameter approaches the target edge length, collapsing the
+        # divergent-normal circumferential edges is what pinches it
+        self.remesh_collapse_veto = False
+        self.remesh_collapse_veto_cos = 0.5
         self.shrink_weight = 0.0
         self.truncate_at = 2 ** 31
         # Skip the internal remesh inside boundary surgeries
@@ -402,8 +410,10 @@ class MembraneMesh(TriangleMesh):
     # pyx:249-252)
 
     def remesh(self, n=5, target_edge_length=-1.0, l=0.5, n_relax=10):
+        veto = (float(getattr(self, 'remesh_collapse_veto_cos', 0.5))
+                if getattr(self, 'remesh_collapse_veto', False) else None)
         _remesh.remesh(self, n=n, target_edge_length=target_edge_length,
-                       l=l, n_relax=n_relax)
+                       l=l, n_relax=n_relax, collapse_veto_cos=veto)
         self._initialize_curvature_vectors()
 
     # ------------------------------------------------------------------

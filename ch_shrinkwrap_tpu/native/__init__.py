@@ -79,7 +79,8 @@ def get_lib():
     lib.remesh_native.argtypes = [
         f32p, ctypes.c_int, i32p, ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_int,
-        ctypes.c_int, f32p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, f32p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float]
     lib.remesh_native.restype = None
     lib.build_tables_native.argtypes = [
         i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -169,8 +170,12 @@ def _i32p(a):
 
 
 def remesh(vertices, faces, target, n_passes=5, l=0.5, n_relax=0,
-           max_valence=20):
-    """Native isotropic remesh; returns (V, F) or None if unavailable."""
+           max_valence=20, veto_cos=None, veto_min_len=None):
+    """Native isotropic remesh; returns (V, F) or None if unavailable.
+
+    ``veto_cos`` (opt-in): skip collapsing edges whose endpoint-normal
+    dot falls below it while the edge is longer than ``veto_min_len``
+    — the thin-tube pinch protection (remesh_collapse_veto)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -198,7 +203,11 @@ def remesh(vertices, faces, target, n_passes=5, l=0.5, n_relax=0,
                           ctypes.c_float(target), n_passes,
                           ctypes.c_float(l), n_relax, max_valence,
                           _f32p(v_out), _i32p(f_out), _i32p(nv_out),
-                          _i32p(nf_out), v_cap, f_cap)
+                          _i32p(nf_out), v_cap, f_cap,
+                          ctypes.c_float(2.0 if veto_cos is None
+                                         else float(veto_cos)),
+                          ctypes.c_float(0.0 if veto_min_len is None
+                                         else float(veto_min_len) ** 2))
         if nv_out[0] >= 0:
             return (v_out[:nv_out[0]].copy(), f_out[:nf_out[0]].copy())
         v_cap = int(-nv_out[0] * 1.3) + 1024

@@ -122,6 +122,14 @@ struct EditMesh {
         return n;
     }
 
+    // area-weighted (unnormalized) vertex normal over live faces
+    Vec3 vnormal(int v) const {
+        Vec3 n{0, 0, 0};
+        for (int fi : vfaces[v])
+            if (face_live[fi]) n = n + face_normal(fi);
+        return n;
+    }
+
     Vec3 face_normal(int fi) const {
         const auto& F = faces[fi];
         return (pos[F[1]] - pos[F[0]]).cross(pos[F[2]] - pos[F[0]]);
@@ -483,12 +491,21 @@ extern "C" {
 // {split long, collapse short (greedy sequential, guarded), flip,
 // relax}.  Buffers are caller-allocated with capacities; on overflow
 // *nv/*nf return negated required sizes and no write happens.
+// veto_cos / veto_min_len2: opt-in support for thin-tube pinch
+// protection (MembraneMesh.remesh_collapse_veto): skip collapsing an
+// edge whose endpoint normals diverge more than acos(veto_cos) AND
+// whose length exceeds veto_min_len2 — on a tube whose diameter
+// approaches the target edge length, the short circumferential edges
+// carry strongly divergent normals, and collapsing them is what
+// pinches a well-supported junction apart (TwoToruses low-cw regime,
+// BASELINE.md round 4).  veto_cos > 1 disables (default).
 void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                    int nf, float target, int n_passes, float l,
                    int n_relax, int max_valence,
                    float* verts_out, int32_t* faces_out,
                    int32_t* nv_out, int32_t* nf_out,
-                   int v_cap, int f_cap) {
+                   int v_cap, int f_cap,
+                   float veto_cos, float veto_min_len2) {
     EditMesh m;
     m.build(verts_in, nv, faces_in, nf);
     const float high2 = (4.f / 3.f * target) * (4.f / 3.f * target);
@@ -619,7 +636,16 @@ void remesh_native(const float* verts_in, int nv, const int32_t* faces_in,
                 again = false;
                 m.ring((int)v, ring);
                 for (int u : ring) {
-                    if ((m.pos[v] - m.pos[u]).norm2() < low2) {
+                    float el2 = (m.pos[v] - m.pos[u]).norm2();
+                    if (el2 < low2) {
+                        if (veto_cos <= 1.f && el2 > veto_min_len2) {
+                            Vec3 na = m.vnormal((int)v);
+                            Vec3 nb = m.vnormal(u);
+                            float dp = na.dot(nb);
+                            float nn = std::sqrt(na.norm2() * nb.norm2())
+                                       + 1e-30f;
+                            if (dp < veto_cos * nn) continue;
+                        }
                         ++n_att;
                         if (m.collapse((int)v, u, max_valence, ra, rb,
                                        high2, &ring)) {

@@ -62,6 +62,14 @@ class ShrinkwrapMembrane(ModuleBase):
                                         'radius for the separator '
                                         'detector (a true neck '
                                         'constricts)')
+    remesh_collapse_veto = Bool(False, desc='opt-in thin-tube pinch '
+                                'protection: the remesh collapse pass '
+                                'skips edges with strongly divergent '
+                                'endpoint normals (a thinning '
+                                'junction) unless pathologically '
+                                'short')
+    remesh_collapse_veto_cos = Float(0.5, desc='normal-dot bound for '
+                                     'the collapse veto (0.5 = 60 deg)')
     truncate_at = Int(1000, desc='Truncate the iterations before max_iter')
     minimum_edge_length = Float(5)
     smooth_curvature = Bool(True, desc='Smooth curvature estimates')
@@ -94,6 +102,9 @@ class ShrinkwrapMembrane(ModuleBase):
                                 self.neck_separator_median),
                             neck_separator_constriction=(
                                 self.neck_separator_constriction),
+                            remesh_collapse_veto=self.remesh_collapse_veto,
+                            remesh_collapse_veto_cos=(
+                                self.remesh_collapse_veto_cos),
                             shrink_weight=self.shrink_weight,
                             truncate_at=self.truncate_at)
 

@@ -160,6 +160,21 @@ def prewarm_buckets(ladder, n_points, lam0, shrink_lam, ni_static,
     if len(order) > 3:
         order = order[:2] + [order[-1]] + order[2:-1]
 
+    # tiny per-capacity programs FIRST (before the multi-second block
+    # trace holds the GIL): the driver's first boundary build blocks
+    # on the _prefix_mask fills (~0.55 s each through the remote
+    # service, measured round 5) — warming them here rides the same
+    # thread the big load uses and takes them off the critical path
+    for _, (v_cap, f_cap) in order:
+        if cancel is not None and cancel.is_set():
+            return
+        try:
+            meshdata._prefix_mask(0, v_cap).block_until_ready()
+            meshdata._prefix_mask(0, f_cap).block_until_ready()
+        except Exception:
+            logger.exception('prewarm: prefix-mask (%d, %d) failed '
+                             '(continuing)', v_cap, f_cap)
+
     for i, (v_cap, f_cap) in order:
         if cancel is not None and cancel.is_set():
             return

@@ -514,3 +514,37 @@ def test_remesh_dirty_set_identical(monkeypatch):
         vb, fb = run(False, calls)
         np.testing.assert_array_equal(va, vb)
         np.testing.assert_array_equal(fa, fb)
+
+
+def test_collapse_veto_blocks_divergent_normals():
+    """The opt-in thin-tube pinch veto (remesh_collapse_veto): a
+    candidate edge whose endpoint normals diverge beyond acos(veto_cos)
+    is not collapsed; with no veto it is.  Grid-level evidence
+    (TwoToruses low-cw regime) lives in eval_out_r5/."""
+    from ch_shrinkwrap_tpu.mesh import remesh as rm
+    from ch_shrinkwrap_tpu.mesh.primitives import icosphere
+
+    v, f = icosphere(1, radius=1.0)
+    _, _, n0 = rm.collapse_pass(v.copy(), f.copy(), threshold=2.0)
+    _, _, n1 = rm.collapse_pass(v.copy(), f.copy(), threshold=2.0,
+                                veto_cos=0.99, veto_min_len=0.0)
+    assert n0 > 0
+    assert n1 == 0
+
+    # native path: veto keeps more of a thin ellipsoid's circumference
+    from ch_shrinkwrap_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+    v4, f4 = icosphere(4, radius=1.0)
+    v4 = v4.copy()
+    v4[:, 2] *= 25
+    v4[:, 0] *= 4
+    v4[:, 1] *= 4
+    base = TriangleMesh(v4.astype(np.float32), f4)
+    rm.remesh(base, n=4, target_edge_length=1.0, l=0.5, n_relax=0)
+    out_plain = native.remesh(base.vertices, base.faces, 6.0,
+                              n_passes=4, l=0.5, n_relax=0)
+    out_veto = native.remesh(base.vertices, base.faces, 6.0,
+                             n_passes=4, l=0.5, n_relax=0,
+                             veto_cos=0.5, veto_min_len=1.5)
+    assert out_veto[0].shape[0] > out_plain[0].shape[0]
