@@ -683,6 +683,18 @@ class MembraneMesh(TriangleMesh):
         if len(verts) > 0:
             import time as _time
             t1 = _time.time()
+            # short-edge cleanup is a HYGIENE pass: it must never
+            # change the surface's component count.  Measured failure
+            # (TwoToruses 39-iter/cw=10, round 5): the two walls of a
+            # thinning junction touch, the near-zero edges land here,
+            # and repair() after the removal tears the junction into
+            # two disjoint tori — the round-3/4 "remesh pinch" was
+            # actually this pass.  Snapshot + roll back when the
+            # component count increases (removing enclosed debris via
+            # remove_inner_surfaces may still DECREASE it).
+            snap_v = self.vertices.copy()
+            snap_f = self.faces.copy()
+            n_before = self.connected_components()[1]
             self.unsafe_remove_vertices(verts)
             self.repair()
             t2 = _time.time()
@@ -690,6 +702,14 @@ class MembraneMesh(TriangleMesh):
                 self.remesh(n_relax=0)
             t3 = _time.time()
             self.remove_inner_surfaces()
+            if self.connected_components()[1] > n_before:
+                self.set_topology(snap_v, snap_f)
+                self._initialize_curvature_vectors()
+                logger.info(
+                    'short_edges: rolled back (%d verts - removal '
+                    'would disconnect the surface; keeping the short '
+                    'edges this boundary)', len(verts))
+                return
             logger.info(
                 'short_edges: %d verts - remove+repair %.2fs, remesh '
                 '%.2fs, inner %.2fs', len(verts), t2 - t1, t3 - t2,
