@@ -33,6 +33,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# A/B knob (round-5 656k sweep): width of the contiguous Hilbert
+# face windows shared by the correspondence sweep and the windowed
+# A^T scatter.  Default 2048 is the production value; override via
+# CSW_CORR_W for in-block A/Bs only (all sites read this one
+# constant, keeping sweep and scatter windows consistent).
+import os as _os
+CORR_W = int(_os.environ.get('CSW_CORR_W', 2048))
+# anchor-count knob for the same sweep; 3 is the production value
+CORR_A = int(_os.environ.get('CSW_CORR_A', 3))
+
 BIG = jnp.float32(3.4e38)
 
 
@@ -522,7 +532,7 @@ class WindowedMeta(NamedTuple):
          static_argnames=('block_size', 'window', 'n_subsample',
                           'n_anchors'))
 def windowed_anchor_starts(points, centers, f_mask, block_size=256,
-                           window=2048, n_subsample=1024, n_anchors=3):
+                           window=None, n_subsample=1024, n_anchors=None):
     """Anchor-window starts for ``nearest_face_windowed``: per point
     block, ``n_anchors`` index-diverse 128-aligned window starts into
     the Hilbert-sorted face array.
@@ -534,6 +544,10 @@ def windowed_anchor_starts(points, centers, f_mask, block_size=256,
     whole remesh block (the in-loop subsample fallback still re-checks
     every iteration with fresh centers).  Returns (nb, A) i32 starts.
     """
+    if window is None:
+        window = CORR_W
+    if n_anchors is None:
+        n_anchors = CORR_A
     N = points.shape[0]
     Fp = centers.shape[0]
     window = min(window, Fp)
@@ -613,9 +627,9 @@ def windowed_points_prep(points, block_size=256):
                           'n_subsample', 'use_pallas', 'pallas_interpret',
                           'return_meta', 'n_anchors'))
 def nearest_face_windowed(points, centers, f_mask, block_size=256,
-                          window=2048, block_chunk=8, n_subsample=1024,
+                          window=None, block_chunk=8, n_subsample=1024,
                           use_pallas=False, pallas_interpret=False,
-                          return_meta=False, n_anchors=3, starts=None,
+                          return_meta=False, n_anchors=None, starts=None,
                           prep=None):
     """Nearest face via contiguous Hilbert windows — the production
     TPU path.
@@ -632,6 +646,10 @@ def nearest_face_windowed(points, centers, f_mask, block_size=256,
     far-point fallback, and the face-adjacency polish pass snaps the
     remaining boundary cases.
     """
+    if window is None:
+        window = CORR_W
+    if n_anchors is None:
+        n_anchors = CORR_A
     N = points.shape[0]
     Fp = centers.shape[0]
     # tiny meshes: a window can't exceed the face array (the Pallas

@@ -538,6 +538,10 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384,
         # per-corner streams: faces[:, j] in face order has the same
         # Hilbert locality as the interleaved stream and stays
         # monotone for the forward-sliding ring (see docstring)
+        # span knob for the round-5 656k A/B sweep (CSW_CB_SPAN);
+        # 384 is the production value
+        cb_span = int(_os.environ.get('CSW_CB_SPAN', 384))
+
         def _corner(j):
             col = native.strided_col(
                 faces_np, j,
@@ -546,7 +550,7 @@ def fit_ring_schedules(ma: 'MeshArrays', ov_cap: int = 16384,
                 col = np.ascontiguousarray(faces_np[:, j])
             return ring_gather_schedule(
                 col, f_mask_np, Vp,
-                span=384, fixed_layout=True, cps=cps)
+                span=cb_span, fixed_layout=True, cps=cps)
         cb = [_corner(j) for j in range(3)]
         # optional: the fit falls back to the row-major S_tri path
         # for this topology if any corner stream is over budget (the

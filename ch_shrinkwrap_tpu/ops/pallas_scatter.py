@@ -357,7 +357,7 @@ def _call_scatter(blocks, starts_al, sub_ids, num_segments,
                           'interpret', 'discard_sub'))
 def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
                                 num_segments, block_size=256,
-                                window=2048, interpret=False,
+                                window=None, interpret=False,
                                 discard_sub=False):
     """Exact ``segment_sum(vals, fid) -> (num_segments, C)`` via the
     sorted sliding-window kernel.  ``starts``/``js``/``sub_ids`` are
@@ -366,6 +366,7 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
     windows or equals sub_ids[js] — comes from there).
     """
     N, C = vals.shape
+    window = _resolve_w(window)
     nb = starts.shape[0]
     Bsz = block_size
     Fp_al = -(-num_segments // 128) * 128
@@ -390,11 +391,16 @@ def windowed_segment_sum_pallas(vals, fid, js, starts, sub_ids,
     return out[:, :C]
 
 
+def _resolve_w(window):
+    from .correspondence import CORR_W
+    return CORR_W if window is None else window
+
+
 @partial(jax.jit,
          static_argnames=('num_segments', 'block_size', 'window',
                           'interpret', 'transposed_out'))
 def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
-                       block_size=256, window=2048, interpret=False,
+                       block_size=256, window=None, interpret=False,
                        transposed_out=False):
     """A^T accumulation with the per-corner products formed in-kernel:
     ``segment_sum((w[:, :, None] * concat([res, 1])[:, None, :])
@@ -403,6 +409,7 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
     Output columns are the consumer's interleaved (j, [res, 1])
     layout: col 4j+c = w_j * res_c for c < 3, col 4j+3 = w_j.
     """
+    window = _resolve_w(window)
     N = w.shape[0]
     nb = starts.shape[0]
     Bsz = block_size
@@ -436,7 +443,7 @@ def windowed_ah_pallas(w, res, fid, js, starts, sub_ids, num_segments,
          static_argnames=('num_segments', 'block_size', 'window',
                           'interpret', 'transposed_out'))
 def windowed_ahw2_pallas(w, res, fid, js, starts, sub_ids,
-                         num_segments, block_size=256, window=2048,
+                         num_segments, block_size=256, window=None,
                          interpret=False, transposed_out=False):
     """One-sweep fusion of ``windowed_ah_pallas`` and
     ``windowed_w2_pallas``: the two kernels stream identical
@@ -445,6 +452,7 @@ def windowed_ahw2_pallas(w, res, fid, js, starts, sub_ids,
     a single pass with c_cols=24 (18 live) replaces both.  Returns
     ``(ah, w2)`` with the same shapes/column orders as the two
     separate calls."""
+    window = _resolve_w(window)
     N = w.shape[0]
     nb = starts.shape[0]
     Bsz = block_size
@@ -478,13 +486,14 @@ def windowed_ahw2_pallas(w, res, fid, js, starts, sub_ids,
          static_argnames=('num_segments', 'block_size', 'window',
                           'interpret', 'transposed_out'))
 def windowed_w2_pallas(w, fid, js, starts, sub_ids, num_segments,
-                       block_size=256, window=2048, interpret=False,
+                       block_size=256, window=None, interpret=False,
                        transposed_out=False):
     """Per-face sums of the 6 unique correspondence-weight products
     ``segment_sum(w_j * w_j', fid)`` with the products formed
     in-kernel — the W2 operand of the solver's face-side subspace
     normal equations (cg_block face_hcgc).  Output columns:
     [w0w0 w1w1 w2w2 w0w1 w0w2 w1w2]."""
+    window = _resolve_w(window)
     N = w.shape[0]
     nb = starts.shape[0]
     Bsz = block_size
