@@ -1151,21 +1151,42 @@ void ring_schedule_native(
         int32_t eff = span - 128;
         for (int64_t c = 0; c < nc; ++c) {
             int m = 0;
+            int32_t mn = INT32_MAX, mx = INT32_MIN;
             for (int j = 0; j < 128; ++j) {
                 int64_t r = c * 128 + j;
-                if (r < R && care[r]) buf[m++] = idx[r];
+                if (r < R && care[r]) {
+                    int32_t v = idx[r];
+                    buf[m++] = v;
+                    if (v < mn) mn = v;
+                    if (v > mx) mx = v;
+                }
             }
             if (m == 0) { bases[c] = 0; continue; }
-            std::sort(buf.begin(), buf.begin() + m);
             care_chunks.push_back(c);
-            chunk_med.push_back(buf[(m - 1) / 2]);
-            int best = 0, bestcnt = -1, hi = 0;
-            for (int j = 0; j < m; ++j) {
-                if (hi < j) hi = j;
-                while (hi < m && buf[hi] <= buf[j] + eff) ++hi;
-                if (hi - j > bestcnt) { bestcnt = hi - j; best = j; }
+            int32_t base;
+            if (mx - mn <= eff) {
+                // whole chunk fits one window: the two-pointer scan on
+                // the sorted buffer would find bestcnt == m at j == 0
+                // (first-on-ties), i.e. base = (min/128)*128 — same
+                // result without the sort (the common case on
+                // Hilbert-sorted fit streams; the sort dominated the
+                // pass).  The clamp median only needs the (m-1)/2
+                // order statistic: nth_element.
+                std::nth_element(buf.begin(), buf.begin() + (m - 1) / 2,
+                                 buf.begin() + m);
+                chunk_med.push_back(buf[(m - 1) / 2]);
+                base = (mn / 128) * 128;
+            } else {
+                std::sort(buf.begin(), buf.begin() + m);
+                chunk_med.push_back(buf[(m - 1) / 2]);
+                int best = 0, bestcnt = -1, hi = 0;
+                for (int j = 0; j < m; ++j) {
+                    if (hi < j) hi = j;
+                    while (hi < m && buf[hi] <= buf[j] + eff) ++hi;
+                    if (hi - j > bestcnt) { bestcnt = hi - j; best = j; }
+                }
+                base = (buf[best] / 128) * 128;
             }
-            int32_t base = (buf[best] / 128) * 128;
             if (base >= n_src) base = 0;
             if (base > maxbase) base = maxbase;
             if (base < 0) base = 0;
