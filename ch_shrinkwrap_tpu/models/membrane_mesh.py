@@ -702,7 +702,8 @@ class MembraneMesh(TriangleMesh):
                 self.remesh(n_relax=0)
             t3 = _time.time()
             self.remove_inner_surfaces()
-            if self.connected_components()[1] > n_before:
+            n_after = self.connected_components()[1]
+            if n_after > n_before or (n_after == 0 and n_before > 0):
                 self.set_topology(snap_v, snap_f)
                 self._initialize_curvature_vectors()
                 logger.info(

@@ -340,3 +340,37 @@ def test_separator_neck_detector_spares_noisy_sphere():
     assert mesh.vertices.shape[0] == v0          # nothing removed
     _, n = mesh.connected_components()
     assert n == 1
+
+
+def test_short_edges_rollback_preserves_topology():
+    """remove_extra_short_edges is a HYGIENE pass: when the removal +
+    repair would disconnect the surface (the thinning-junction failure
+    that split TwoToruses low-cw fits, BASELINE.md round 5) it must
+    roll back to the exact pre-pass state."""
+    from ch_shrinkwrap_tpu.mesh.marching import marching_tetrahedra
+    from ch_shrinkwrap_tpu.sim import sdf as S
+
+    # dumbbell: two spheres joined by a barely-resolved thin tube —
+    # the tube's sliver edges are the short-edge candidates and their
+    # removal severs the surface
+    xs = np.linspace(-60, 60, 90)
+    ys = np.linspace(-25, 25, 40)
+    zs = np.linspace(-25, 25, 40)
+    G = np.stack(np.meshgrid(xs, ys, zs, indexing='ij'), 0).reshape(3, -1)
+    a = S.sphere(G - np.array([[-30], [0], [0]]), 20.0)
+    b = S.sphere(G - np.array([[30], [0], [0]]), 20.0)
+    c = S.capsule(G, np.array([-30, 0, 0.]), np.array([30, 0, 0.]), 1.6)
+    vals = np.minimum(np.minimum(a, b), c).reshape(90, 40, 40)
+    v, f = marching_tetrahedra(vals, origin=(-60, -25, -25),
+                               spacing=(xs[1] - xs[0], ys[1] - ys[0],
+                                        zs[1] - zs[0]))
+    m = MembraneMesh(np.asarray(v, np.float32), np.asarray(f, np.int32))
+    assert m.connected_components()[1] == 1
+    v0, f0 = m.vertices.copy(), m.faces.copy()
+
+    m.remove_extra_short_edges(threshold=0.2)   # would disconnect
+    assert m.connected_components()[1] == 1
+    assert m.euler_characteristic == 2
+    # exact restore
+    np.testing.assert_array_equal(m.vertices, v0)
+    np.testing.assert_array_equal(m.faces, f0)
